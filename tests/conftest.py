@@ -1,0 +1,23 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Multi-device sharding tests run on fake CPU devices (the renderer's
+analogue of multi-node tests without a cluster — SURVEY.md §4.4); parity
+tests are bit-exact on the CPU backend.  Must run before jax imports.
+"""
+
+import os
+import sys
+
+# JAX_PLATFORMS alone is overridden by the axon TPU plugin in this image;
+# JAX_PLATFORM_NAME + the explicit config update below are honored.
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,123 @@
+"""Mesh / OBJ loader / ModelManager tests."""
+
+import numpy as np
+import pytest
+
+from tinyrenderder_tpu.models import procedural
+from tinyrenderder_tpu.models.manager import ModelManager
+from tinyrenderder_tpu.models.mesh import Mesh
+from tinyrenderder_tpu.models.obj import load_obj
+from tinyrenderder_tpu.utils import tga
+
+CUBE_OBJ = """
+# simple cube-ish quad mesh with polygon faces
+mtllib demo.mtl
+v -1 -1 0
+v 1 -1 0
+v 1 1 0
+v -1 1 0
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+vn 0 0 1
+usemtl mat0
+f 1/1/1 2/2/1 3/3/1 4/4/1
+"""
+
+MTL = """
+newmtl mat0
+map_Kd tex_diffuse.tga
+"""
+
+
+@pytest.fixture
+def obj_dir(tmp_path):
+    (tmp_path / "quad.obj").write_text(CUBE_OBJ)
+    (tmp_path / "demo.mtl").write_text(MTL)
+    tex = tga.TGAImage(data=procedural.checker_texture(16)[..., ::-1])  # BGR file
+    tga.write(tex, tmp_path / "tex_diffuse.tga")
+    return tmp_path
+
+
+def test_obj_fan_triangulation_and_flipuv(obj_dir):
+    mesh = load_obj(str(obj_dir / "quad.obj"))
+    assert mesh.nfaces == 2                       # quad -> 2 triangles
+    assert mesh.nverts == 4                       # joined identical vertices
+    # FlipUVs: v' = 1 - v
+    assert mesh.uvs[0].tolist() == [0.0, 1.0]
+    assert mesh.uvs[2].tolist() == [1.0, 0.0]
+    assert np.allclose(mesh.normals, [[0, 0, 1]] * 4)
+    assert mesh.materials[0].has_diffuse
+    assert mesh.materials[0].diffuse.shape == (16, 16, 3)
+
+
+def test_obj_negative_indices(tmp_path):
+    (tmp_path / "neg.obj").write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n")
+    mesh = load_obj(str(tmp_path / "neg.obj"))
+    assert mesh.nfaces == 1
+    assert np.allclose(mesh.positions[mesh.faces[0]],
+                       [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+
+
+def test_normal_generation_area_weighted(tmp_path):
+    (tmp_path / "tri.obj").write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    mesh = load_obj(str(tmp_path / "tri.obj"))
+    # single CCW triangle in xy-plane -> +z normal on all corners
+    assert np.allclose(mesh.normals, [[0, 0, 1]] * 3)
+
+
+def test_tangent_generation():
+    mesh = procedural.uv_sphere(8, 12)
+    mesh.tangents = np.zeros_like(mesh.tangents)
+    mesh.compute_tangents_if_needed()
+    lens = np.linalg.norm(mesh.tangents, axis=-1)
+    assert np.all(lens > 0.9)  # unit or fallback (1,0,0)
+    # tangents orthogonal to unit normals where generated
+    dots = np.abs((mesh.tangents * mesh.normals).sum(-1))
+    assert np.percentile(dots, 90) < 1e-6
+
+
+def test_local_aabb_margin():
+    mesh = Mesh(positions=np.array([[0, 0, 0], [2, 2, 2.0]]),
+                faces=np.array([[0, 1, 0]], dtype=np.int32)).finalize()
+    box = mesh.get_local_aabb()
+    assert np.allclose(box.min, [-0.02] * 3)
+    assert np.allclose(box.max, [2.02] * 3)
+
+
+def test_legacy_accessors_oob():
+    mesh = procedural.plane()
+    assert np.array_equal(mesh.vert(999, 0), np.zeros(3))
+    assert np.array_equal(mesh.normal(999, 0), [0, 0, 1])
+    assert np.array_equal(mesh.uv(-1, 0), np.zeros(2))
+
+
+def test_manager_cache_and_unload(obj_dir):
+    mgr = ModelManager()
+    m1 = mgr.load_model(str(obj_dir / "quad.obj"))
+    m2 = mgr.load_model(str(obj_dir / "quad.obj"))
+    assert m1 is m2                                   # cache hit
+    assert mgr.stats() == {"quad.obj": 2}
+    assert mgr.unload_model(str(obj_dir / "quad.obj"))
+    assert not mgr.unload_model(str(obj_dir / "quad.obj"))
+    m3 = mgr.load_model(str(obj_dir / "quad.obj"))
+    assert m3 is not m1
+    mgr.unload_all()
+    assert mgr.stats() == {}
+
+
+def test_manager_missing_file_returns_none():
+    mgr = ModelManager()
+    assert mgr.load_model("/nonexistent/foo.obj") is None
+
+
+def test_face_attributes_shapes():
+    mesh = procedural.bumpy_head(8, 10)
+    attrs = mesh.face_attributes(np.float32)
+    f = mesh.nfaces
+    assert attrs["position"].shape == (f, 3, 3)
+    assert attrs["uv"].shape == (f, 3, 2)
+    assert attrs["position"].dtype == np.float32

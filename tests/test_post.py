@@ -1,0 +1,108 @@
+"""Post-processing tests: SSAO vs a literal per-pixel reference loop,
+z-buffer visualization, composite."""
+
+import math
+
+import numpy as np
+
+from tinyrenderder_tpu.ops import post
+
+
+def reference_ssao(zbuffer, w, h, x, y):
+    """Literal transcription of compute_ssao_at (main.cpp:324-362)."""
+    center = zbuffer[y, x]
+    if not math.isfinite(center):
+        return 1.0
+    occluded = total = 0
+    for direction in range(post.AO_NUM_DIRECTIONS):
+        angle = 2.0 * math.pi * direction / post.AO_NUM_DIRECTIONS
+        dx, dy = math.cos(angle), math.sin(angle)
+        for step in range(1, post.AO_STEPS_PER_DIRECTION + 1):
+            radius = step / post.AO_STEPS_PER_DIRECTION * post.AO_SAMPLE_RADIUS
+            # C round() = half away from zero
+            vx, vy = x + dx * radius, y + dy * radius
+            sx = int(math.floor(vx + 0.5)) if vx >= 0 else -int(math.floor(-vx + 0.5))
+            sy = int(math.floor(vy + 0.5)) if vy >= 0 else -int(math.floor(-vy + 0.5))
+            if sx < 0 or sx >= w or sy < 0 or sy >= h:
+                continue
+            s = zbuffer[sy, sx]
+            if not math.isfinite(s):
+                total += 1
+                continue
+            if s < center - post.AO_OCCLUSION_THRESHOLD:
+                occluded += 1
+            total += 1
+    if total == 0:
+        return 1.0
+    return 1.0 - occluded / total * post.AO_INTENSITY
+
+
+def random_depth(w, h, seed=5):
+    rng = np.random.RandomState(seed)
+    z = rng.uniform(-1, 1, size=(h, w))
+    z[rng.uniform(size=(h, w)) < 0.3] = np.inf      # background holes
+    return z
+
+
+def test_ssao_matches_reference_loop():
+    w = h = 40
+    z = random_depth(w, h)
+    ao = post.ssao_map(z, np)
+    for y in range(0, h, 3):
+        for x in range(0, w, 3):
+            expected = reference_ssao(z, w, h, x, y)
+            assert ao[y, x] == np.float64(expected), (x, y)
+
+
+def test_ssao_offsets_count_and_range():
+    taps = post.ssao_offsets()
+    assert len(taps) == 64
+    assert max(max(abs(a), abs(b)) for a, b in taps) == 16
+    # first direction is +x: offsets (2, 0), (4, 0), ... (16, 0)
+    assert taps[:8] == [(2 * s, 0) for s in range(1, 9)]
+
+
+def test_ssao_infinite_center_is_one():
+    z = np.full((8, 8), np.inf)
+    assert (post.ssao_map(z, np) == 1.0).all()
+
+
+def test_zbuffer_image_normalization():
+    z = np.full((4, 4), np.inf)
+    z[1, 1] = 0.0
+    z[2, 2] = 1.0
+    img = post.zbuffer_to_image(z, np)
+    assert img[1, 1] == 255          # nearest -> darkest is... inverted: 1 - norm
+    assert img[2, 2] == 0
+    assert img[0, 0] == 255          # infinite = white
+
+
+def test_zbuffer_image_empty_is_white():
+    z = np.full((4, 4), np.inf)
+    assert (post.zbuffer_to_image(z, np) == 255).all()
+
+
+def test_zbuffer_image_degenerate_range():
+    z = np.full((4, 4), 0.5)
+    img = post.zbuffer_to_image(z, np)
+    assert (img == 255).all()        # all at min -> 1 - 0 = 1 -> 255
+
+
+def test_composite_truncates():
+    color = np.full((2, 2, 3), 200, dtype=np.uint8)
+    ao = np.full((2, 2), 128, dtype=np.uint8)
+    out = post.composite(color, ao, np)
+    assert (out == int(200 * (128 / 255))).all()
+    ao255 = np.full((2, 2), 255, dtype=np.uint8)
+    assert (post.composite(color, ao255, np) == 200).all()
+
+
+def test_ssao_jnp_matches_numpy():
+    import jax.numpy as jnp
+    z = random_depth(32, 32).astype(np.float32)
+    a_np = post.ssao_map(z, np)
+    a_j = np.asarray(post.ssao_map(jnp.asarray(z), jnp))
+    assert np.abs(a_np - a_j).max() < 1e-6
+    i_np = post.zbuffer_to_image(z, np)
+    i_j = np.asarray(post.zbuffer_to_image(jnp.asarray(z), jnp))
+    assert np.abs(i_np.astype(int) - i_j.astype(int)).max() <= 1

@@ -1,0 +1,108 @@
+"""Scene driver tests: culling, multi-pass flow, backend agreement,
+z-snapshot semantics, CLI end-to-end."""
+
+import numpy as np
+
+from tinyrenderder_tpu import math3d
+from tinyrenderder_tpu.camera import Camera
+from tinyrenderder_tpu.models import procedural
+from tinyrenderder_tpu.scene import Scene
+from tinyrenderder_tpu.shaders import EyeShader, FlatShader, PhongShader
+
+KEY = math3d.normalized(math3d.vec3(1.0, 1.4, 1.0))
+FILL = math3d.normalized(math3d.vec3(-0.3, 0.5, 0.2))
+RIM = math3d.normalized(math3d.vec3(-1.0, 0.8, -1.5))
+
+
+def small_scene(width=72, height=72):
+    cam = Camera()
+    cam.set_eye((0, 0.8, 3.2))
+    cam.set_target((0, 0, 0))
+    cam.set_fov(60.0)
+    cam.set_aspect(width / height)
+    cam.set_clipping(0.1, 50.0)
+    scene = Scene(camera=cam, width=width, height=height)
+
+    head = procedural.bumpy_head(10, 14)
+    head.materials = [procedural.default_head_material(32)]
+    eyes = procedural.uv_sphere(6, 8, radius=0.15)
+    eyes.positions += np.array([0.3, 0.2, 0.85])
+    eyes.finalize()
+    plane = procedural.plane(6.0, -1.2)
+
+    scene.add(plane, np.eye(4), FlatShader(light_world=(0.2, 1, 0.3)), name="floor")
+    scene.add(head, np.eye(4), PhongShader(KEY, FILL, RIM), name="head")
+    scene.add(eyes, np.eye(4), EyeShader(KEY, RIM), name="eyes",
+              exclude_from_output_depth=True)
+    return scene
+
+
+def test_backends_agree():
+    scene = small_scene()
+    r_oracle = scene.render(backend="oracle")
+    r_xla = scene.render(backend="xla")
+    assert r_oracle.stats.fragments_drawn > 0
+    d = np.abs(r_xla.color.astype(int) - r_oracle.color.astype(int))
+    assert d.max() <= 1
+    assert np.array_equal(np.isfinite(r_xla.full_depth),
+                          np.isfinite(r_oracle.full_depth))
+
+
+def test_depth_snapshot_excludes_eye_pass():
+    scene = small_scene()
+    r = scene.render(backend="xla")
+    # output depth must be the pre-eyes snapshot: the full depth is nearer
+    # (or newly covered) wherever the eye pass won pixels
+    assert np.isfinite(r.depth).sum() <= np.isfinite(r.full_depth).sum()
+    both = np.isfinite(r.depth) & np.isfinite(r.full_depth)
+    nearer = (r.full_depth[both] < r.depth[both]).sum()
+    new_cov = (np.isfinite(r.full_depth) & ~np.isfinite(r.depth)).sum()
+    assert nearer + new_cov > 0, "eye pass must have won some pixels"
+
+
+def test_frustum_culls_offscreen_model():
+    scene = small_scene()
+    moon = procedural.uv_sphere(6, 8)
+    scene.add(moon, math3d.translation_matrix(500, 0, 0),
+              FlatShader(), name="moon")
+    r = scene.render(backend="xla")
+    assert r.stats.models_culled == 1
+    assert r.stats.culled_triangles == moon.nfaces
+    assert r.stats.models_rendered == 3
+
+    r2 = scene.render(backend="xla", frustum_cull=False)
+    assert r2.stats.models_culled == 0
+    # moon draws nothing anyway (offscreen) -> identical image
+    assert np.array_equal(r.color, r2.color)
+
+
+def test_scene_describe():
+    scene = small_scene()
+    text = scene.describe()
+    assert "head" in text and "faces" in text
+
+
+def test_stats_against_oracle():
+    scene = small_scene()
+    r_o = scene.render(backend="oracle")
+    r_x = scene.render(backend="xla")
+    assert r_o.stats.triangles_rasterized == r_x.stats.triangles_rasterized
+    assert (r_o.stats.min_x, r_o.stats.min_y, r_o.stats.max_x, r_o.stats.max_y) == \
+           (r_x.stats.min_x, r_x.stats.min_y, r_x.stats.max_x, r_x.stats.max_y)
+    # winner-pixel count == final covered pixels
+    assert r_x.stats.fragments_drawn == np.isfinite(r_x.full_depth).sum()
+    assert np.isclose(r_o.stats.min_z, r_x.stats.min_z, atol=1e-5)
+    desc = r_x.stats.describe()
+    assert "triangles=" in desc and "winners only" in desc
+
+
+def test_cli_end_to_end(tmp_path):
+    from tinyrenderder_tpu import cli
+    rc = cli.run(["--width", "64", "--height", "48", "--outdir", str(tmp_path),
+                  "--backend", "xla"])
+    assert rc == 0
+    for name in ("phong.tga", "zbuffer.tga", "ao.tga", "final.tga"):
+        assert (tmp_path / name).exists(), name
+    from tinyrenderder_tpu.utils import tga
+    img = tga.read(tmp_path / "phong.tga")
+    assert img.width == 64 and img.height == 48

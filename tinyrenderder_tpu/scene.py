@@ -1,0 +1,206 @@
+"""Scene driver: passes, frustum culling, multi-backend rendering.
+
+Capability-parity target: the main() scene flow of main.cpp:469-807 —
+per-model frustum culling against the view-projection frustum
+(main.cpp:623-624, :647, :680, :706), per-pass ModelView = view * model
+matrix (main.cpp:653), per-pass shader uniforms, and the z-buffer
+snapshot/restore around the eye pass (main.cpp:700, :730) which here is
+just value-semantics on the FrameBuffers pytree.
+
+Backends:
+  "xla"    — ops.raster scan path (always available, parity reference)
+  "tiled"  — ops.raster_tiled binned tile path (fast; Pallas on TPU)
+  "oracle" — the serial NumPy golden renderer (tinyrenderder_tpu.oracle)
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tinyrenderder_tpu import math3d, oracle
+from tinyrenderder_tpu.camera import Camera
+from tinyrenderder_tpu.math3d import Frustum
+from tinyrenderder_tpu.models.mesh import Mesh
+from tinyrenderder_tpu.shaders import Shader
+from tinyrenderder_tpu.utils.stats import RenderStats
+
+log = logging.getLogger("tinyrenderder_tpu.scene")
+
+__all__ = ["ScenePass", "Scene", "RenderResult", "render_scene"]
+
+
+@dataclass
+class ScenePass:
+    """One model submission: mesh + model matrix + shader
+    (a main.cpp:647-668-style block)."""
+
+    mesh: Mesh
+    model_matrix: np.ndarray
+    shader: Shader
+    name: str = ""
+    material_index: int = 0
+    #: passes flagged True are rendered into color but their depth writes are
+    #: excluded from the frame's *output* depth (the reference's eye pass:
+    #: zbuffer snapshot before, restore after, main.cpp:700,730 — SSAO then
+    #: sees the no-eyes depth)
+    exclude_from_output_depth: bool = False
+
+
+@dataclass
+class RenderResult:
+    color: np.ndarray            # (H, W, 3) uint8 RGB
+    depth: np.ndarray            # (H, W) float — output depth (post-restore)
+    full_depth: np.ndarray       # (H, W) float — including excluded passes
+    stats: RenderStats
+    pass_timings: dict = field(default_factory=dict)
+
+
+@dataclass
+class Scene:
+    """A renderable scene description (camera + passes)."""
+
+    camera: Camera
+    width: int
+    height: int
+    passes: list[ScenePass] = field(default_factory=list)
+
+    def add(self, mesh: Mesh, model_matrix, shader: Shader, **kw) -> ScenePass:
+        p = ScenePass(mesh=mesh, model_matrix=np.asarray(model_matrix, dtype=np.float64),
+                      shader=shader, **kw)
+        self.passes.append(p)
+        return p
+
+    def world_aabbs(self) -> list:
+        return [p.mesh.get_world_aabb(p.model_matrix) for p in self.passes]
+
+    def describe(self) -> str:
+        """Scene-analysis text in the spirit of main.cpp:545-579."""
+        lines = ["=== Scene Analysis ==="]
+        for p in self.passes:
+            c = p.mesh.get_center()
+            wb = p.mesh.get_world_aabb(p.model_matrix)
+            wc = wb.center()
+            lines.append(f"  {p.name or p.mesh.name}: local center "
+                         f"({c[0]:.4f}, {c[1]:.4f}, {c[2]:.4f}) world center "
+                         f"({wc[0]:.4f}, {wc[1]:.4f}, {wc[2]:.4f}) "
+                         f"faces {p.mesh.nfaces}")
+        return "\n".join(lines)
+
+    def render(self, backend: str = "xla", dtype=np.float32,
+               frustum_cull: bool = True) -> RenderResult:
+        return render_scene(self, backend=backend, dtype=dtype,
+                            frustum_cull=frustum_cull)
+
+
+def _cull_passes(scene: Scene, frustum_cull: bool, stats: RenderStats):
+    """Per-model frustum culling (main.cpp:623-736)."""
+    frustum = Frustum.from_matrix(
+        scene.camera.projection_matrix @ scene.camera.view_matrix)
+    visible = []
+    for p in scene.passes:
+        if frustum_cull and not frustum.intersects(
+                p.mesh.get_world_aabb(p.model_matrix)):
+            stats.models_culled += 1
+            stats.culled_triangles += p.mesh.nfaces
+            log.info("%s CULLED by frustum", p.name or p.mesh.name)
+            continue
+        stats.models_rendered += 1
+        stats.total_triangles += p.mesh.nfaces
+        visible.append(p)
+    return visible
+
+
+def _pass_inputs(scene: Scene, p: ScenePass, dtype):
+    view = scene.camera.view_matrix
+    persp = scene.camera.projection_matrix
+    modelview = view @ p.model_matrix
+    material = (p.mesh.materials[p.material_index]
+                if p.mesh.materials else None)
+    uniforms = p.shader.build_uniforms(modelview, persp, material, dtype)
+    attrs = p.mesh.face_attributes(dtype)
+    return attrs, uniforms
+
+
+def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
+                 frustum_cull: bool = True) -> RenderResult:
+    stats = RenderStats()
+    visible = _cull_passes(scene, frustum_cull, stats)
+    timings: dict[str, float] = {}
+
+    if backend == "oracle":
+        return _render_oracle(scene, visible, dtype, stats, timings)
+    if backend in ("xla", "tiled"):
+        return _render_device(scene, visible, dtype, stats, timings, backend)
+    raise ValueError(f"unknown backend: {backend}")
+
+
+def _render_oracle(scene, visible, dtype, stats, timings) -> RenderResult:
+    frame = oracle.OracleFrame(
+        color=np.zeros((scene.height, scene.width, 3), dtype=np.uint8),
+        zbuffer=np.full((scene.height, scene.width), np.inf, dtype=dtype),
+        stats=stats)
+    snapshot = None
+    for p in visible:
+        attrs, uniforms = _pass_inputs(scene, p, dtype)
+        if p.exclude_from_output_depth and snapshot is None:
+            snapshot = frame.zbuffer.copy()     # main.cpp:700
+        t0 = time.perf_counter()
+        oracle.render_pass(frame, oracle.OraclePass(attrs, p.shader, uniforms),
+                           scene.width, scene.height, dtype=dtype)
+        timings[p.name or p.mesh.name] = time.perf_counter() - t0
+    full_depth = frame.zbuffer
+    # restore semantics (main.cpp:730): the output depth is the snapshot
+    # taken just before the first excluded pass (exactly the reference's
+    # zbuffer = zbuffer_before_eyes, since the eye pass is last)
+    out_depth = snapshot if snapshot is not None else full_depth
+    return RenderResult(color=frame.color, depth=out_depth,
+                        full_depth=full_depth, stats=stats,
+                        pass_timings=timings)
+
+
+def _render_device(scene, visible, dtype, stats, timings, backend) -> RenderResult:
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.ops import raster
+
+    if backend == "tiled":
+        from tinyrenderder_tpu.ops import raster_tiled
+        pass_fn = raster_tiled.render_pass_tiled
+    else:
+        pass_fn = raster.render_pass_xla
+
+    fb = raster.new_framebuffers(scene.width, scene.height, dtype=jnp.float32)
+    snapshot_depth = None
+    winner_offset = 0
+    for p in visible:
+        attrs, uniforms = _pass_inputs(scene, p, dtype)
+        attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
+        if p.exclude_from_output_depth and snapshot_depth is None:
+            snapshot_depth = fb.depth               # immutable: free snapshot
+        t0 = time.perf_counter()
+        fb, setup = pass_fn(fb, attrs, p.shader, uniforms,
+                            winner_offset=winner_offset)
+        fb.color.block_until_ready()
+        timings[p.name or p.mesh.name] = time.perf_counter() - t0
+        agg = raster.pass_stats(setup)
+        stats.triangles_rasterized += agg["triangles"]
+        if agg["valid_triangles"]:
+            stats.merge_bbox(agg["min_x"], agg["min_y"], agg["max_x"], agg["max_y"])
+        winner_offset += p.mesh.nfaces
+
+    full_depth = np.asarray(fb.depth)
+    out_depth = (np.asarray(snapshot_depth)
+                 if snapshot_depth is not None else full_depth)
+    finite = np.isfinite(full_depth)
+    if finite.any():
+        stats.merge_z(float(full_depth[finite].min()),
+                      float(full_depth[finite].max()))
+    stats.fragments_drawn = int((np.asarray(fb.winner) >= 0).sum())
+    stats.fragments_exact = False
+    return RenderResult(color=np.asarray(fb.color), depth=out_depth,
+                        full_depth=full_depth, stats=stats,
+                        pass_timings=timings)
