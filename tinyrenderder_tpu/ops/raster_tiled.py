@@ -1,0 +1,336 @@
+"""Binned tile rasterizer — the work-efficient device path.
+
+The pure-XLA scan path (ops.raster) touches every screen pixel for every
+triangle chunk: O(F * H * W).  This module first *bins* triangles to
+screen tiles (the TPU-native replacement for the reference's per-pixel
+bbox walk, our_gl.cpp:130-148), so depth resolve costs only
+O(sum over triangles of (tiles overlapped) * tile_area):
+
+  1. Per-triangle tile span from the clamped screen bbox.
+  2. Expand to (tile, triangle) pairs with the classic scatter-heads +
+     segmented-fill trick (no dynamic shapes: pair capacity is a static,
+     power-of-two-padded bound).
+  3. Stable-sort pairs by tile id -> CSR bins (pair order within a tile is
+     triangle submission order, which preserves the reference's
+     first-drawn-wins z-tie semantics, our_gl.cpp:165).
+  4. Depth-resolve each tile against only its bin (scan over bin chunks),
+     with pixels of a tile laid out as an (8, 128)-aligned block.
+  5. Shade winners once per pixel (shared phase B, ops.raster).
+
+Decision math is ops.semantics, so output is bit-identical to the scan
+path and parity-comparable with the CPU oracle.  On TPU the per-tile
+resolve loop is replaced by the Pallas kernel in ops.raster_pallas (same
+bins, dynamic per-tile trip counts); this XLA version is the portable
+fallback and the correctness reference for it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinyrenderder_tpu import math3d
+from tinyrenderder_tpu.ops import raster, semantics
+from tinyrenderder_tpu.ops.raster import BACKGROUND, FrameBuffers
+
+__all__ = ["render_pass_tiled", "bin_triangles_csr", "Bins",
+           "TILE_H", "TILE_W"]
+
+# Tile shape: (8, 128) is the f32 VPU register tile, so per-tile pixel
+# blocks are layout-native on TPU.
+TILE_H = 8
+TILE_W = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1)).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Binning: triangles -> per-tile CSR bins
+# ---------------------------------------------------------------------------
+
+class Bins:
+    """CSR triangle bins: sorted_tri[start[t]:start[t+1]] are the triangle
+    ids overlapping tile t, ascending (= submission order)."""
+
+    def __init__(self, sorted_tri, start, counts, n_tiles_x, n_tiles_y):
+        self.sorted_tri = sorted_tri      # (P,) int32, -1 padding at the end
+        self.start = start                # (T + 1,) int32
+        self.counts = counts              # (T,) int32
+        self.n_tiles_x = n_tiles_x
+        self.n_tiles_y = n_tiles_y
+
+    @property
+    def n_tiles(self) -> int:
+        return self.n_tiles_x * self.n_tiles_y
+
+
+@functools.partial(jax.jit, static_argnames=("tile_w", "tile_h"))
+def _tile_spans(setup, tile_w: int, tile_h: int):
+    """Per-triangle tile ranges and pair spans from the clamped bbox."""
+    bbox = setup["bbox"]                      # (F, 4) min_x, max_x, min_y, max_y
+    valid = setup["valid"]
+    tx0 = bbox[:, 0] // tile_w
+    tx1 = bbox[:, 1] // tile_w
+    ty0 = bbox[:, 2] // tile_h
+    ty1 = bbox[:, 3] // tile_h
+    span_x = jnp.where(valid, tx1 - tx0 + 1, 0).astype(jnp.int32)
+    span_y = jnp.where(valid, ty1 - ty0 + 1, 0).astype(jnp.int32)
+    spans = span_x * span_y
+    total = jnp.sum(spans)
+    return tx0.astype(jnp.int32), ty0.astype(jnp.int32), span_x, spans, total
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pair_capacity", "n_tiles_x", "n_tiles_y"))
+def _build_bins(tx0, ty0, span_x, spans, pair_capacity: int,
+                n_tiles_x: int, n_tiles_y: int):
+    """Expand spans into (tile, tri) pairs and sort by tile (stable)."""
+    f = spans.shape[0]
+    n_tiles = n_tiles_x * n_tiles_y
+    p = pair_capacity
+
+    offs = jnp.cumsum(spans) - spans          # exclusive prefix sum (F,)
+    has = spans > 0
+    # scatter run heads; offsets of span>0 triangles are strictly increasing
+    head_idx = jnp.where(has, offs, p)        # p = out of range -> dropped
+    tri_ids = jnp.arange(f, dtype=jnp.int32)
+    heads = jnp.full((p,), -1, jnp.int32).at[head_idx].set(
+        tri_ids, mode="drop")
+    # segmented fill: triangle ids are ascending, so a running max
+    # propagates each head through its run
+    tri = jax.lax.cummax(heads)
+
+    pair_pos = jnp.arange(p, dtype=jnp.int32)
+    safe_tri = jnp.maximum(tri, 0)
+    k = pair_pos - offs[safe_tri]             # index within the run
+    in_run = (tri >= 0) & (k < spans[safe_tri])
+
+    sx = jnp.maximum(span_x[safe_tri], 1)
+    tile_x = tx0[safe_tri] + k % sx
+    tile_y = ty0[safe_tri] + k // sx
+    tile_id = tile_y * n_tiles_x + tile_x
+    tile_id = jnp.where(in_run, tile_id, n_tiles)   # sentinel sorts to end
+
+    sorted_tile, sorted_tri = jax.lax.sort(
+        (tile_id.astype(jnp.int32), jnp.where(in_run, tri, -1)), num_keys=1)
+    start = jnp.searchsorted(sorted_tile,
+                             jnp.arange(n_tiles + 1, dtype=jnp.int32),
+                             side="left").astype(jnp.int32)
+    counts = start[1:] - start[:-1]
+    return sorted_tri, start, counts
+
+
+def bin_triangles_csr(setup, width: int, height: int,
+                      tile_w: int = TILE_W, tile_h: int = TILE_H) -> Bins:
+    """Bin a pass's triangles to screen tiles.  Host-syncs the total pair
+    count to pick a static power-of-two capacity (re-jits only when a
+    scene crosses a capacity doubling)."""
+    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_y = _cdiv(height, tile_h)
+    tx0, ty0, span_x, spans, total = _tile_spans(setup, tile_w, tile_h)
+    pair_capacity = max(8, _next_pow2(int(total)))
+    sorted_tri, start, counts = _build_bins(
+        tx0, ty0, span_x, spans, pair_capacity, n_tiles_x, n_tiles_y)
+    return Bins(sorted_tri, start, counts, n_tiles_x, n_tiles_y)
+
+
+# ---------------------------------------------------------------------------
+# Tiled depth resolve
+# ---------------------------------------------------------------------------
+
+def _to_tiles(img, n_tiles_y, n_tiles_x, tile_h, tile_w, fill):
+    """(H, W) -> (T, tile_h, tile_w), padding ragged edges with `fill`."""
+    h, w = img.shape
+    ph, pw = n_tiles_y * tile_h, n_tiles_x * tile_w
+    if (ph, pw) != (h, w):
+        img = jnp.pad(img, ((0, ph - h), (0, pw - w)), constant_values=fill)
+    return (img.reshape(n_tiles_y, tile_h, n_tiles_x, tile_w)
+               .transpose(0, 2, 1, 3)
+               .reshape(n_tiles_y * n_tiles_x, tile_h, tile_w))
+
+
+def _from_tiles(tiles, n_tiles_y, n_tiles_x, tile_h, tile_w, height, width):
+    img = (tiles.reshape(n_tiles_y, n_tiles_x, tile_h, tile_w)
+                .transpose(0, 2, 1, 3)
+                .reshape(n_tiles_y * tile_h, n_tiles_x * tile_w))
+    return img[:height, :width]
+
+
+def depth_resolve_tiled(setup, bins: Bins, init_depth,
+                        height: int, width: int,
+                        tile_h: int = TILE_H, tile_w: int = TILE_W,
+                        bin_capacity: int | None = None, chunk: int = 8):
+    """Phase A over CSR bins.  Returns (depth (H, W), winner (H, W) i32).
+
+    Exact same decisions as raster.depth_resolve_xla: NaN-tolerant
+    coverage, affine z, bbox test in global pixel coords, strict-less
+    depth with first-drawn-wins ties (bin order = submission order).
+    """
+    if bin_capacity is None:
+        bin_capacity = max(1, int(jax.device_get(jnp.max(bins.counts))))
+    bin_capacity = _next_pow2(bin_capacity)
+    return _depth_resolve_tiled_jit(
+        setup, bins.sorted_tri, bins.start, init_depth,
+        height, width, bins.n_tiles_x, bins.n_tiles_y,
+        tile_h, tile_w, bin_capacity, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "n_tiles_x", "n_tiles_y", "tile_h", "tile_w",
+    "bin_capacity", "chunk"))
+def _depth_resolve_tiled_jit(setup, sorted_tri, start, init_depth,
+                             height, width, n_tiles_x, n_tiles_y,
+                             tile_h, tile_w, bin_capacity, chunk):
+    n_tiles = n_tiles_x * n_tiles_y
+    dtype = setup["screen"].dtype
+    f = setup["valid"].shape[0]
+    p = sorted_tri.shape[0]
+
+    # padded (T, C) bucket view of the CSR bins, -1 where empty
+    c = bin_capacity
+    counts = start[1:] - start[:-1]
+    slot = jnp.arange(c, dtype=jnp.int32)[None, :]              # (1, C)
+    idx = jnp.clip(start[:-1, None] + slot, 0, p - 1)
+    bucket = jnp.where(slot < counts[:, None], sorted_tri[idx], -1)
+
+    # global pixel coordinates of each tile's block
+    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    gx0 = (t_ids % n_tiles_x) * tile_w                          # (T,)
+    gy0 = (t_ids // n_tiles_x) * tile_h
+    xi = gx0[:, None, None] + jnp.arange(tile_w, dtype=jnp.int32)[None, None, :]
+    yi = gy0[:, None, None] + jnp.arange(tile_h, dtype=jnp.int32)[None, :, None]
+    half = jnp.asarray(0.5, dtype=dtype)
+    px = xi.astype(dtype) + half                                # (T, 1, TW)
+    py = yi.astype(dtype) + half                                # (T, TH, 1)
+    px = px[:, None]                                            # (T, 1, 1, TW)
+    py = py[:, None]                                            # (T, 1, TH, 1)
+    xi = xi[:, None]
+    yi = yi[:, None]
+
+    screen = setup["screen"].astype(dtype)
+    ndc_z = setup["ndc_z"].astype(dtype)
+    bbox = setup["bbox"]
+    valid = setup["valid"]
+
+    init_zt = _to_tiles(init_depth, n_tiles_y, n_tiles_x, tile_h, tile_w,
+                        jnp.inf)
+    init_it = jnp.full((n_tiles, tile_h, tile_w), BACKGROUND, jnp.int32)
+
+    nchunk = _cdiv(c, chunk)
+    pad = nchunk * chunk - c
+    bucket_c = jnp.pad(bucket, ((0, 0), (0, pad)), constant_values=-1)
+    bucket_c = bucket_c.reshape(n_tiles, nchunk, chunk).transpose(1, 0, 2)
+
+    def step(carry, tri):                                        # tri (T, K)
+        zbuf, idbuf = carry
+        live = tri >= 0
+        st = jnp.clip(tri, 0, max(f - 1, 0))
+        scr = screen[st]                                         # (T, K, 3, 2)
+        zs = ndc_z[st]                                           # (T, K, 3)
+        bb = bbox[st]                                            # (T, K, 4)
+
+        def tc(k, a):                                            # (T, K, 1, 1)
+            return scr[:, :, k, a][..., None, None]
+
+        b0, b1, b2, _ = semantics.barycentric(
+            tc(0, 0), tc(0, 1), tc(1, 0), tc(1, 1), tc(2, 0), tc(2, 1),
+            px, py, jnp)
+        covered = ~((b0 < 0) | (b1 < 0) | (b2 < 0))              # NaN-tolerant
+        z = semantics.affine_z(
+            zs[:, :, 0, None, None], zs[:, :, 1, None, None],
+            zs[:, :, 2, None, None], b0, b1, b2)
+        covered &= jnp.isfinite(z)
+        covered &= ((xi >= bb[:, :, 0, None, None])
+                    & (xi <= bb[:, :, 1, None, None])
+                    & (yi >= bb[:, :, 2, None, None])
+                    & (yi <= bb[:, :, 3, None, None]))
+        covered &= (live & valid[st])[..., None, None]
+
+        zc = jnp.where(covered, z, jnp.inf)
+        best = jnp.argmin(zc, axis=1)                            # first min
+        zmin = jnp.take_along_axis(zc, best[:, None], axis=1)[:, 0]
+        tri_b = jnp.broadcast_to(tri[:, :, None, None], zc.shape)
+        win = jnp.take_along_axis(tri_b, best[:, None], axis=1)[:, 0]
+        better = zmin < zbuf
+        zbuf = jnp.where(better, zmin, zbuf)
+        idbuf = jnp.where(better, win, idbuf)
+        return (zbuf, idbuf), None
+
+    (zt, it), _ = jax.lax.scan(step, (init_zt, init_it), bucket_c)
+    depth = _from_tiles(zt, n_tiles_y, n_tiles_x, tile_h, tile_w,
+                        height, width)
+    winner = _from_tiles(it, n_tiles_y, n_tiles_x, tile_h, tile_w,
+                         height, width)
+    return depth, winner
+
+
+# ---------------------------------------------------------------------------
+# Full pass
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("shader", "width", "height"))
+def _vertex_setup_jit(attrs, uniforms, shader, width: int, height: int):
+    clip, varyings = shader.vertex(uniforms, attrs, jnp)
+    vp = jnp.asarray(math3d.viewport(0, 0, width, height),
+                     dtype=attrs["position"].dtype)
+    setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
+    return setup, varyings
+
+
+@functools.partial(jax.jit, static_argnames=("shader", "width", "height"))
+def _shade_merge_jit(fb: FrameBuffers, depth, winner_local, setup, varyings,
+                     uniforms, winner_offset, shader, width, height):
+    won = winner_local >= 0
+    new_winner = jnp.where(won, winner_local + winner_offset, fb.winner)
+    color = raster.shade_winners(fb.color, winner_local, setup, varyings,
+                                 shader, uniforms, height, width)
+    return FrameBuffers(color=color, depth=depth, winner=new_winner)
+
+
+def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
+                      winner_offset: int = 0,
+                      tile_h: int = TILE_H, tile_w: int = TILE_W,
+                      chunk: int = 8, use_pallas: bool | None = None):
+    """Render one (mesh, shader) pass through the binned tile pipeline.
+
+    Same contract as raster.render_pass_xla.  ``use_pallas=None`` picks the
+    Pallas depth kernel automatically on TPU backends.
+    """
+    height, width = fb.color.shape[:2]
+    uniforms = dict(uniforms)
+    f = attrs["position"].shape[0]
+    if f == 0:
+        empty = {"valid": jnp.zeros((0,), bool),
+                 "screen": jnp.zeros((0, 3, 2), jnp.float32),
+                 "ndc_z": jnp.zeros((0, 3), jnp.float32),
+                 "clip_w": jnp.zeros((0, 3), jnp.float32),
+                 "bbox": jnp.zeros((0, 4), jnp.int32)}
+        return fb, empty
+
+    setup, varyings = _vertex_setup_jit(attrs, uniforms, shader, width, height)
+    bins = bin_triangles_csr(setup, width, height, tile_w, tile_h)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from tinyrenderder_tpu.ops import raster_pallas
+        depth, winner_local = raster_pallas.depth_resolve_pallas(
+            setup, bins, fb.depth, height, width, tile_h, tile_w)
+    else:
+        depth, winner_local = depth_resolve_tiled(
+            setup, bins, fb.depth, height, width, tile_h, tile_w,
+            chunk=chunk)
+
+    fb = _shade_merge_jit(fb, depth, winner_local, setup, varyings,
+                          uniforms, jnp.int32(winner_offset), shader,
+                          width, height)
+    return fb, setup
