@@ -1,0 +1,85 @@
+"""Multi-device tests on 8 virtual CPU devices (conftest.py forces
+--xla_force_host_platform_device_count=8): the renderer's analogue of
+multi-node tests without a cluster.  Sharded output must be
+pixel-identical to the single-device path for coverage/winners/color."""
+
+import jax
+import numpy as np
+import pytest
+
+from helpers import default_view, make_pass, render_engine, standard_meshes
+from tinyrenderder_tpu.parallel import dist
+from tinyrenderder_tpu.shaders import GouraudShader, PhongShader, TexturedShader
+
+KEY = np.array([1.0, 1.4, 1.0])
+FILL = np.array([-0.3, 0.5, 0.2])
+RIM = np.array([-1.0, 0.8, -1.5])
+
+
+@pytest.fixture(scope="module")
+def meshes():
+    return standard_meshes()
+
+
+def _passes(meshes, view, proj):
+    ps = [
+        make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj),
+        make_pass(meshes["plane"], TexturedShader(), view, proj),
+        make_pass(meshes["soup"], GouraudShader(), view, proj),
+    ]
+    return [(p.attrs, p.shader, p.uniforms) for p in ps]
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_matches_single_device(meshes, n_devices):
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough virtual devices")
+    w, h = 96, 64
+    view, proj = default_view()
+    passes = _passes(meshes, view, proj)
+
+    mesh = dist.make_mesh(n_devices)
+    fb_sh = dist.render_frame_sharded(mesh, passes, w, h)
+
+    from helpers import make_pass as mp  # single-device reference
+    from tinyrenderder_tpu.shaders import Shader  # noqa: F401
+    ps = [make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj),
+          make_pass(meshes["plane"], TexturedShader(), view, proj),
+          make_pass(meshes["soup"], GouraudShader(), view, proj)]
+    fb_one = render_engine(ps, w, h, backend="xla")
+
+    c_sh = np.asarray(fb_sh.color)
+    c_one = np.asarray(fb_one.color)
+    w_sh = np.asarray(fb_sh.winner)
+    w_one = np.asarray(fb_one.winner)
+    d_sh = np.asarray(fb_sh.depth)
+    d_one = np.asarray(fb_one.depth)
+
+    assert (w_sh == w_one).all(), "winner map differs under sharding"
+    assert (c_sh == c_one).all(), "color differs under sharding"
+    assert (np.isfinite(d_sh) == np.isfinite(d_one)).all()
+    both = np.isfinite(d_one)
+    ulps = np.abs(d_sh[both].view(np.int32).astype(np.int64)
+                  - d_one[both].view(np.int32).astype(np.int64))
+    assert ulps.max(initial=0) <= 4
+
+
+def test_sharded_layout_is_row_banded(meshes):
+    """The framebuffer really is distributed: each device holds H/N rows."""
+    mesh = dist.make_mesh(4)
+    fb = dist.new_sharded_framebuffers(mesh, 32, 32)
+    shardings = {d.device for d in fb.depth.addressable_shards}
+    assert len(shardings) == 4
+    for shard in fb.depth.addressable_shards:
+        assert shard.data.shape == (8, 32)
+
+
+def test_mesh_too_many_devices():
+    with pytest.raises(ValueError):
+        dist.make_mesh(len(jax.devices()) + 1)
+
+
+def test_indivisible_height_rejected():
+    mesh = dist.make_mesh(8)
+    with pytest.raises(ValueError):
+        dist.new_sharded_framebuffers(mesh, 32, 31)

@@ -83,10 +83,13 @@ def _pad_to_multiple(arr, multiple, axis=0, fill=0):
 
 
 def depth_resolve_xla(setup: dict, height: int, width: int, chunk: int = 8,
-                      init_depth=None, init_winner=None):
+                      init_depth=None, init_winner=None, x0=0, y0=0):
     """Phase A over the full image, scanning triangle chunks.
 
     setup: dict from semantics.triangle_setup_planes over (F, 3, 4) clip.
+    x0/y0: global pixel coordinates of this buffer's top-left corner
+    (used by the sharded path, where each device owns a row band but the
+    viewport/bbox stay in global coordinates).  May be traced scalars.
     Returns (depth (H, W), winner (H, W) int32).
     """
     f = setup["valid"].shape[0]
@@ -111,8 +114,10 @@ def depth_resolve_xla(setup: dict, height: int, width: int, chunk: int = 8,
     z_c = _pad_to_multiple(ndc_z, chunk).reshape(nchunk, chunk, 3)
     bbox_c = _pad_to_multiple(bbox, chunk).reshape(nchunk, chunk, 4)
 
-    xi = jnp.arange(width, dtype=jnp.int32)[None, None, :]     # (1, 1, W)
-    yi = jnp.arange(height, dtype=jnp.int32)[None, :, None]    # (1, H, 1)
+    xi = (jnp.asarray(x0, jnp.int32)
+          + jnp.arange(width, dtype=jnp.int32))[None, None, :]   # (1, 1, W)
+    yi = (jnp.asarray(y0, jnp.int32)
+          + jnp.arange(height, dtype=jnp.int32))[None, :, None]  # (1, H, 1)
     half = jnp.asarray(0.5, dtype=dtype)
     px = xi.astype(dtype) + half
     py = yi.astype(dtype) + half
@@ -156,11 +161,12 @@ def depth_resolve_xla(setup: dict, height: int, width: int, chunk: int = 8,
 
 
 def shade_winners(fb_color, winner_local, setup, varyings,
-                  shader, uniforms, height: int, width: int):
+                  shader, uniforms, height: int, width: int, x0=0, y0=0):
     """Phase B: evaluate the fragment shader once per winning pixel.
 
     winner_local: (H, W) int32 — this pass's triangle index per pixel,
     BACKGROUND where this pass did not win the depth test.
+    x0/y0: global pixel offset of this buffer (sharded row bands).
     """
     f = setup["valid"].shape[0]
     if f == 0:
@@ -175,8 +181,10 @@ def shade_winners(fb_color, winner_local, setup, varyings,
     ws = setup["clip_w"][widx]           # (H, W, 3)
 
     half = jnp.asarray(0.5, dtype=dtype)
-    px = jnp.arange(width, dtype=dtype)[None, :] + half
-    py = jnp.arange(height, dtype=dtype)[:, None] + half
+    px = (jnp.asarray(x0, dtype)
+          + jnp.arange(width, dtype=dtype))[None, :] + half
+    py = (jnp.asarray(y0, dtype)
+          + jnp.arange(height, dtype=dtype))[:, None] + half
     px = jnp.broadcast_to(px, (height, width))
     py = jnp.broadcast_to(py, (height, width))
 

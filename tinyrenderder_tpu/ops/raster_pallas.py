@@ -196,7 +196,7 @@ def _pallas_call_jit(start, counts, records, init_tiles,
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),            # records in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),         # records stay in HBM
             pl.BlockSpec((1, tile_h, tile_w), lambda t, s, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),        # init depth tile
         ],

@@ -1,0 +1,130 @@
+"""SPMD multi-device rendering: framebuffer row bands over a device mesh.
+
+The reference renders one framebuffer on one CPU thread
+(our_gl.cpp:147-200).  The TPU-native scaling axis is *pixel ownership*:
+shard the framebuffer's rows across a ``jax.sharding.Mesh`` with
+``jax.shard_map``, replicate the (small) geometry, and let every device
+rasterize only its band.  Because each pixel lives on exactly one device,
+depth resolution needs **no collectives at all** — the only communication
+is the implicit output layout (and a host gather when writing the TGA).
+This is the renderer's analogue of sequence parallelism: the "ring" the
+scaling book would stream is unnecessary since triangle setup is tiny
+compared to per-pixel work.
+
+Semantics are identical to the single-device scan path: each band runs
+ops.raster.depth_resolve_xla / shade_winners with a global pixel-row
+offset (``lax.axis_index * band_h``), so sharded output is
+pixel-identical to unsharded (asserted by tests/test_parallel.py on 8
+virtual CPU devices — the multi-node-tests-without-a-cluster strategy,
+SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from tinyrenderder_tpu import math3d
+from tinyrenderder_tpu.ops import raster, semantics
+from tinyrenderder_tpu.ops.raster import FrameBuffers
+
+__all__ = ["make_mesh", "render_pass_sharded", "render_frame_sharded",
+           "new_sharded_framebuffers", "AXIS"]
+
+AXIS = "rows"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D device mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested {n_devices} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n_devices]), (AXIS,))
+
+
+def new_sharded_framebuffers(mesh: Mesh, width: int, height: int) -> FrameBuffers:
+    """Fresh framebuffers laid out as row bands across the mesh
+    (init_zbuffer semantics: depth cleared to +inf, our_gl.cpp:72-74)."""
+    n = mesh.devices.size
+    if height % n:
+        raise ValueError(f"height {height} not divisible by {n} devices")
+    sharding = NamedSharding(mesh, P(AXIS))
+
+    @functools.partial(jax.jit, out_shardings=sharding)
+    def init():
+        return FrameBuffers(
+            color=jnp.zeros((height, width, 3), jnp.uint8),
+            depth=jnp.full((height, width), jnp.inf, jnp.float32),
+            winner=jnp.full((height, width), raster.BACKGROUND, jnp.int32),
+        )
+
+    return init()
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_pass_fn(mesh: Mesh, shader, width: int, height: int, chunk: int):
+    n = mesh.devices.size
+    band_h = height // n
+    vp = math3d.viewport(0, 0, width, height)
+
+    def shard_body(fb: FrameBuffers, attrs, uniforms, winner_offset):
+        y0 = jax.lax.axis_index(AXIS) * band_h
+        dtype = attrs["position"].dtype
+        # replicated geometry work: vertex transform + triangle setup is
+        # tiny next to per-pixel work, so every device redoes it rather
+        # than paying an all-gather (scaling-book style tradeoff)
+        clip, varyings = shader.vertex(uniforms, attrs, jnp)
+        setup = semantics.triangle_setup_planes(
+            clip, jnp.asarray(vp, dtype=dtype), width, height, jnp)
+        # the fresh winner buffer must carry the same device-varying type
+        # as the depth it is scanned with (shard_map vma tracking)
+        init_winner = jax.lax.pcast(
+            jnp.full((band_h, width), raster.BACKGROUND, jnp.int32),
+            AXIS, to="varying")
+        depth, winner_local = raster.depth_resolve_xla(
+            setup, band_h, width, chunk=chunk, init_depth=fb.depth,
+            init_winner=init_winner, y0=y0)
+        won = winner_local >= 0
+        new_winner = jnp.where(won, winner_local + winner_offset, fb.winner)
+        color = raster.shade_winners(fb.color, winner_local, setup, varyings,
+                                     shader, uniforms, band_h, width, y0=y0)
+        return FrameBuffers(color=color, depth=depth, winner=new_winner)
+
+    fb_spec = FrameBuffers(color=P(AXIS), depth=P(AXIS), winner=P(AXIS))
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(fb_spec, P(), P(), P()),
+        out_specs=fb_spec)
+    return jax.jit(mapped)
+
+
+def render_pass_sharded(mesh: Mesh, fb: FrameBuffers, attrs: dict, shader,
+                        uniforms: dict, winner_offset: int = 0,
+                        chunk: int = 8) -> FrameBuffers:
+    """Render one (mesh, shader) pass with the framebuffer row-sharded
+    over ``mesh``.  Same per-pixel results as raster.render_pass_xla."""
+    height, width = fb.color.shape[:2]
+    fn = _sharded_pass_fn(mesh, shader, width, height, chunk)
+    attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
+    return fn(fb, attrs, dict(uniforms), jnp.int32(winner_offset))
+
+
+def render_frame_sharded(mesh: Mesh, passes, width: int, height: int,
+                         chunk: int = 8) -> FrameBuffers:
+    """Full multi-pass frame (the main.cpp:647-736 flow) on a sharded
+    framebuffer.  ``passes``: iterable of (attrs, shader, uniforms)."""
+    fb = new_sharded_framebuffers(mesh, width, height)
+    offset = 0
+    for attrs, shader, uniforms in passes:
+        fb = render_pass_sharded(mesh, fb, attrs, shader, uniforms,
+                                 winner_offset=offset, chunk=chunk)
+        offset += attrs["position"].shape[0]
+    return fb
