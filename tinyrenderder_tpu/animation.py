@@ -1,0 +1,128 @@
+"""Orbit-camera animation with frame-level checkpoint/resume.
+
+Benchmark config #5 (BASELINE.md): multi-mesh scene with an orbiting
+camera, 120 frames at 2048^2.  The camera orbit rotates the eye around
+the target about +Y (the reference's model-matrix rotY builder,
+main.cpp:408-420, applied to the camera instead of the model so that jit
+caches stay warm: geometry and shapes are identical across frames, only
+uniforms change).
+
+Checkpoint/resume (SURVEY.md §5): render state is pure value state, so a
+killed job resumes at frame k from a JSON checkpoint — the reference's
+closest analogue is its copyable z-buffer snapshot (main.cpp:700,730).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from tinyrenderder_tpu import math3d
+from tinyrenderder_tpu.camera import Camera
+from tinyrenderder_tpu.scene import Scene
+from tinyrenderder_tpu.utils import tga
+
+log = logging.getLogger("tinyrenderder_tpu.animation")
+
+__all__ = ["AnimationConfig", "orbit_eye", "render_animation"]
+
+CHECKPOINT_NAME = "checkpoint.json"
+
+
+@dataclass
+class AnimationConfig:
+    frames: int = 120
+    orbit_degrees: float = 360.0
+    backend: str = "tiled"
+    outdir: str = "frames"
+    frame_pattern: str = "frame_%04d.tga"
+    frustum_cull: bool = True
+    checkpoint: bool = True
+
+
+def orbit_eye(eye, target, angle_rad: float) -> np.ndarray:
+    """Rotate the eye position around the target about +Y."""
+    eye = np.asarray(eye, dtype=np.float64)
+    target = np.asarray(target, dtype=np.float64)
+    rel = eye - target
+    rot = math3d.rotation_y(angle_rad)
+    return target + (rot[:3, :3] @ rel)
+
+
+def _checkpoint_path(cfg: AnimationConfig) -> str:
+    return os.path.join(cfg.outdir, CHECKPOINT_NAME)
+
+
+def _load_checkpoint(cfg: AnimationConfig) -> int:
+    path = _checkpoint_path(cfg)
+    if not (cfg.checkpoint and os.path.exists(path)):
+        return 0
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        if data.get("frames") == cfg.frames and data.get("orbit_degrees") == cfg.orbit_degrees:
+            return int(data.get("next_frame", 0))
+        log.warning("checkpoint config mismatch — restarting from frame 0")
+    except (OSError, ValueError) as e:
+        log.warning("unreadable checkpoint (%s) — restarting", e)
+    return 0
+
+
+def _save_checkpoint(cfg: AnimationConfig, next_frame: int) -> None:
+    if not cfg.checkpoint:
+        return
+    with open(_checkpoint_path(cfg), "w") as f:
+        json.dump({"next_frame": next_frame, "frames": cfg.frames,
+                   "orbit_degrees": cfg.orbit_degrees}, f)
+
+
+def render_animation(scene: Scene, cfg: AnimationConfig,
+                     stop_after: int | None = None) -> dict:
+    """Render the orbit sequence, resuming from the checkpoint if present.
+
+    ``stop_after`` caps the number of frames rendered *this run* (time-
+    sliced jobs); the checkpoint lets the next run continue the schedule.
+    Returns timing summary {frames_rendered, resumed_at, seconds, fps}.
+    """
+    os.makedirs(cfg.outdir, exist_ok=True)
+    start_frame = _load_checkpoint(cfg)
+    if start_frame >= cfg.frames:
+        log.info("animation already complete (%d frames)", cfg.frames)
+        return {"frames_rendered": 0, "resumed_at": start_frame,
+                "seconds": 0.0, "fps": 0.0}
+    if start_frame:
+        log.info("resuming at frame %d/%d", start_frame, cfg.frames)
+
+    base_eye = np.array(scene.camera.params.eye, dtype=np.float64)
+    base_target = np.array(scene.camera.params.target, dtype=np.float64)
+
+    end_frame = cfg.frames
+    if stop_after is not None:
+        end_frame = min(end_frame, start_frame + stop_after)
+
+    t0 = time.perf_counter()
+    rendered = 0
+    for i in range(start_frame, end_frame):
+        angle = math.radians(cfg.orbit_degrees) * i / cfg.frames
+        scene.camera.set_eye(orbit_eye(base_eye, base_target, angle))
+        result = scene.render(backend=cfg.backend,
+                              frustum_cull=cfg.frustum_cull)
+        path = os.path.join(cfg.outdir, cfg.frame_pattern % i)
+        tga.TGAImage.from_rgb(result.color).write_tga_file(path)
+        rendered += 1
+        _save_checkpoint(cfg, i + 1)
+        if i % 10 == 0:
+            log.info("frame %d/%d (%.2f s/frame)", i, cfg.frames,
+                     (time.perf_counter() - t0) / max(rendered, 1))
+
+    # restore the scene camera for the caller
+    scene.camera.set_eye(base_eye)
+    dt = time.perf_counter() - t0
+    return {"frames_rendered": rendered, "resumed_at": start_frame,
+            "seconds": dt, "fps": rendered / dt if dt > 0 else 0.0}

@@ -123,6 +123,12 @@ def run(argv=None) -> int:
     parser.add_argument("--no-cull", action="store_true",
                         help="disable per-model frustum culling")
     parser.add_argument("--no-ssao", action="store_true")
+    parser.add_argument("--shadows", action="store_true",
+                        help="two-pass hard shadow mapping from the key light")
+    parser.add_argument("--shadow-size", type=int, default=1024)
+    parser.add_argument("--animate", type=int, default=0, metavar="N",
+                        help="render an N-frame orbit animation "
+                             "(resumable via <outdir>/checkpoint.json)")
     parser.add_argument("--profile", action="store_true",
                         help="dump a jax.profiler trace to <outdir>/trace")
     parser.add_argument("-v", "--verbose", action="store_true")
@@ -137,6 +143,17 @@ def run(argv=None) -> int:
     log.info("%s", scene.describe())
     scene.camera.print_info()
 
+    if args.animate:
+        from tinyrenderder_tpu.animation import AnimationConfig, render_animation
+        cfg = AnimationConfig(frames=args.animate, backend=args.backend,
+                              outdir=args.outdir,
+                              frustum_cull=not args.no_cull)
+        summary = render_animation(scene, cfg)
+        log.info("animation: %d frames in %.1f s (%.2f fps), resumed at %d",
+                 summary["frames_rendered"], summary["seconds"],
+                 summary["fps"], summary["resumed_at"])
+        return 0
+
     profiler_cm = None
     if args.profile:
         import jax
@@ -144,8 +161,15 @@ def run(argv=None) -> int:
         profiler_cm.__enter__()
 
     t0 = time.perf_counter()
-    result = scene.render(backend=args.backend,
-                          frustum_cull=not args.no_cull)
+    if args.shadows:
+        from tinyrenderder_tpu.shadows import ShadowSettings, render_with_shadows
+        key_light = math3d.normalized(math3d.vec3(1.0, 1.4, 1.0))
+        result, _shadow_map = render_with_shadows(
+            scene, key_light, ShadowSettings(size=args.shadow_size),
+            backend=args.backend, frustum_cull=not args.no_cull)
+    else:
+        result = scene.render(backend=args.backend,
+                              frustum_cull=not args.no_cull)
     render_s = time.perf_counter() - t0
     log.info("Render time: %.3f s (%s)", render_s, args.backend)
     for name, dt in result.pass_timings.items():

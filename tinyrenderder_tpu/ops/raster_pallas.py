@@ -35,12 +35,14 @@ from tinyrenderder_tpu.ops.raster_tiled import (Bins, _cdiv, _from_tiles,
 
 __all__ = ["depth_resolve_pallas", "build_pair_records"]
 
-# Triangle record layout: one row of 16 f32 lanes per (tile, triangle) pair.
+# Triangle record layout: one 128-lane f32 row per (tile, triangle) pair
+# (Mosaic requires HBM slices lane-aligned to 128, so the row is padded;
+# the extra bandwidth is negligible next to per-pixel work).
 #   0..5   screen ax, ay, bx, by, cx, cy
 #   6..8   ndc z0, z1, z2
 #   9..12  bbox min_x, max_x, min_y, max_y (exact small ints as f32)
 #   13     triangle id (exact below 2^24)
-REC = 16
+REC = 128
 DMA_CHUNK = 64          # pairs per HBM->VMEM copy
 SUB = 8                 # pairs evaluated per vector step
 

@@ -1,0 +1,109 @@
+"""Two-pass hard shadow mapping (benchmark config #4, BASELINE.md).
+
+The reference snapshot has no shadow pass (SURVEY.md scope fence), but the
+tinyrenderer course it follows renders one: pass 1 rasterizes the scene's
+depth from the light's viewpoint; pass 2 shades normally, gating the
+lit terms by a depth comparison against that shadow map.
+
+TPU shape: the shadow map is just a depth-only frame render (the engine's
+phase A with no shading), producing an (S, S) float32 array that pass 2's
+``ShadowMappedShader`` samples with nearest gathers — the same machinery
+as texture sampling.  Both passes run through any backend (oracle / xla /
+tiled), so shadowed renders have a golden path too.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from tinyrenderder_tpu import math3d
+from tinyrenderder_tpu.camera import Camera
+from tinyrenderder_tpu.scene import RenderResult, Scene
+from tinyrenderder_tpu.shaders import DepthShader, PhongShader, ShadowMappedShader
+
+__all__ = ["light_camera_for_scene", "render_depth_from_light",
+           "shadowed_scene", "render_with_shadows", "ShadowSettings"]
+
+
+@dataclass
+class ShadowSettings:
+    size: int = 1024          # shadow map resolution (square)
+    fov_margin: float = 1.3   # widen the light frustum beyond the scene
+    distance_factor: float = 2.5
+
+
+def light_camera_for_scene(scene: Scene, light_dir,
+                           settings: ShadowSettings | None = None) -> Camera:
+    """Place a camera looking down ``light_dir`` (direction light travels
+    *from*, i.e. the shaders' to-light vector) framing the whole scene."""
+    settings = settings or ShadowSettings()
+    boxes = scene.world_aabbs()
+    lo = np.min([b.min for b in boxes], axis=0)
+    hi = np.max([b.max for b in boxes], axis=0)
+    center = (lo + hi) * 0.5
+    radius = float(np.linalg.norm(hi - lo)) * 0.5
+    radius = max(radius, 1e-3)
+    d = math3d.normalized(np.asarray(light_dir, dtype=np.float64))
+    dist = radius * settings.distance_factor
+
+    cam = Camera()
+    cam.set_eye(center + d * dist)
+    cam.set_target(center)
+    up = (0.0, 1.0, 0.0) if abs(d[1]) < 0.99 else (1.0, 0.0, 0.0)
+    cam.set_up(np.asarray(up))
+    fov = 2.0 * np.degrees(np.arctan2(radius, dist)) * settings.fov_margin
+    cam.set_fov(float(np.clip(fov, 10.0, 120.0)))
+    cam.set_aspect(1.0)
+    cam.set_clipping(dist - radius * 1.5, dist + radius * 1.5)
+    return cam
+
+
+def render_depth_from_light(scene: Scene, light_cam: Camera,
+                            settings: ShadowSettings,
+                            backend: str = "xla") -> np.ndarray:
+    """Pass 1: depth-only render of every mesh from the light's view."""
+    depth_scene = Scene(camera=light_cam, width=settings.size,
+                        height=settings.size)
+    for p in scene.passes:
+        depth_scene.add(p.mesh, p.model_matrix, DepthShader(),
+                        name=f"{p.name or p.mesh.name}_lightdepth",
+                        material_index=p.material_index)
+    result = depth_scene.render(backend=backend, frustum_cull=False)
+    return np.asarray(result.full_depth, dtype=np.float32)
+
+
+def shadowed_scene(scene: Scene, light_dir, shadow_map: np.ndarray,
+                   light_cam: Camera, settings: ShadowSettings) -> Scene:
+    """Pass 2 scene: every PhongShader pass swapped for a
+    ShadowMappedShader carrying its model-space -> light-screen matrix."""
+    vp_l = math3d.viewport(0, 0, settings.size, settings.size)
+    light_vp = vp_l @ light_cam.projection_matrix @ light_cam.view_matrix
+
+    out = Scene(camera=scene.camera, width=scene.width, height=scene.height)
+    for p in scene.passes:
+        sh = p.shader
+        if isinstance(sh, PhongShader) and not isinstance(sh, ShadowMappedShader):
+            shadow_matrix = light_vp @ p.model_matrix
+            sh = ShadowMappedShader(
+                sh.key_light_world, sh.fill_light_world, sh.rim_light_world,
+                shadow_matrix=shadow_matrix, shadow_map=shadow_map,
+                normal_map_strength=sh.normal_map_strength)
+        out.add(p.mesh, p.model_matrix, sh, name=p.name,
+                material_index=p.material_index,
+                exclude_from_output_depth=p.exclude_from_output_depth)
+    return out
+
+
+def render_with_shadows(scene: Scene, light_dir,
+                        settings: ShadowSettings | None = None,
+                        backend: str = "xla", frustum_cull: bool = True,
+                        ) -> tuple[RenderResult, np.ndarray]:
+    """Full two-pass shadowed render.  Returns (result, shadow_map)."""
+    settings = settings or ShadowSettings()
+    light_cam = light_camera_for_scene(scene, light_dir, settings)
+    shadow_map = render_depth_from_light(scene, light_cam, settings, backend)
+    lit = shadowed_scene(scene, light_dir, shadow_map, light_cam, settings)
+    result = lit.render(backend=backend, frustum_cull=frustum_cull)
+    return result, shadow_map
