@@ -103,6 +103,55 @@ def test_pallas_matches_tiled(meshes):
         fb = raster.FrameBuffers(color=fb.color, depth=d1, winner=fb.winner)
 
 
+def test_pallas_full_pipeline_matches_xla(meshes):
+    """The v2 kernel path (depth + in-kernel varying interpolation +
+    dense phase-C shading), in interpret mode, vs the XLA tiled path:
+    winners bitwise, colors within 1 LSB (FMA contraction)."""
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.ops import raster, raster_tiled
+
+    view, proj = default_view()
+    w, h = 97, 61
+    fb_a = raster.new_framebuffers(w, h)
+    fb_b = raster.new_framebuffers(w, h)
+    offset = 0
+    for p in _passes(meshes, view, proj):
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        fb_a, _ = raster_tiled.render_pass_tiled(
+            fb_a, attrs, p.shader, p.uniforms, winner_offset=offset,
+            use_pallas=False)
+        fb_b, _ = raster_tiled.render_pass_tiled(
+            fb_b, attrs, p.shader, p.uniforms, winner_offset=offset,
+            use_pallas=True)
+        offset += attrs["position"].shape[0]
+    assert (np.asarray(fb_a.winner) == np.asarray(fb_b.winner)).all()
+    dc = np.abs(np.asarray(fb_a.color).astype(int)
+                - np.asarray(fb_b.color).astype(int))
+    assert dc.max() <= 1, f"color delta {dc.max()}"
+
+
+def test_capacity_overflow_retry(meshes):
+    """A deliberately tiny pair capacity must be detected and retried
+    without changing the output."""
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.ops import raster, raster_tiled
+
+    view, proj = default_view()
+    p = _passes(meshes, view, proj)[0]
+    attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+    w, h = 64, 64
+    fb_ref, _ = raster_tiled.render_pass_tiled(
+        raster.new_framebuffers(w, h), attrs, p.shader, p.uniforms,
+        use_pallas=False)
+    fb_tiny, _ = raster_tiled.render_pass_tiled(
+        raster.new_framebuffers(w, h), attrs, p.shader, p.uniforms,
+        use_pallas=False, _capacity=16)
+    assert (np.asarray(fb_ref.color) == np.asarray(fb_tiny.color)).all()
+    assert (np.asarray(fb_ref.winner) == np.asarray(fb_tiny.winner)).all()
+
+
 def test_bins_cover_all_candidates(meshes):
     """Every valid triangle appears in the bin of every tile its bbox
     overlaps, in ascending (submission) order."""

@@ -1,22 +1,30 @@
-"""Pallas TPU depth-resolve kernel over CSR triangle bins.
+"""Pallas TPU rasterization kernel over CSR triangle bins.
 
 The performance replacement for the reference's serial per-pixel hot loop
 (our_gl.cpp:147-200).  One grid step owns one (8, 128) framebuffer tile
-held in registers/VMEM; it streams its bin segment of pre-gathered
-triangle records from HBM (double-buffer-sized chunks via async DMA) and
-performs an ordered compare-and-select depth merge — the sequential order
-over bin entries (= submission order) reproduces the reference's
-strict-less first-drawn-wins z-test (our_gl.cpp:165) with no atomics.
+held in VMEM; it streams its bin segment of pre-gathered triangle records
+from HBM (double-buffered async DMA) in two ordered loops:
+
+  Loop 1 — depth resolve: compare-and-select z merge per record chunk.
+    Sequential order over bin entries (= submission order) reproduces the
+    reference's strict-less first-drawn-wins z-test (our_gl.cpp:165) with
+    no atomics.
+
+  Loop 2 — varying interpolation: for winning records, recompute affine
+    barycentrics at the pixel centers, apply the perspective-correct
+    correction (our_gl.cpp:168-185), and select the interpolated varyings
+    into per-tile channel planes.  This replaces phase B's per-pixel HBM
+    gathers (~6 ns/index on TPU — the profiled bottleneck) with streamed
+    contiguous reads; the fragment shader then runs densely in XLA.
 
 Work is proportional to sum(per-tile bin sizes): empty tiles cost one
 trip-count check (``lax.fori_loop`` with a dynamic per-tile bound from
-scalar-prefetched CSR offsets), unlike the dense XLA fallback which pads
-every tile to the maximum bin size.
+scalar-prefetched CSR offsets).
 
-Decision math (barycentric / affine z) is ops.semantics — the same
-formula order as the CPU oracle — so coverage and winner maps are
-bit-identical to ops.raster_tiled (verified in interpret mode by
-tests/test_raster_tiled.py).
+Decision math (barycentric / affine z / perspective correction) is
+ops.semantics — the same formula order as the CPU oracle — so coverage
+and winner maps are bit-identical to ops.raster_tiled and colors agree
+within 1 LSB (verified in interpret mode by tests/test_raster_tiled.py).
 """
 
 from __future__ import annotations
@@ -33,40 +41,57 @@ from tinyrenderder_tpu.ops.raster import BACKGROUND
 from tinyrenderder_tpu.ops.raster_tiled import (Bins, _cdiv, _from_tiles,
                                                 _to_tiles)
 
-__all__ = ["depth_resolve_pallas", "build_pair_records"]
+__all__ = ["depth_resolve_pallas", "rasterize_pallas", "build_pair_records",
+           "VARY_OFF", "MAX_VARY"]
 
 # Triangle record layout: one 128-lane f32 row per (tile, triangle) pair
-# (Mosaic requires HBM slices lane-aligned to 128, so the row is padded;
-# the extra bandwidth is negligible next to per-pixel work).
-#   0..5   screen ax, ay, bx, by, cx, cy
-#   6..8   ndc z0, z1, z2
-#   9..12  bbox min_x, max_x, min_y, max_y (exact small ints as f32)
-#   13     triangle id (exact below 2^24)
+# (Mosaic requires HBM slices lane-aligned to 128; the padding bandwidth
+# is negligible next to per-pixel work).
+#   0..5     screen ax, ay, bx, by, cx, cy
+#   6..8     ndc z0, z1, z2
+#   9..11    clip w0, w1, w2
+#   12..15   bbox min_x, max_x, min_y, max_y (exact small ints as f32)
+#   16       triangle id (exact below 2^24)
+#   VARY_OFF + 3*c .. +3*c+2   corner values of varying channel c
 REC = 128
+VARY_OFF = 20
+MAX_VARY = (REC - VARY_OFF) // 3
 DMA_CHUNK = 64          # pairs per HBM->VMEM copy
 SUB = 8                 # pairs evaluated per vector step
 
 
-@functools.partial(jax.jit, static_argnames=())
-def build_pair_records(setup, sorted_tri):
+@jax.jit
+def build_pair_records(setup, sorted_tri, vary_corners=None):
     """Gather per-pair triangle records (P + DMA_CHUNK, REC) f32 in bin
-    order.  The extra zero rows keep the kernel's fixed-size chunk DMAs in
-    bounds on the last segment."""
+    order.  ``vary_corners``: optional (F, 3, V) varying corner values.
+    The extra zero rows keep fixed-size chunk DMAs in bounds."""
     p = sorted_tri.shape[0]
     f = setup["valid"].shape[0]
     safe = jnp.clip(sorted_tri, 0, max(f - 1, 0))
-    scr = setup["screen"][safe].reshape(p, 6).astype(jnp.float32)
-    zs = setup["ndc_z"][safe].astype(jnp.float32)
-    bb = setup["bbox"][safe].astype(jnp.float32)
-    ids = sorted_tri.astype(jnp.float32)[:, None]
-    rec = jnp.concatenate(
-        [scr, zs, bb, ids, jnp.zeros((p, REC - 14), jnp.float32)], axis=1)
+    cols = [
+        setup["screen"][safe].reshape(p, 6).astype(jnp.float32),
+        setup["ndc_z"][safe].astype(jnp.float32),
+        setup["clip_w"][safe].astype(jnp.float32),
+        setup["bbox"][safe].astype(jnp.float32),
+        sorted_tri.astype(jnp.float32)[:, None],
+        jnp.zeros((p, VARY_OFF - 17), jnp.float32),
+    ]
+    if vary_corners is not None:
+        v = vary_corners.shape[-1]
+        if v > MAX_VARY:
+            raise ValueError(f"{v} varying channels > {MAX_VARY} max")
+        # channel-major: [c0 of ch0, c1 of ch0, c2 of ch0, c0 of ch1, ...]
+        vc = (vary_corners[safe].astype(jnp.float32)
+              .transpose(0, 2, 1).reshape(p, 3 * v))
+        cols.append(vc)
+    rec = jnp.concatenate(cols, axis=1)
+    rec = jnp.pad(rec, ((0, 0), (0, REC - rec.shape[1])))
     return jnp.pad(rec, ((0, DMA_CHUNK), (0, 0)))
 
 
 def _tile_kernel(start_ref, count_ref, rec_hbm, init_ref,
-                 depth_ref, winner_ref, buf, sem,
-                 *, n_tiles_x, tile_h, tile_w):
+                 depth_ref, winner_ref, vary_ref, buf, sem,
+                 *, n_tiles_x, tile_h, tile_w, n_vary):
     t = pl.program_id(0)
     seg_start = start_ref[t]
     count = count_ref[t]
@@ -86,6 +111,8 @@ def _tile_kernel(start_ref, count_ref, rec_hbm, init_ref,
 
     depth_ref[0] = init_ref[0]
     winner_ref[0] = jnp.full((tile_h, tile_w), float(BACKGROUND), dtype)
+    if n_vary:
+        vary_ref[0] = jnp.zeros((n_vary, tile_h, tile_w), dtype)
 
     n_chunks = pl.cdiv(count, DMA_CHUNK)
 
@@ -96,77 +123,88 @@ def _tile_kernel(start_ref, count_ref, rec_hbm, init_ref,
             sem.at[slot],
         )
 
-    @pl.when(n_chunks > 0)
-    def _():
-        get_dma(0, 0).start()
-
-    def chunk_body(ci, _):
-        slot = ci % 2
-
-        @pl.when(ci + 1 < n_chunks)
+    def stream(process_sub):
+        """Double-buffered loop over the tile's record chunks."""
+        @pl.when(n_chunks > 0)
         def _():
-            get_dma((ci + 1) % 2, ci + 1).start()
+            get_dma(0, 0).start()
 
-        get_dma(slot, ci).wait()
-        chunk = buf[slot]                        # (DMA_CHUNK, REC)
+        def chunk_body(ci, _):
+            slot = ci % 2
 
-        for s in range(DMA_CHUNK // SUB):
-            rows = chunk[s * SUB:(s + 1) * SUB]  # (SUB, REC)
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                get_dma((ci + 1) % 2, ci + 1).start()
 
-            def col(j):                          # (SUB, 1, 1) broadcast shape
-                return rows[:, j][:, None, None]
+            get_dma(slot, ci).wait()
+            chunk = buf[slot]                    # (DMA_CHUNK, REC)
+            for s in range(DMA_CHUNK // SUB):
+                rows = chunk[s * SUB:(s + 1) * SUB]      # (SUB, REC)
+                pair0 = ci * DMA_CHUNK + s * SUB
+                process_sub(rows, pair0)
+            return 0
 
-            b0, b1, b2, _ = semantics.barycentric(
-                col(0), col(1), col(2), col(3), col(4), col(5),
-                px, py, jnp)
-            covered = ~((b0 < 0) | (b1 < 0) | (b2 < 0))
-            z = semantics.affine_z(col(6), col(7), col(8), b0, b1, b2)
-            covered &= jnp.isfinite(z)
-            covered &= ((xi >= col(9)) & (xi <= col(10))
-                        & (yi >= col(11)) & (yi <= col(12)))
-            pair_idx = (ci * DMA_CHUNK + s * SUB
-                        + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1, 1), 0))
-            covered &= pair_idx < count
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-            zc = jnp.where(covered, z, jnp.inf)
-            zmin = jnp.min(zc, axis=0)           # (TH, TW)
-            best = jnp.argmin(zc, axis=0)        # first min = lowest id
-            ids = rows[:, 13][:, None, None]
-            sel = jax.lax.broadcasted_iota(
-                jnp.int32, (SUB, tile_h, tile_w), 0) == best[None]
-            win = jnp.sum(jnp.where(sel, ids, 0.0), axis=0)
+    def cols(rows, j0, n):                       # n x (SUB, 1, 1)
+        return [rows[:, j][:, None, None] for j in range(j0, j0 + n)]
 
-            better = zmin < depth_ref[0]
-            depth_ref[0] = jnp.where(better, zmin, depth_ref[0])
-            winner_ref[0] = jnp.where(better, win, winner_ref[0])
-        return 0
+    def live_mask(rows, pair0):
+        pair_idx = (pair0
+                    + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1, 1), 0))
+        return pair_idx < count
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    # ---- loop 1: depth resolve --------------------------------------------
+    def depth_sub(rows, pair0):
+        ax, ay, bx, by, cx, cy = cols(rows, 0, 6)
+        b0, b1, b2, _ = semantics.barycentric(ax, ay, bx, by, cx, cy,
+                                              px, py, jnp)
+        covered = ~((b0 < 0) | (b1 < 0) | (b2 < 0))
+        z0, z1, z2 = cols(rows, 6, 3)
+        z = semantics.affine_z(z0, z1, z2, b0, b1, b2)
+        covered &= jnp.isfinite(z)
+        x0b, x1b, y0b, y1b = cols(rows, 12, 4)
+        covered &= (xi >= x0b) & (xi <= x1b) & (yi >= y0b) & (yi <= y1b)
+        covered &= live_mask(rows, pair0)
 
+        zc = jnp.where(covered, z, jnp.inf)
+        zmin = jnp.min(zc, axis=0)               # (TH, TW)
+        best = jnp.argmin(zc, axis=0)            # first min = lowest id
+        ids = rows[:, 16][:, None, None]
+        sel = jax.lax.broadcasted_iota(
+            jnp.int32, (SUB, tile_h, tile_w), 0) == best[None]
+        win = jnp.sum(jnp.where(sel, ids, 0.0), axis=0)
 
-def depth_resolve_pallas(setup, bins: Bins, init_depth,
-                         height: int, width: int,
-                         tile_h: int = 8, tile_w: int = 128,
-                         interpret: bool | None = None):
-    """Phase A via the Pallas tile kernel.  Same contract as
-    raster_tiled.depth_resolve_tiled: (depth (H, W), winner (H, W) i32)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    n_tiles_x, n_tiles_y = bins.n_tiles_x, bins.n_tiles_y
-    records = build_pair_records(setup, bins.sorted_tri)
-    counts = bins.counts.astype(jnp.int32)
-    start = bins.start[:-1].astype(jnp.int32)
-    init_tiles = _tiles_jit(init_depth, n_tiles_y, n_tiles_x, tile_h, tile_w)
+        better = zmin < depth_ref[0]
+        depth_ref[0] = jnp.where(better, zmin, depth_ref[0])
+        winner_ref[0] = jnp.where(better, win, winner_ref[0])
 
-    depth_t, winner_t = _pallas_call_jit(
-        start, counts, records, init_tiles,
-        n_tiles_x, n_tiles_y, tile_h, tile_w, interpret)
+    stream(depth_sub)
 
-    depth = _untile_jit(depth_t, n_tiles_y, n_tiles_x, tile_h, tile_w,
-                        height, width)
-    winner = _untile_winner_jit(winner_t, n_tiles_y, n_tiles_x, tile_h,
-                                tile_w, height, width)
-    return depth, winner
+    # ---- loop 2: varying interpolation for winners ------------------------
+    if n_vary:
+        def vary_sub(rows, pair0):
+            ids = rows[:, 16][:, None, None]
+            mine = ((winner_ref[0][None] == ids)
+                    & live_mask(rows, pair0))    # (SUB, TH, TW)
+            hit_any = jnp.any(mine)
+
+            @pl.when(hit_any)
+            def _():
+                ax, ay, bx, by, cx, cy = cols(rows, 0, 6)
+                b0, b1, b2, _ = semantics.barycentric(
+                    ax, ay, bx, by, cx, cy, px, py, jnp)
+                w0, w1, w2 = cols(rows, 9, 3)
+                pb0, pb1, pb2 = semantics.perspective_correct_bary(
+                    b0, b1, b2, w0, w1, w2, jnp)
+                hit = jnp.any(mine, axis=0)      # (TH, TW)
+                for c in range(n_vary):
+                    v0, v1, v2 = cols(rows, VARY_OFF + 3 * c, 3)
+                    val = semantics.interp3(v0, v1, v2, pb0, pb1, pb2)
+                    contrib = jnp.sum(jnp.where(mine, val, 0.0), axis=0)
+                    vary_ref[0, c] = jnp.where(hit, contrib, vary_ref[0, c])
+
+        stream(vary_sub)
 
 
 @functools.partial(jax.jit, static_argnames=("ty", "tx", "th", "tw"))
@@ -188,26 +226,36 @@ def _untile_winner_jit(tiles, ty, tx, th, tw, h, w):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_tiles_x", "n_tiles_y", "tile_h", "tile_w", "interpret"))
+    "ty", "tx", "th", "tw", "h", "w"))
+def _untile_vary_jit(tiles, ty, tx, th, tw, h, w):
+    """(T, V, th, tw) -> (V, H, W)"""
+    v = tiles.shape[1]
+    imgs = [_from_tiles(tiles[:, c], ty, tx, th, tw, h, w)
+            for c in range(v)]
+    return jnp.stack(imgs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_tiles_x", "n_tiles_y", "tile_h", "tile_w", "n_vary", "interpret"))
 def _pallas_call_jit(start, counts, records, init_tiles,
-                     n_tiles_x, n_tiles_y, tile_h, tile_w, interpret):
+                     n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary,
+                     interpret):
     n_tiles = n_tiles_x * n_tiles_y
     kernel = functools.partial(_tile_kernel, n_tiles_x=n_tiles_x,
-                               tile_h=tile_h, tile_w=tile_w)
+                               tile_h=tile_h, tile_w=tile_w, n_vary=n_vary)
+    tile_block = pl.BlockSpec((1, tile_h, tile_w), lambda t, s, c: (t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    vary_block = pl.BlockSpec((1, max(n_vary, 1), tile_h, tile_w),
+                              lambda t, s, c: (t, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),         # records stay in HBM
-            pl.BlockSpec((1, tile_h, tile_w), lambda t, s, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),        # init depth tile
+            pl.BlockSpec(memory_space=pltpu.HBM),     # records stay in HBM
+            tile_block,                               # init depth tile
         ],
-        out_specs=[
-            pl.BlockSpec((1, tile_h, tile_w), lambda t, s, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, tile_w), lambda t, s, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[tile_block, tile_block, vary_block],
         scratch_shapes=[
             pltpu.VMEM((2, DMA_CHUNK, REC), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -219,6 +267,49 @@ def _pallas_call_jit(start, counts, records, init_tiles,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, max(n_vary, 1), tile_h, tile_w),
+                                 jnp.float32),
         ],
         interpret=interpret,
     )(start, counts, records, init_tiles)
+
+
+def rasterize_pallas(setup, bins: Bins, init_depth, height: int, width: int,
+                     vary_corners=None, tile_h: int = 8, tile_w: int = 128,
+                     interpret: bool | None = None):
+    """Depth resolve (+ optional varying interpolation) via the tile
+    kernel.  Returns (depth (H, W), winner (H, W) i32, vary (V, H, W) or
+    None)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_tiles_x, n_tiles_y = bins.n_tiles_x, bins.n_tiles_y
+    n_vary = 0 if vary_corners is None else int(vary_corners.shape[-1])
+    records = build_pair_records(setup, bins.sorted_tri, vary_corners)
+    counts = bins.counts.astype(jnp.int32)
+    start = bins.start[:-1].astype(jnp.int32)
+    init_tiles = _tiles_jit(init_depth, n_tiles_y, n_tiles_x, tile_h, tile_w)
+
+    depth_t, winner_t, vary_t = _pallas_call_jit(
+        start, counts, records, init_tiles,
+        n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
+
+    depth = _untile_jit(depth_t, n_tiles_y, n_tiles_x, tile_h, tile_w,
+                        height, width)
+    winner = _untile_winner_jit(winner_t, n_tiles_y, n_tiles_x, tile_h,
+                                tile_w, height, width)
+    vary = None
+    if n_vary:
+        vary = _untile_vary_jit(vary_t, n_tiles_y, n_tiles_x, tile_h,
+                                tile_w, height, width)
+    return depth, winner, vary
+
+
+def depth_resolve_pallas(setup, bins: Bins, init_depth,
+                         height: int, width: int,
+                         tile_h: int = 8, tile_w: int = 128,
+                         interpret: bool | None = None):
+    """Phase A only — same contract as raster_tiled.depth_resolve_tiled."""
+    depth, winner, _ = rasterize_pallas(
+        setup, bins, init_depth, height, width, None, tile_h, tile_w,
+        interpret)
+    return depth, winner

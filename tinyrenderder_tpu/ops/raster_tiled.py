@@ -35,6 +35,7 @@ import numpy as np
 from tinyrenderder_tpu import math3d
 from tinyrenderder_tpu.ops import raster, semantics
 from tinyrenderder_tpu.ops.raster import BACKGROUND, FrameBuffers
+from tinyrenderder_tpu.shaders import finalize_color
 
 __all__ = ["render_pass_tiled", "bin_triangles_csr", "Bins",
            "TILE_H", "TILE_W"]
@@ -61,16 +62,26 @@ class Bins:
     """CSR triangle bins: sorted_tri[start[t]:start[t+1]] are the triangle
     ids overlapping tile t, ascending (= submission order)."""
 
-    def __init__(self, sorted_tri, start, counts, n_tiles_x, n_tiles_y):
+    def __init__(self, sorted_tri, start, counts, n_tiles_x, n_tiles_y,
+                 total_pairs=None, capacity=None):
         self.sorted_tri = sorted_tri      # (P,) int32, -1 padding at the end
         self.start = start                # (T + 1,) int32
         self.counts = counts              # (T,) int32
         self.n_tiles_x = n_tiles_x
         self.n_tiles_y = n_tiles_y
+        self.total_pairs = total_pairs    # device scalar (unfetched)
+        self.capacity = capacity          # static pair capacity used
 
     @property
     def n_tiles(self) -> int:
         return self.n_tiles_x * self.n_tiles_y
+
+    def overflowed(self) -> bool:
+        """Host-syncs the true pair count; True if pairs were dropped.
+        Call *after* dispatching downstream work so the transfer overlaps."""
+        if self.total_pairs is None or self.capacity is None:
+            return False
+        return int(jax.device_get(self.total_pairs)) > self.capacity
 
 
 @functools.partial(jax.jit, static_argnames=("tile_w", "tile_h"))
@@ -129,18 +140,36 @@ def _build_bins(tx0, ty0, span_x, spans, pair_capacity: int,
     return sorted_tri, start, counts
 
 
+# pair-capacity cache: (F, tiles_x, tiles_y) -> last-known-good capacity.
+# Avoids the per-frame host sync (a D2H round trip costs ~30 ms through
+# the axon tunnel — the profiled cost of the naive sync-every-frame path);
+# overflow is detected after downstream dispatch via Bins.overflowed().
+_PAIR_CAPACITY: dict = {}
+
+
 def bin_triangles_csr(setup, width: int, height: int,
-                      tile_w: int = TILE_W, tile_h: int = TILE_H) -> Bins:
-    """Bin a pass's triangles to screen tiles.  Host-syncs the total pair
-    count to pick a static power-of-two capacity (re-jits only when a
-    scene crosses a capacity doubling)."""
+                      tile_w: int = TILE_W, tile_h: int = TILE_H,
+                      capacity: int | None = None) -> Bins:
+    """Bin a pass's triangles to screen tiles.
+
+    The static pair capacity comes from the cache (first frame of a
+    (mesh, resolution) pair syncs once, with 2x headroom); callers must
+    check ``bins.overflowed()`` after dispatching downstream work and
+    retry with ``capacity=next_pow2(true_total)`` if it fires.
+    """
     n_tiles_x = _cdiv(width, tile_w)
     n_tiles_y = _cdiv(height, tile_h)
+    key = (int(setup["valid"].shape[0]), n_tiles_x, n_tiles_y)
     tx0, ty0, span_x, spans, total = _tile_spans(setup, tile_w, tile_h)
-    pair_capacity = max(8, _next_pow2(int(total)))
+    if capacity is None:
+        capacity = _PAIR_CAPACITY.get(key)
+        if capacity is None:                      # first frame: sync once
+            capacity = max(8, _next_pow2(2 * int(jax.device_get(total))))
+    _PAIR_CAPACITY[key] = capacity
     sorted_tri, start, counts = _build_bins(
-        tx0, ty0, span_x, spans, pair_capacity, n_tiles_x, n_tiles_y)
-    return Bins(sorted_tri, start, counts, n_tiles_x, n_tiles_y)
+        tx0, ty0, span_x, spans, capacity, n_tiles_x, n_tiles_y)
+    return Bins(sorted_tri, start, counts, n_tiles_x, n_tiles_y,
+                total_pairs=total, capacity=capacity)
 
 
 # ---------------------------------------------------------------------------
@@ -296,14 +325,48 @@ def _shade_merge_jit(fb: FrameBuffers, depth, winner_local, setup, varyings,
     return FrameBuffers(color=color, depth=depth, winner=new_winner)
 
 
+def _varying_layout(shader, varyings):
+    """Static (name, channels) layout for packing varyings into planes."""
+    spec = tuple((name, varyings[name].shape[-1]) for name in varyings)
+    return spec
+
+
+@jax.jit
+def _flatten_varyings(varyings):
+    """{name: (F, 3, C)} -> (F, 3, V) in dict order."""
+    return jnp.concatenate([v for v in varyings.values()], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("shader", "spec", "width",
+                                             "height"))
+def _shade_planes_jit(fb: FrameBuffers, depth, winner_local, vary_planes,
+                      uniforms, winner_offset, shader, spec, width, height):
+    """Phase C: dense fragment shading from kernel-interpolated varying
+    planes (V, H, W) — no per-pixel setup gathers."""
+    vary = {}
+    i = 0
+    for name, c in spec:
+        vary[name] = jnp.moveaxis(vary_planes[i:i + c], 0, -1)
+        i += c
+    rgb = shader.fragment(uniforms, vary, jnp)
+    out = finalize_color(rgb, jnp)
+    won = winner_local >= 0
+    color = jnp.where(won[..., None], out, fb.color)
+    new_winner = jnp.where(won, winner_local + winner_offset, fb.winner)
+    return FrameBuffers(color=color, depth=depth, winner=new_winner)
+
+
 def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
                       winner_offset: int = 0,
                       tile_h: int = TILE_H, tile_w: int = TILE_W,
-                      chunk: int = 8, use_pallas: bool | None = None):
+                      chunk: int = 8, use_pallas: bool | None = None,
+                      _capacity: int | None = None):
     """Render one (mesh, shader) pass through the binned tile pipeline.
 
     Same contract as raster.render_pass_xla.  ``use_pallas=None`` picks the
-    Pallas depth kernel automatically on TPU backends.
+    Pallas kernel automatically on TPU backends.  On the Pallas path the
+    kernel also interpolates varyings in-tile (loop 2), so shading is a
+    dense elementwise pass with no per-pixel gathers.
     """
     height, width = fb.color.shape[:2]
     uniforms = dict(uniforms)
@@ -317,20 +380,33 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
         return fb, empty
 
     setup, varyings = _vertex_setup_jit(attrs, uniforms, shader, width, height)
-    bins = bin_triangles_csr(setup, width, height, tile_w, tile_h)
+    bins = bin_triangles_csr(setup, width, height, tile_w, tile_h,
+                             capacity=_capacity)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from tinyrenderder_tpu.ops import raster_pallas
-        depth, winner_local = raster_pallas.depth_resolve_pallas(
-            setup, bins, fb.depth, height, width, tile_h, tile_w)
+        spec = _varying_layout(shader, varyings)
+        vary_corners = _flatten_varyings(varyings)
+        depth, winner_local, vary_planes = raster_pallas.rasterize_pallas(
+            setup, bins, fb.depth, height, width, vary_corners,
+            tile_h, tile_w)
+        new_fb = _shade_planes_jit(fb, depth, winner_local, vary_planes,
+                                   uniforms, jnp.int32(winner_offset),
+                                   shader, spec, width, height)
     else:
         depth, winner_local = depth_resolve_tiled(
             setup, bins, fb.depth, height, width, tile_h, tile_w,
             chunk=chunk)
+        new_fb = _shade_merge_jit(fb, depth, winner_local, setup, varyings,
+                                  uniforms, jnp.int32(winner_offset), shader,
+                                  width, height)
 
-    fb = _shade_merge_jit(fb, depth, winner_local, setup, varyings,
-                          uniforms, jnp.int32(winner_offset), shader,
-                          width, height)
-    return fb, setup
+    # deferred overflow check: the D2H fetch overlaps the dispatched work
+    if bins.overflowed():
+        grown = _next_pow2(2 * int(jax.device_get(bins.total_pairs)))
+        return render_pass_tiled(fb, attrs, shader, uniforms, winner_offset,
+                                 tile_h, tile_w, chunk, use_pallas,
+                                 _capacity=grown)
+    return new_fb, setup

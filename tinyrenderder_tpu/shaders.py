@@ -112,6 +112,37 @@ def sample_emission(tex, u, v, xp):
     return _gather_texel(tex, u, v, xp)[..., :3].astype(u.dtype)
 
 
+def pack_material_textures(material: "Material | None") -> np.ndarray | None:
+    """Pack diffuse RGB + normal RGB + the specular byte into one
+    (h, w, 7) uint8 texture when all three maps share a shape.
+
+    TPU gathers cost ~6 ns *per index* regardless of row width (profiled),
+    so one 7-channel gather replaces three map gathers at a third of the
+    cost.  The packed bytes are exactly what the individual samplers read
+    (model.cpp:415-459), so decode results are bit-identical.
+    """
+    m = material
+    if m is None or m.diffuse is None or m.normal is None or m.specular is None:
+        return None
+    d, n, s = m.diffuse, m.normal, m.specular
+    if not (d.shape[:2] == n.shape[:2] == s.shape[:2]):
+        return None
+    spec_channel = 0 if s.shape[-1] == 1 else 2   # sample_specular's choice
+    return np.concatenate([
+        d[..., :3], n[..., :3], s[..., spec_channel:spec_channel + 1],
+    ], axis=-1).astype(np.uint8)
+
+
+def sample_packed(packed, u, v, xp):
+    """One gather -> (diffuse RGB, raw normal-map vector, specular scalar)
+    with byte-identical decode to the individual samplers."""
+    texel = _gather_texel(packed, u, v, xp)
+    base = texel[..., 0:3].astype(u.dtype)
+    nm = normalized3(texel[..., 3:6].astype(u.dtype) / 255.0 * 2.0 - 1.0, xp)
+    spec = (texel[..., 6].astype(xp.float32) / xp.float32(255.0)).astype(u.dtype)
+    return base, nm, spec
+
+
 # ---------------------------------------------------------------------------
 # Small vector helpers with fixed op order (shared exactness with oracle)
 # ---------------------------------------------------------------------------
@@ -160,6 +191,7 @@ def _material_textures(material: Material | None) -> dict:
         "tex_normal": m.normal,
         "tex_specular": m.specular,
         "tex_emission": m.emission,
+        "tex_packed": pack_material_textures(m),
     }
 
 
@@ -235,8 +267,12 @@ class PhongShader(Shader):
         uv = vary["uv"]
         uu, vv = uv[..., 0], uv[..., 1]
 
-        base = sample_diffuse(u["tex_diffuse"], uu, vv, xp)          # (..., 3) RGB
-        spec_val = sample_specular(u["tex_specular"], uu, vv, xp)
+        if u["tex_packed"] is not None:
+            base, nm, spec_val = sample_packed(u["tex_packed"], uu, vv, xp)
+        else:
+            base = sample_diffuse(u["tex_diffuse"], uu, vv, xp)  # (..., 3)
+            spec_val = sample_specular(u["tex_specular"], uu, vv, xp)
+            nm = sample_normal_map(u["tex_normal"], uu, vv, xp)
         specular_power = xp.maximum(xp.asarray(1.0, dtype=spec_val.dtype), spec_val)
 
         # eye-pixel detection (main.cpp:109-112); channel sum is symmetric,
@@ -245,7 +281,6 @@ class PhongShader(Shader):
         is_eye = ((brightness >= EYE_DIFFUSE_BRIGHTNESS_THRESHOLD)
                   & (specular_power <= EYE_SPECULAR_POWER_THRESHOLD))
 
-        nm = sample_normal_map(u["tex_normal"], uu, vv, xp)
         nm_eye = transform_dir(u["modelview"], nm, xp)
 
         s = self.normal_map_strength
@@ -307,7 +342,11 @@ class EyeShader(Shader):
         uv = vary["uv"]
         uu, vv = uv[..., 0], uv[..., 1]
 
-        base = sample_diffuse(u["tex_diffuse"], uu, vv, xp)
+        if u["tex_packed"] is not None:
+            base, _, spec_val = sample_packed(u["tex_packed"], uu, vv, xp)
+        else:
+            base = sample_diffuse(u["tex_diffuse"], uu, vv, xp)
+            spec_val = sample_specular(u["tex_specular"], uu, vv, xp)
         view_dir = normalized3(-pos_eye, xp)
         key = u["key_light_eye"]
 
@@ -315,8 +354,6 @@ class EyeShader(Shader):
         rim_diffuse = (xp.maximum(0.0, dot3(normal, u["rim_light_eye"]))
                        * self.RIM_DIFFUSE_INTENSITY)
         total_diffuse = key_diffuse + rim_diffuse
-
-        spec_val = sample_specular(u["tex_specular"], uu, vv, xp)
         specular_power = xp.maximum(
             xp.asarray(1.0, dtype=spec_val.dtype), spec_val) * 8.0
         reflect_dir = normalized3(
