@@ -12,7 +12,7 @@ from bench import build_pass
 from tinyrenderder_tpu.ops import raster, raster_pallas, raster_tiled
 
 
-def t(fn, n=5, warmup=2):
+def t(fn, n=10, warmup=3):
     for _ in range(warmup):
         r = fn()
         jax.block_until_ready(r)
@@ -36,22 +36,20 @@ jax.block_until_ready(setup)
 print(f"vertex+setup: {t(lambda: raster_tiled._vertex_setup_jit(attrs, uniforms, shader, W, H))*1e3:.2f} ms")
 
 bins = raster_tiled.bin_triangles_csr(setup, W, H)
-print(f"binning (incl. 1 host sync): {t(lambda: raster_tiled.bin_triangles_csr(setup, W, H))*1e3:.2f} ms")
-print(f"  pairs={int(jax.device_get(bins.start[-1]))} max_count={int(jax.device_get(bins.counts.max()))} tiles={bins.n_tiles}")
+print(f"binning (capacity cached): {t(lambda: raster_tiled.bin_triangles_csr(setup, W, H))*1e3:.2f} ms")
+print(f"  pairs={int(jax.device_get(bins.total_pairs))} cap={bins.capacity} max_count={int(jax.device_get(bins.counts.max()))} tiles={bins.n_tiles}")
 
-records = raster_pallas.build_pair_records(setup, bins.sorted_tri)
-print(f"build_pair_records: {t(lambda: raster_pallas.build_pair_records(setup, bins.sorted_tri))*1e3:.2f} ms")
+vary_corners = raster_tiled._flatten_varyings(varyings)
+spec = raster_tiled._varying_layout(shader, varyings)
+print(f"build_pair_records(+vary): {t(lambda: raster_pallas.build_pair_records(setup, bins.sorted_tri, vary_corners))*1e3:.2f} ms")
 
 use_pallas = jax.default_backend() == "tpu"
 if use_pallas:
-    print(f"depth_resolve_pallas: {t(lambda: raster_pallas.depth_resolve_pallas(setup, bins, fb.depth, H, W))*1e3:.2f} ms")
-print(f"depth_resolve_tiled(XLA): {t(lambda: raster_tiled.depth_resolve_tiled(setup, bins, fb.depth, H, W))*1e3:.2f} ms")
+    print(f"rasterize_pallas depth-only: {t(lambda: raster_pallas.rasterize_pallas(setup, bins, fb.depth, H, W))*1e3:.2f} ms")
+    print(f"rasterize_pallas depth+vary: {t(lambda: raster_pallas.rasterize_pallas(setup, bins, fb.depth, H, W, vary_corners))*1e3:.2f} ms")
+    depth, winner, vary_planes = raster_pallas.rasterize_pallas(
+        setup, bins, fb.depth, H, W, vary_corners)
+    jax.block_until_ready((depth, winner, vary_planes))
+    print(f"shade planes (phase C): {t(lambda: raster_tiled._shade_planes_jit(fb, depth, winner, vary_planes, uniforms, jnp.int32(0), shader, spec, W, H))*1e3:.2f} ms")
 
-if use_pallas:
-    depth, winner = raster_pallas.depth_resolve_pallas(setup, bins, fb.depth, H, W)
-else:
-    depth, winner = raster_tiled.depth_resolve_tiled(setup, bins, fb.depth, H, W)
-jax.block_until_ready((depth, winner))
-
-print(f"shade+merge: {t(lambda: raster_tiled._shade_merge_jit(fb, depth, winner, setup, varyings, uniforms, jnp.int32(0), shader, W, H))*1e3:.2f} ms")
 print(f"full pass: {t(lambda: raster_tiled.render_pass_tiled(fb, attrs, shader, uniforms)[0])*1e3:.2f} ms")

@@ -121,3 +121,52 @@ def test_face_attributes_shapes():
     assert attrs["position"].shape == (f, 3, 3)
     assert attrs["uv"].shape == (f, 3, 2)
     assert attrs["position"].dtype == np.float32
+
+
+def test_native_obj_parser_matches_python(tmp_path):
+    """The C++ tokenizer (native/obj_loader.cpp) must produce arrays
+    identical to the Python loader, including polygon fan triangulation,
+    negative/partial index triples, group and material submesh splits."""
+    import numpy as np
+    import pytest
+
+    from tinyrenderder_tpu.models import obj
+    from tinyrenderder_tpu.utils import native
+
+    if not native.obj_available():
+        pytest.skip("native library not built")
+
+    content = """# test
+mtllib test.mtl
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+vn 0 0 1
+g quad
+usemtl matA
+f 1/1/1 2/2/1 3/3/1 4/4/1
+o tri
+usemtl matB
+f -4//-1 -3// -2
+f 1/1 2/2 3/3
+usemtl matA
+f 2/2/1 3/3/1 4/4/1
+"""
+    p = tmp_path / "test.obj"
+    p.write_text(content)
+    a = obj.load_obj(str(p), load_textures=False, use_native=False)
+    b = obj.load_obj(str(p), load_textures=False, use_native=True)
+    assert np.array_equal(a.positions, b.positions)
+    assert np.array_equal(a.faces, b.faces)
+    assert np.array_equal(a.uvs, b.uvs)
+    assert np.array_equal(a.normals, b.normals)
+    assert len(a.submeshes) == len(b.submeshes)
+    for sa, sb in zip(a.submeshes, b.submeshes):
+        assert (sa.name, sa.start_index, sa.index_count, sa.material_index) \
+            == (sb.name, sb.start_index, sb.index_count, sb.material_index)
+    assert [m.name for m in a.materials] == [m.name for m in b.materials]

@@ -64,28 +64,33 @@ SUB = 8                 # pairs evaluated per vector step
 def build_pair_records(setup, sorted_tri, vary_corners=None):
     """Gather per-pair triangle records (P + DMA_CHUNK, REC) f32 in bin
     order.  ``vary_corners``: optional (F, 3, V) varying corner values.
-    The extra zero rows keep fixed-size chunk DMAs in bounds."""
-    p = sorted_tri.shape[0]
-    f = setup["valid"].shape[0]
-    safe = jnp.clip(sorted_tri, 0, max(f - 1, 0))
+
+    Packs one (F, REC) per-triangle record first, then expands to pairs
+    with a single row gather — per-index gather cost (~6 ns on TPU)
+    dominates, so one P-row gather beats five narrow ones.  The extra
+    zero rows keep fixed-size chunk DMAs in bounds.
+    """
+    f = max(setup["valid"].shape[0], 1)
     cols = [
-        setup["screen"][safe].reshape(p, 6).astype(jnp.float32),
-        setup["ndc_z"][safe].astype(jnp.float32),
-        setup["clip_w"][safe].astype(jnp.float32),
-        setup["bbox"][safe].astype(jnp.float32),
-        sorted_tri.astype(jnp.float32)[:, None],
-        jnp.zeros((p, VARY_OFF - 17), jnp.float32),
+        setup["screen"].reshape(-1, 6).astype(jnp.float32),
+        setup["ndc_z"].astype(jnp.float32),
+        setup["clip_w"].astype(jnp.float32),
+        setup["bbox"].astype(jnp.float32),
+        jnp.arange(setup["valid"].shape[0], dtype=jnp.float32)[:, None],
+        jnp.zeros((setup["valid"].shape[0], VARY_OFF - 17), jnp.float32),
     ]
     if vary_corners is not None:
         v = vary_corners.shape[-1]
         if v > MAX_VARY:
             raise ValueError(f"{v} varying channels > {MAX_VARY} max")
         # channel-major: [c0 of ch0, c1 of ch0, c2 of ch0, c0 of ch1, ...]
-        vc = (vary_corners[safe].astype(jnp.float32)
-              .transpose(0, 2, 1).reshape(p, 3 * v))
-        cols.append(vc)
-    rec = jnp.concatenate(cols, axis=1)
-    rec = jnp.pad(rec, ((0, 0), (0, REC - rec.shape[1])))
+        cols.append(vary_corners.astype(jnp.float32)
+                    .transpose(0, 2, 1).reshape(-1, 3 * vary_corners.shape[-1]))
+    tri_rec = jnp.concatenate(cols, axis=1)
+    tri_rec = jnp.pad(tri_rec, ((0, 0), (0, REC - tri_rec.shape[1])))
+
+    safe = jnp.clip(sorted_tri, 0, f - 1)
+    rec = tri_rec[safe]                              # ONE P-row gather
     return jnp.pad(rec, ((0, DMA_CHUNK), (0, 0)))
 
 
@@ -137,11 +142,13 @@ def _tile_kernel(start_ref, count_ref, rec_hbm, init_ref,
                 get_dma((ci + 1) % 2, ci + 1).start()
 
             get_dma(slot, ci).wait()
-            chunk = buf[slot]                    # (DMA_CHUNK, REC)
             for s in range(DMA_CHUNK // SUB):
-                rows = chunk[s * SUB:(s + 1) * SUB]      # (SUB, REC)
                 pair0 = ci * DMA_CHUNK + s * SUB
-                process_sub(rows, pair0)
+
+                @pl.when(pair0 < count)          # skip all-dead tails
+                def _(slot=slot, s=s, pair0=pair0):
+                    rows = buf[slot, s * SUB:(s + 1) * SUB]  # (SUB, REC)
+                    process_sub(rows, pair0)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
