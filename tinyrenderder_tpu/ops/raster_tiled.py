@@ -164,12 +164,19 @@ def bin_triangles_csr(setup, width: int, height: int,
     if capacity is None:
         capacity = _PAIR_CAPACITY.get(key)
         if capacity is None:                      # first frame: sync once
-            capacity = max(8, _next_pow2(2 * int(jax.device_get(total))))
+            capacity = _quantize_capacity(int(jax.device_get(total)))
     _PAIR_CAPACITY[key] = capacity
     sorted_tri, start, counts = _build_bins(
         tx0, ty0, span_x, spans, capacity, n_tiles_x, n_tiles_y)
     return Bins(sorted_tri, start, counts, n_tiles_x, n_tiles_y,
                 total_pairs=total, capacity=capacity)
+
+
+def _quantize_capacity(total: int) -> int:
+    """Static pair capacity: 25% headroom rounded to a power of two
+    (pow2 quantization bounds the number of distinct compiled programs
+    as pair counts drift across frames)."""
+    return max(8, _next_pow2(total + total // 4))
 
 
 # ---------------------------------------------------------------------------
@@ -331,10 +338,69 @@ def _varying_layout(shader, varyings):
     return spec
 
 
-@jax.jit
-def _flatten_varyings(varyings):
-    """{name: (F, 3, C)} -> (F, 3, V) in dict order."""
-    return jnp.concatenate([v for v in varyings.values()], axis=-1)
+def _flatten_varyings(varyings, spec=None):
+    """{name: (F, 3, C)} -> (F, 3, V) in spec (default: dict) order."""
+    names = [n for n, _ in spec] if spec else list(varyings)
+    return jnp.concatenate([varyings[n] for n in names], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "shader", "width", "height", "capacity", "tile_h", "tile_w"))
+def _pre_pallas_jit(attrs, uniforms, fb_depth, shader, width, height,
+                    capacity, tile_h, tile_w):
+    """Fused pre-kernel stage: vertex transform, triangle setup, binning,
+    pair records, depth tiling — one dispatch, fully fusable by XLA."""
+    from tinyrenderder_tpu.ops import raster_pallas
+
+    dtype = attrs["position"].dtype
+    clip, varyings = shader.vertex(uniforms, attrs, jnp)
+    vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
+    setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
+    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_y = _cdiv(height, tile_h)
+    tx0, ty0, span_x, spans, total = _tile_spans(setup, tile_w, tile_h)
+    sorted_tri, start, counts = _build_bins(
+        tx0, ty0, span_x, spans, capacity, n_tiles_x, n_tiles_y)
+    spec = tuple(shader.varying_spec.items())   # same order as post stage
+    if set(n for n, _ in spec) != set(varyings):
+        raise ValueError(f"{shader.name}.varying_spec {sorted(dict(spec))} "
+                         f"!= vertex output {sorted(varyings)}")
+    vary_corners = _flatten_varyings(varyings, spec)
+    records = raster_pallas.build_pair_records(setup, sorted_tri, vary_corners)
+    init_tiles = _to_tiles(fb_depth, n_tiles_y, n_tiles_x, tile_h, tile_w,
+                           jnp.inf)
+    return setup, records, start[:-1], counts, init_tiles, total
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "shader", "spec", "width", "height", "tile_h", "tile_w"))
+def _post_pallas_jit(fb: FrameBuffers, depth_t, winner_t, vary_t, uniforms,
+                     winner_offset, shader, spec, width, height,
+                     tile_h, tile_w):
+    """Fused post-kernel stage: untile depth/winner/varyings (one
+    transpose), dense fragment shading, merge."""
+    n_tiles_y = _cdiv(height, tile_h)
+    n_tiles_x = _cdiv(width, tile_w)
+    depth = _from_tiles(depth_t, n_tiles_y, n_tiles_x, tile_h, tile_w,
+                        height, width)
+    winner_local = _from_tiles(winner_t.astype(jnp.int32), n_tiles_y,
+                               n_tiles_x, tile_h, tile_w, height, width)
+    v = vary_t.shape[1]
+    img = (vary_t.reshape(n_tiles_y, n_tiles_x, v, tile_h, tile_w)
+           .transpose(0, 3, 1, 4, 2)
+           .reshape(n_tiles_y * tile_h, n_tiles_x * tile_w, v)
+           [:height, :width])
+    vary = {}
+    i = 0
+    for name, c in spec:
+        vary[name] = img[..., i:i + c]
+        i += c
+    rgb = shader.fragment(uniforms, vary, jnp)
+    out = finalize_color(rgb, jnp)
+    won = winner_local >= 0
+    color = jnp.where(won[..., None], out, fb.color)
+    new_winner = jnp.where(won, winner_local + winner_offset, fb.winner)
+    return FrameBuffers(color=color, depth=depth, winner=new_winner)
 
 
 @functools.partial(jax.jit, static_argnames=("shader", "spec", "width",
@@ -379,33 +445,54 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
                  "bbox": jnp.zeros((0, 4), jnp.int32)}
         return fb, empty
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    if use_pallas:
+        from tinyrenderder_tpu.ops import raster_pallas
+
+        n_tiles_x = _cdiv(width, tile_w)
+        n_tiles_y = _cdiv(height, tile_h)
+        key = (f, n_tiles_x, n_tiles_y)
+        capacity = _capacity if _capacity is not None else _PAIR_CAPACITY.get(key)
+        if capacity is None:                      # first frame: sync once
+            setup0, _ = _vertex_setup_jit(attrs, uniforms, shader,
+                                          width, height)
+            *_, total0 = _tile_spans(setup0, tile_w, tile_h)
+            capacity = _quantize_capacity(int(jax.device_get(total0)))
+        _PAIR_CAPACITY[key] = capacity
+
+        spec = tuple(shader.varying_spec.items())
+        n_vary = sum(c for _, c in spec)
+        setup, records, start, counts, init_tiles, total = _pre_pallas_jit(
+            attrs, uniforms, fb.depth, shader, width, height, capacity,
+            tile_h, tile_w)
+        interpret = jax.default_backend() != "tpu"
+        depth_t, winner_t, vary_t = raster_pallas._pallas_call_jit(
+            start, counts, records, init_tiles, n_tiles_x, n_tiles_y,
+            tile_h, tile_w, n_vary, interpret)
+        new_fb = _post_pallas_jit(fb, depth_t, winner_t, vary_t, uniforms,
+                                  jnp.int32(winner_offset), shader, spec,
+                                  width, height, tile_h, tile_w)
+        # deferred overflow check: the D2H fetch overlaps dispatched work
+        tot = int(jax.device_get(total))
+        if tot > capacity:
+            return render_pass_tiled(fb, attrs, shader, uniforms,
+                                     winner_offset, tile_h, tile_w, chunk,
+                                     use_pallas,
+                                     _capacity=_quantize_capacity(tot))
+        return new_fb, setup
+
     setup, varyings = _vertex_setup_jit(attrs, uniforms, shader, width, height)
     bins = bin_triangles_csr(setup, width, height, tile_w, tile_h,
                              capacity=_capacity)
-
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from tinyrenderder_tpu.ops import raster_pallas
-        spec = _varying_layout(shader, varyings)
-        vary_corners = _flatten_varyings(varyings)
-        depth, winner_local, vary_planes = raster_pallas.rasterize_pallas(
-            setup, bins, fb.depth, height, width, vary_corners,
-            tile_h, tile_w)
-        new_fb = _shade_planes_jit(fb, depth, winner_local, vary_planes,
-                                   uniforms, jnp.int32(winner_offset),
-                                   shader, spec, width, height)
-    else:
-        depth, winner_local = depth_resolve_tiled(
-            setup, bins, fb.depth, height, width, tile_h, tile_w,
-            chunk=chunk)
-        new_fb = _shade_merge_jit(fb, depth, winner_local, setup, varyings,
-                                  uniforms, jnp.int32(winner_offset), shader,
-                                  width, height)
-
-    # deferred overflow check: the D2H fetch overlaps the dispatched work
+    depth, winner_local = depth_resolve_tiled(
+        setup, bins, fb.depth, height, width, tile_h, tile_w, chunk=chunk)
+    new_fb = _shade_merge_jit(fb, depth, winner_local, setup, varyings,
+                              uniforms, jnp.int32(winner_offset), shader,
+                              width, height)
     if bins.overflowed():
-        grown = _next_pow2(2 * int(jax.device_get(bins.total_pairs)))
+        grown = _quantize_capacity(int(jax.device_get(bins.total_pairs)))
         return render_pass_tiled(fb, attrs, shader, uniforms, winner_offset,
                                  tile_h, tile_w, chunk, use_pallas,
                                  _capacity=grown)
