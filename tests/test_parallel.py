@@ -39,10 +39,7 @@ def test_sharded_matches_single_device(meshes, n_devices):
     passes = _passes(meshes, view, proj)
 
     mesh = dist.make_mesh(n_devices)
-    fb_sh = dist.render_frame_sharded(mesh, passes, w, h)
-
-    from helpers import make_pass as mp  # single-device reference
-    from tinyrenderder_tpu.shaders import Shader  # noqa: F401
+    fb_sh = dist.render_frame_sharded(mesh, passes, w, h, tiled=False)
     ps = [make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj),
           make_pass(meshes["plane"], TexturedShader(), view, proj),
           make_pass(meshes["soup"], GouraudShader(), view, proj)]
@@ -83,3 +80,29 @@ def test_indivisible_height_rejected():
     mesh = dist.make_mesh(8)
     with pytest.raises(ValueError):
         dist.new_sharded_framebuffers(mesh, 32, 31)
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_tiled_matches_single_device(meshes, n_devices):
+    """The production binned/Pallas sharded path (interpret mode on CPU)
+    must match the single-device scan path pixel for pixel."""
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough virtual devices")
+    w, h = 128, 64          # bands tile-aligned: 64 / 8 devices = 8 rows
+    view, proj = default_view()
+    passes = _passes(meshes, view, proj)
+
+    mesh = dist.make_mesh(n_devices)
+    fb_sh = dist.render_frame_sharded(mesh, passes, w, h, tiled=True)
+
+    ps = [make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj),
+          make_pass(meshes["plane"], TexturedShader(), view, proj),
+          make_pass(meshes["soup"], GouraudShader(), view, proj)]
+    fb_one = render_engine(ps, w, h, backend="xla")
+
+    assert (np.asarray(fb_sh.winner) == np.asarray(fb_one.winner)).all()
+    dc = np.abs(np.asarray(fb_sh.color).astype(int)
+                - np.asarray(fb_one.color).astype(int))
+    assert dc.max() <= 1
+    d_sh, d_one = np.asarray(fb_sh.depth), np.asarray(fb_one.depth)
+    assert (np.isfinite(d_sh) == np.isfinite(d_one)).all()

@@ -94,7 +94,7 @@ def build_pair_records(setup, sorted_tri, vary_corners=None):
     return jnp.pad(rec, ((0, DMA_CHUNK), (0, 0)))
 
 
-def _tile_kernel(start_ref, count_ref, rec_hbm, init_ref,
+def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
                  depth_ref, winner_ref, vary_ref, buf, sem,
                  *, n_tiles_x, tile_h, tile_w, n_vary):
     t = pl.program_id(0)
@@ -102,8 +102,9 @@ def _tile_kernel(start_ref, count_ref, rec_hbm, init_ref,
     count = count_ref[t]
 
     dtype = jnp.float32
-    gx0 = ((t % n_tiles_x) * tile_w).astype(jnp.int32)
-    gy0 = ((t // n_tiles_x) * tile_h).astype(jnp.int32)
+    # origin: global pixel offset of this buffer (row-band sharding)
+    gx0 = (origin_ref[0] + (t % n_tiles_x) * tile_w).astype(jnp.int32)
+    gy0 = (origin_ref[1] + (t // n_tiles_x) * tile_h).astype(jnp.int32)
     xi = (gx0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
           ).astype(dtype)                       # exact ints as f32
     yi = (gy0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -246,17 +247,20 @@ def _untile_vary_jit(tiles, ty, tx, th, tw, h, w):
     "n_tiles_x", "n_tiles_y", "tile_h", "tile_w", "n_vary", "interpret"))
 def _pallas_call_jit(start, counts, records, init_tiles,
                      n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary,
-                     interpret):
+                     interpret, origin=None):
     n_tiles = n_tiles_x * n_tiles_y
+    if origin is None:
+        origin = jnp.zeros((2,), jnp.int32)
     kernel = functools.partial(_tile_kernel, n_tiles_x=n_tiles_x,
                                tile_h=tile_h, tile_w=tile_w, n_vary=n_vary)
-    tile_block = pl.BlockSpec((1, tile_h, tile_w), lambda t, s, c: (t, 0, 0),
+    tile_block = pl.BlockSpec((1, tile_h, tile_w),
+                              lambda t, s, c, o: (t, 0, 0),
                               memory_space=pltpu.VMEM)
     vary_block = pl.BlockSpec((1, max(n_vary, 1), tile_h, tile_w),
-                              lambda t, s, c: (t, 0, 0, 0),
+                              lambda t, s, c, o: (t, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),     # records stay in HBM
@@ -278,7 +282,7 @@ def _pallas_call_jit(start, counts, records, init_tiles,
                                  jnp.float32),
         ],
         interpret=interpret,
-    )(start, counts, records, init_tiles)
+    )(start, counts, origin.astype(jnp.int32), records, init_tiles)
 
 
 def rasterize_pallas(setup, bins: Bins, init_depth, height: int, width: int,

@@ -85,17 +85,29 @@ class Bins:
 
 
 @functools.partial(jax.jit, static_argnames=("tile_w", "tile_h"))
-def _tile_spans(setup, tile_w: int, tile_h: int):
-    """Per-triangle tile ranges and pair spans from the clamped bbox."""
+def _tile_spans(setup, tile_w: int, tile_h: int, ty_lo=None, ty_hi=None):
+    """Per-triangle tile ranges and pair spans from the clamped bbox.
+
+    ``ty_lo``/``ty_hi`` (inclusive, may be traced) clip the vertical tile
+    range to a row band — the sharded path bins each device's band
+    independently; returned ty0 is band-local.
+    """
     bbox = setup["bbox"]                      # (F, 4) min_x, max_x, min_y, max_y
     valid = setup["valid"]
     tx0 = bbox[:, 0] // tile_w
     tx1 = bbox[:, 1] // tile_w
     ty0 = bbox[:, 2] // tile_h
     ty1 = bbox[:, 3] // tile_h
+    if ty_lo is not None:
+        ty0c = jnp.maximum(ty0, ty_lo)
+        ty1c = jnp.minimum(ty1, ty_hi)
+        span_y = jnp.where(valid & (ty1c >= ty0c), ty1c - ty0c + 1, 0)
+        ty0 = ty0c - ty_lo                    # band-local
+    else:
+        span_y = jnp.where(valid, ty1 - ty0 + 1, 0)
     span_x = jnp.where(valid, tx1 - tx0 + 1, 0).astype(jnp.int32)
-    span_y = jnp.where(valid, ty1 - ty0 + 1, 0).astype(jnp.int32)
-    spans = span_x * span_y
+    span_y = span_y.astype(jnp.int32)
+    spans = jnp.where(span_y > 0, span_x, 0) * span_y
     total = jnp.sum(spans)
     return tx0.astype(jnp.int32), ty0.astype(jnp.int32), span_x, spans, total
 

@@ -118,13 +118,132 @@ def render_pass_sharded(mesh: Mesh, fb: FrameBuffers, attrs: dict, shader,
 
 
 def render_frame_sharded(mesh: Mesh, passes, width: int, height: int,
-                         chunk: int = 8) -> FrameBuffers:
+                         chunk: int = 8, tiled: bool | None = None) -> FrameBuffers:
     """Full multi-pass frame (the main.cpp:647-736 flow) on a sharded
-    framebuffer.  ``passes``: iterable of (attrs, shader, uniforms)."""
+    framebuffer.  ``passes``: iterable of (attrs, shader, uniforms).
+
+    ``tiled=None`` uses the production binned/Pallas pipeline when the
+    band height is tile-aligned, else the scan path.
+    """
+    n = mesh.devices.size
+    if tiled is None:
+        from tinyrenderder_tpu.ops import raster_tiled
+        tiled = height % (n * raster_tiled.TILE_H) == 0
     fb = new_sharded_framebuffers(mesh, width, height)
     offset = 0
     for attrs, shader, uniforms in passes:
-        fb = render_pass_sharded(mesh, fb, attrs, shader, uniforms,
-                                 winner_offset=offset, chunk=chunk)
+        if tiled:
+            fb = render_pass_sharded_tiled(mesh, fb, attrs, shader, uniforms,
+                                           winner_offset=offset)
+        else:
+            fb = render_pass_sharded(mesh, fb, attrs, shader, uniforms,
+                                     winner_offset=offset, chunk=chunk)
         offset += attrs["position"].shape[0]
     return fb
+
+
+# ---------------------------------------------------------------------------
+# Production sharded path: per-band CSR binning + the Pallas tile kernel
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _sharded_tiled_fn(mesh: Mesh, shader, width: int, height: int,
+                      capacity: int, tile_h: int, tile_w: int,
+                      interpret: bool):
+    from tinyrenderder_tpu.ops import raster_pallas, raster_tiled
+
+    n = mesh.devices.size
+    band_h = height // n
+    n_tiles_x = -(-width // tile_w)
+    band_tiles_y = band_h // tile_h
+    spec = tuple(shader.varying_spec.items())
+    n_vary = sum(c for _, c in spec)
+    vp = math3d.viewport(0, 0, width, height)
+
+    def shard_body(fb: FrameBuffers, attrs, uniforms, winner_offset):
+        band = jax.lax.axis_index(AXIS)
+        ty_lo = band * band_tiles_y
+        ty_hi = ty_lo + band_tiles_y - 1
+        dtype = attrs["position"].dtype
+
+        clip, varyings = shader.vertex(uniforms, attrs, jnp)
+        setup = semantics.triangle_setup_planes(
+            clip, jnp.asarray(vp, dtype=dtype), width, height, jnp)
+        tx0, ty0, span_x, spans, total = raster_tiled._tile_spans(
+            setup, tile_w, tile_h, ty_lo, ty_hi)
+        sorted_tri, start, counts = raster_tiled._build_bins(
+            tx0, ty0, span_x, spans, capacity, n_tiles_x, band_tiles_y)
+        vary_corners = raster_tiled._flatten_varyings(varyings, spec)
+        records = raster_pallas.build_pair_records(
+            setup, sorted_tri, vary_corners)
+        init_tiles = raster_tiled._to_tiles(
+            fb.depth, band_tiles_y, n_tiles_x, tile_h, tile_w, jnp.inf)
+        origin = jnp.stack([jnp.int32(0), band * jnp.int32(band_h)])
+        depth_t, winner_t, vary_t = raster_pallas._pallas_call_jit(
+            start[:-1], counts, records, init_tiles,
+            n_tiles_x, band_tiles_y, tile_h, tile_w, n_vary, interpret,
+            origin=origin)
+        new_fb = raster_tiled._post_pallas_jit(
+            fb, depth_t, winner_t, vary_t, uniforms, winner_offset,
+            shader, spec, width, band_h, tile_h, tile_w)
+        return new_fb, total.reshape(1)   # (1,) per band -> (n,) gathered
+
+    fb_spec = FrameBuffers(color=P(AXIS), depth=P(AXIS), winner=P(AXIS))
+    # check_vma=False: pallas_call's out_shapes don't carry vma metadata
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(fb_spec, P(), P(), P()),
+        out_specs=(fb_spec, P(AXIS)),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def render_pass_sharded_tiled(mesh: Mesh, fb: FrameBuffers, attrs: dict,
+                              shader, uniforms: dict,
+                              winner_offset: int = 0,
+                              tile_h: int | None = None,
+                              tile_w: int | None = None,
+                              _capacity: int | None = None) -> FrameBuffers:
+    """One pass through the binned/Pallas pipeline with the framebuffer
+    row-sharded over ``mesh``: each device bins triangles against its own
+    band's tile grid and rasterizes only those — still zero collectives."""
+    from tinyrenderder_tpu.ops import raster_tiled
+
+    if tile_h is None:
+        tile_h = raster_tiled.TILE_H
+    if tile_w is None:
+        tile_w = raster_tiled.TILE_W
+    height, width = fb.color.shape[:2]
+    n = mesh.devices.size
+    if (height % n) or (height // n) % tile_h:
+        raise ValueError(f"height {height} not divisible into {n} "
+                         f"tile-aligned bands")
+    f = attrs["position"].shape[0]
+    if f == 0:
+        return fb
+    attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
+    uniforms = dict(uniforms)
+
+    key = (f, width, height, n, "sharded")
+    capacity = (_capacity if _capacity is not None
+                else raster_tiled._PAIR_CAPACITY.get(key))
+    if capacity is None:
+        # first frame: sync once on the unsharded full-screen pair count
+        # (an upper bound for every band)
+        setup0, _ = raster_tiled._vertex_setup_jit(
+            attrs, uniforms, shader, width, height)
+        *_, total0 = raster_tiled._tile_spans(setup0, tile_w, tile_h)
+        capacity = raster_tiled._quantize_capacity(
+            int(jax.device_get(total0)))
+    raster_tiled._PAIR_CAPACITY[key] = capacity
+
+    interpret = jax.default_backend() != "tpu"
+    fn = _sharded_tiled_fn(mesh, shader, width, height, capacity,
+                           tile_h, tile_w, interpret)
+    new_fb, totals = fn(fb, attrs, uniforms, jnp.int32(winner_offset))
+    tot = int(jax.device_get(jnp.max(totals)))
+    if tot > capacity:
+        return render_pass_sharded_tiled(
+            mesh, fb, attrs, shader, uniforms, winner_offset, tile_h,
+            tile_w, _capacity=raster_tiled._quantize_capacity(tot))
+    return new_fb
