@@ -1,16 +1,13 @@
-"""Headline benchmark: shaded-pixel throughput on the flagship pass.
+"""Benchmark suite: the five BASELINE.md configs on the current backend.
 
-Renders the normal-mapped 3-light Phong pass (the reference's main
-workload, main.cpp:39-171) over a dense procedural head at 2048x2048
-through the binned tile pipeline (Pallas depth kernel on TPU), and
-reports steady-state Mpixels/s of shaded output.
-
-Prints exactly ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
+Prints exactly ONE JSON line on stdout (the headline metric — shaded-
+pixel throughput of the normal-mapped Phong pass at 2048^2 through the
+binned/Pallas pipeline); per-config details go to stderr and
+bench_report.json.
 
 vs_baseline is measured against the BASELINE.md target of 1 Gpixel/s at
-2048^2 (the reference itself publishes no numbers - BASELINE.json
-"published": {}), i.e. vs_baseline = value / 1000.
+2048^2 on a v5e-8 (the reference itself publishes no numbers —
+BASELINE.json "published": {}), i.e. vs_baseline = value / 1000.
 """
 
 from __future__ import annotations
@@ -26,68 +23,211 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_pass(width, height, n_lat=96, n_lon=144):
+def _lights():
     from tinyrenderder_tpu import math3d
-    from tinyrenderder_tpu.models import procedural
-    from tinyrenderder_tpu.shaders import PhongShader
-
-    head = procedural.bumpy_head(n_lat, n_lon)
-    head.materials = [procedural.default_head_material(256)]
-    view = math3d.lookat((0, 0.4, 2.6), (0, 0, 0), (0, 1, 0))
-    proj = math3d.perspective(60.0, width / height, 0.1, 50.0)
     key = math3d.normalized(math3d.vec3(1.0, 1.4, 1.0))
     fill = math3d.normalized(math3d.vec3(-0.3, 0.5, 0.2))
     rim = math3d.normalized(math3d.vec3(-1.0, 0.8, -1.5))
-    shader = PhongShader(key, fill, rim, normal_map_strength=0.5)
-    uniforms = shader.build_uniforms(view, proj, head.materials[0], np.float32)
+    return key, fill, rim
+
+
+def _head(n_lat=96, n_lon=144):
+    from tinyrenderder_tpu.models import procedural
+    head = procedural.bumpy_head(n_lat, n_lon)
+    head.materials = [procedural.default_head_material(256)]
+    return head
+
+
+def _camera(width, height, eye=(0, 0.4, 2.6), target=(0, 0, 0), fov=60.0):
+    from tinyrenderder_tpu import math3d
+    from tinyrenderder_tpu.camera import Camera
+    cam = Camera()
+    cam.set_eye(math3d.vec3(*eye))
+    cam.set_target(math3d.vec3(*target))
+    cam.set_fov(fov)
+    cam.set_aspect(width / height)
+    cam.set_clipping(0.1, 50.0)
+    return cam
+
+
+def build_pass(width, height, n_lat=96, n_lon=144, shader=None):
+    """Single flagship pass (kept for scripts/profile_stages.py)."""
+    from tinyrenderder_tpu.shaders import PhongShader
+    head = _head(n_lat, n_lon)
+    cam = _camera(width, height)
+    key, fill, rim = _lights()
+    shader = shader or PhongShader(key, fill, rim, normal_map_strength=0.5)
+    uniforms = shader.build_uniforms(cam.view_matrix, cam.projection_matrix,
+                                     head.materials[0], np.float32)
     attrs = head.face_attributes(np.float32)
     log(f"scene: head {head.nfaces} faces at {width}x{height}")
     return attrs, shader, uniforms
 
 
-def main() -> int:
+def _scene(width, height, shader_for=None, meshes=3):
+    """Multi-mesh scene (head + eyes + room) for the animation config."""
+    from tinyrenderder_tpu import math3d
+    from tinyrenderder_tpu.models import procedural
+    from tinyrenderder_tpu.scene import Scene
+    from tinyrenderder_tpu.shaders import EyeShader, PhongShader
+
+    key, fill, rim = _lights()
+    scene = Scene(camera=_camera(width, height, eye=(0, 0.6, 3.0)),
+                  width=width, height=height)
+    head = _head(64, 96)
+    scene.add(head, math3d.identity4(),
+              PhongShader(key, fill, rim, normal_map_strength=0.5),
+              name="head")
+    if meshes >= 2:
+        eyes = procedural.uv_sphere(12, 16, radius=0.12, name="eyes")
+        eyes.positions += np.array([0.35, 0.25, 0.8])
+        eyes.finalize()
+        eyes.materials = [procedural.default_head_material(64)]
+        scene.add(eyes, math3d.identity4(), EyeShader(key, rim), name="eyes",
+                  exclude_from_output_depth=True)
+    if meshes >= 3:
+        room = procedural.cube(size=12.0, name="room")
+        room.faces = room.faces[:, ::-1].copy()
+        room.finalize()
+        room.materials = [procedural.default_head_material(128)]
+        scene.add(room, math3d.identity4(),
+                  PhongShader(key, fill, rim, normal_map_strength=0.0),
+                  name="room")
+    return scene
+
+
+def _time_frames(frame_fn, warmup, frames):
     import jax
+    t0 = time.perf_counter()
+    jax.block_until_ready(frame_fn())
+    compile_s = time.perf_counter() - t0
+    for _ in range(max(warmup - 1, 0)):
+        jax.block_until_ready(frame_fn())
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(frames):
+        r = frame_fn()
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / frames
+    return dt, compile_s
+
+
+def bench_single_pass(shader_name, width, height, warmup, frames):
     import jax.numpy as jnp
 
-    from tinyrenderder_tpu.ops import raster, raster_tiled
+    from tinyrenderder_tpu.shaders import (GouraudShader, PhongShader,
+                                           TexturedShader)
 
-    backend = jax.default_backend()
-    on_tpu = backend == "tpu"
-    width = height = 2048 if on_tpu else 256
-    warmup, frames = (3, 10) if on_tpu else (2, 4)
-    log(f"backend={backend} devices={len(jax.devices())}")
-
-    attrs, shader, uniforms = build_pass(width, height)
+    key, fill, rim = _lights()
+    shaders = {
+        "gouraud": GouraudShader(light_world=key),
+        "textured": TexturedShader(light_world=key),
+        "phong": PhongShader(key, fill, rim, normal_map_strength=0.5),
+    }
+    attrs, shader, uniforms = build_pass(width, height,
+                                         shader=shaders[shader_name])
     attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
+
+    from tinyrenderder_tpu.ops import raster, raster_tiled
 
     def frame():
         fb = raster.new_framebuffers(width, height)
         fb, _ = raster_tiled.render_pass_tiled(fb, attrs, shader, uniforms)
-        return fb
+        return fb.color
+
+    dt, compile_s = _time_frames(frame, warmup, frames)
+    return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
+            "mpix_s": width * height / dt / 1e6, "compile_s": compile_s}
+
+
+def bench_shadows(width, height, warmup, frames, shadow_size=1024):
+    from tinyrenderder_tpu import shadows
+    key, _, _ = _lights()
+    scene = _scene(width, height, meshes=3)
+    settings = shadows.ShadowSettings(size=shadow_size)
+
+    def frame():
+        result, _ = shadows.render_with_shadows(
+            scene, key, settings, backend="tiled", frustum_cull=False)
+        return result.color
+
+    dt, compile_s = _time_frames(frame, warmup, frames)
+    return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
+            "mpix_s": width * height / dt / 1e6, "compile_s": compile_s}
+
+
+def bench_animation(width, height, frames):
+    """Config #5: multi-mesh orbit; reports steady fps over `frames`
+    orbit steps (no disk writes — render throughput only)."""
+    import math as pymath
+
+    from tinyrenderder_tpu.animation import orbit_eye
+
+    scene = _scene(width, height, meshes=3)
+    base_eye = np.array(scene.camera.params.eye)
+    base_target = np.array(scene.camera.params.target)
+
+    def render_at(i):
+        angle = 2 * pymath.pi * i / max(frames, 1)
+        scene.camera.set_eye(orbit_eye(base_eye, base_target, angle))
+        return scene.render(backend="tiled", frustum_cull=False).color
 
     t0 = time.perf_counter()
-    fb = frame()
-    fb.color.block_until_ready()
-    log(f"first frame (compile) {time.perf_counter() - t0:.1f}s, "
-        f"covered={int(np.isfinite(np.asarray(fb.depth)).sum())}")
-    for _ in range(warmup - 1):
-        frame().color.block_until_ready()
-
+    render_at(0)
+    compile_s = time.perf_counter() - t0
+    render_at(1)  # second angle warms any capacity growth
     t0 = time.perf_counter()
-    for _ in range(frames):
-        fb = frame()
-    fb.color.block_until_ready()
-    dt = time.perf_counter() - t0
+    for i in range(frames):
+        render_at(i)
+    dt = (time.perf_counter() - t0) / frames
+    return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
+            "mpix_s": width * height / dt / 1e6, "compile_s": compile_s}
 
-    fps = frames / dt
-    mpix_s = width * height * fps / 1e6
-    log(f"{fps:.2f} fps, {mpix_s:.1f} Mpix/s over {frames} frames")
 
+def main() -> int:
+    import jax
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    if on_tpu:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    big = 2048 if on_tpu else 128
+    mid = 800 if on_tpu else 96
+    warmup, frames = (3, 10) if on_tpu else (1, 2)
+    anim_frames = 24 if on_tpu else 3
+    log(f"backend={backend} devices={len(jax.devices())}")
+
+    report = {"backend": backend, "configs": {}}
+
+    def run(name, fn, *a):
+        t0 = time.perf_counter()
+        r = fn(*a)
+        report["configs"][name] = r
+        log(f"  {name}: {r['frame_ms']:.1f} ms/frame, {r['fps']:.1f} fps, "
+            f"{r['mpix_s']:.1f} Mpix/s (compile {r['compile_s']:.0f}s, "
+            f"total {time.perf_counter() - t0:.0f}s)")
+        return r
+
+    run(f"gouraud_{mid}", bench_single_pass, "gouraud", mid, mid,
+        warmup, frames)
+    run(f"textured_{mid}", bench_single_pass, "textured", mid, mid,
+        warmup, frames)
+    headline = run(f"phong_{big}", bench_single_pass, "phong", big, big,
+                   warmup, frames)
+    run(f"shadow_phong_{mid}", bench_shadows, mid, mid,
+        max(warmup - 1, 1), max(frames // 2, 1), 1024 if on_tpu else 128)
+    run(f"animation_multimesh_{big}", bench_animation, big, big, anim_frames)
+
+    with open("bench_report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    log("wrote bench_report.json")
+
+    mpix = headline["mpix_s"]
     print(json.dumps({
-        "metric": f"phong_shaded_throughput_{width}x{height}_{backend}",
-        "value": round(mpix_s, 2),
+        "metric": f"phong_shaded_throughput_{big}x{big}_{backend}",
+        "value": round(mpix, 2),
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / 1000.0, 4),
+        "vs_baseline": round(mpix / 1000.0, 4),
     }))
     return 0
 

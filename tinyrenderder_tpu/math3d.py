@@ -28,6 +28,7 @@ __all__ = [
     "scale_matrix", "translation_matrix",
     "rotation_x", "rotation_y", "rotation_z",
     "transform_point", "transform_dir",
+    "print_vec3", "print_mat4",
     "Plane", "AABB", "Frustum",
 ]
 
@@ -175,6 +176,19 @@ def rotation_z(angle_rad: float) -> np.ndarray:
     m[0, 0], m[0, 1] = c, -s
     m[1, 0], m[1, 1] = s, c
     return m
+
+
+def print_vec3(name: str, v) -> None:
+    """Debug vector dump (main.cpp:422-427)."""
+    v = np.asarray(v, dtype=np.float64)
+    print(f"{name}: ({v[0]:.4f}, {v[1]:.4f}, {v[2]:.4f})")
+
+
+def print_mat4(name: str, m: np.ndarray) -> None:
+    """Debug matrix dump (main.cpp:429-438)."""
+    print(f"{name}:")
+    for i in range(4):
+        print("  [" + ", ".join(f"{m[i, j]:8.4f}" for j in range(4)) + "]")
 
 
 def transform_point(m: np.ndarray, p) -> np.ndarray:

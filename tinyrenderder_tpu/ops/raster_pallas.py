@@ -143,13 +143,17 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
                 get_dma((ci + 1) % 2, ci + 1).start()
 
             get_dma(slot, ci).wait()
-            for s in range(DMA_CHUNK // SUB):
+
+            def sub_body(s, _):
                 pair0 = ci * DMA_CHUNK + s * SUB
 
                 @pl.when(pair0 < count)          # skip all-dead tails
-                def _(slot=slot, s=s, pair0=pair0):
-                    rows = buf[slot, s * SUB:(s + 1) * SUB]  # (SUB, REC)
+                def _():
+                    rows = buf[slot, pl.ds(s * SUB, SUB)]    # (SUB, REC)
                     process_sub(rows, pair0)
+                return 0
+
+            jax.lax.fori_loop(0, DMA_CHUNK // SUB, sub_body, 0)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
