@@ -148,7 +148,8 @@ def bench_shadows(width, height, warmup, frames, shadow_size=1024):
 
     def frame():
         result, _ = shadows.render_with_shadows(
-            scene, key, settings, backend="tiled", frustum_cull=False)
+            scene, key, settings, backend="tiled", frustum_cull=False,
+            collect_stats=False, transfer=False)
         return result.color
 
     dt, compile_s = _time_frames(frame, warmup, frames)
@@ -170,15 +171,19 @@ def bench_animation(width, height, frames):
     def render_at(i):
         angle = 2 * pymath.pi * i / max(frames, 1)
         scene.camera.set_eye(orbit_eye(base_eye, base_target, angle))
-        return scene.render(backend="tiled", frustum_cull=False).color
+        return scene.render(backend="tiled", frustum_cull=False,
+                            collect_stats=False, transfer=False).color
 
+    import jax
     t0 = time.perf_counter()
-    render_at(0)
+    jax.block_until_ready(render_at(0))
     compile_s = time.perf_counter() - t0
-    render_at(1)  # second angle warms any capacity growth
+    jax.block_until_ready(render_at(1))  # warms any capacity growth
     t0 = time.perf_counter()
+    r = None
     for i in range(frames):
-        render_at(i)
+        r = render_at(i)
+    jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / frames
     return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
             "mpix_s": width * height / dt / 1e6, "compile_s": compile_s}

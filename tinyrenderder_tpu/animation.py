@@ -112,7 +112,8 @@ def render_animation(scene: Scene, cfg: AnimationConfig,
         angle = math.radians(cfg.orbit_degrees) * i / cfg.frames
         scene.camera.set_eye(orbit_eye(base_eye, base_target, angle))
         result = scene.render(backend=cfg.backend,
-                              frustum_cull=cfg.frustum_cull)
+                              frustum_cull=cfg.frustum_cull,
+                              collect_stats=False)
         path = os.path.join(cfg.outdir, cfg.frame_pattern % i)
         tga.TGAImage.from_rgb(result.color).write_tga_file(path)
         rendered += 1

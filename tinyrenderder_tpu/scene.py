@@ -91,9 +91,11 @@ class Scene:
         return "\n".join(lines)
 
     def render(self, backend: str = "xla", dtype=np.float32,
-               frustum_cull: bool = True) -> RenderResult:
+               frustum_cull: bool = True, collect_stats: bool = True,
+               transfer: bool = True) -> RenderResult:
         return render_scene(self, backend=backend, dtype=dtype,
-                            frustum_cull=frustum_cull)
+                            frustum_cull=frustum_cull,
+                            collect_stats=collect_stats, transfer=transfer)
 
 
 def _cull_passes(scene: Scene, frustum_cull: bool, stats: RenderStats):
@@ -126,7 +128,12 @@ def _pass_inputs(scene: Scene, p: ScenePass, dtype):
 
 
 def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
-                 frustum_cull: bool = True) -> RenderResult:
+                 frustum_cull: bool = True, collect_stats: bool = True,
+                 transfer: bool = True) -> RenderResult:
+    """``collect_stats=False`` skips per-pass stats/timing host syncs;
+    ``transfer=False`` leaves the result buffers on device (the full-
+    frame D2H is the dominant cost on tunneled TPU hosts).  Use both for
+    animation/benchmark inner loops."""
     stats = RenderStats()
     visible = _cull_passes(scene, frustum_cull, stats)
     timings: dict[str, float] = {}
@@ -134,7 +141,8 @@ def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
     if backend == "oracle":
         return _render_oracle(scene, visible, dtype, stats, timings)
     if backend in ("xla", "tiled"):
-        return _render_device(scene, visible, dtype, stats, timings, backend)
+        return _render_device(scene, visible, dtype, stats, timings, backend,
+                              collect_stats, transfer)
     raise ValueError(f"unknown backend: {backend}")
 
 
@@ -162,7 +170,8 @@ def _render_oracle(scene, visible, dtype, stats, timings) -> RenderResult:
                         pass_timings=timings)
 
 
-def _render_device(scene, visible, dtype, stats, timings, backend) -> RenderResult:
+def _render_device(scene, visible, dtype, stats, timings, backend,
+                   collect_stats=True, transfer=True) -> RenderResult:
     import jax.numpy as jnp
 
     from tinyrenderder_tpu.ops import raster
@@ -184,23 +193,32 @@ def _render_device(scene, visible, dtype, stats, timings, backend) -> RenderResu
         t0 = time.perf_counter()
         fb, setup = pass_fn(fb, attrs, p.shader, uniforms,
                             winner_offset=winner_offset)
-        fb.color.block_until_ready()
-        timings[p.name or p.mesh.name] = time.perf_counter() - t0
-        agg = raster.pass_stats(setup)
-        stats.triangles_rasterized += agg["triangles"]
-        if agg["valid_triangles"]:
-            stats.merge_bbox(agg["min_x"], agg["min_y"], agg["max_x"], agg["max_y"])
+        if collect_stats:
+            fb.color.block_until_ready()
+            timings[p.name or p.mesh.name] = time.perf_counter() - t0
+            agg = raster.pass_stats(setup)
+            stats.triangles_rasterized += agg["triangles"]
+            if agg["valid_triangles"]:
+                stats.merge_bbox(agg["min_x"], agg["min_y"],
+                                 agg["max_x"], agg["max_y"])
         winner_offset += p.mesh.nfaces
 
-    full_depth = np.asarray(fb.depth)
-    out_depth = (np.asarray(snapshot_depth)
-                 if snapshot_depth is not None else full_depth)
-    finite = np.isfinite(full_depth)
-    if finite.any():
-        stats.merge_z(float(full_depth[finite].min()),
-                      float(full_depth[finite].max()))
-    stats.fragments_drawn = int((np.asarray(fb.winner) >= 0).sum())
-    stats.fragments_exact = False
-    return RenderResult(color=np.asarray(fb.color), depth=out_depth,
+    if transfer:
+        full_depth = np.asarray(fb.depth)
+        out_depth = (np.asarray(snapshot_depth)
+                     if snapshot_depth is not None else full_depth)
+        color = np.asarray(fb.color)
+    else:
+        full_depth = fb.depth
+        out_depth = snapshot_depth if snapshot_depth is not None else full_depth
+        color = fb.color
+    if collect_stats:
+        fd = np.asarray(full_depth)
+        finite = np.isfinite(fd)
+        if finite.any():
+            stats.merge_z(float(fd[finite].min()), float(fd[finite].max()))
+        stats.fragments_drawn = int((np.asarray(fb.winner) >= 0).sum())
+        stats.fragments_exact = False
+    return RenderResult(color=color, depth=out_depth,
                         full_depth=full_depth, stats=stats,
                         pass_timings=timings)

@@ -202,11 +202,29 @@ def _material_textures(material: Material | None) -> dict:
 
 class Shader:
     """Base shader: standard vertex stage shared by Phong/Eye
-    (main.cpp:71-90 == main.cpp:199-218)."""
+    (main.cpp:71-90 == main.cpp:199-218).
+
+    Shaders are static arguments to the engine's jitted pipelines, so
+    equality/hash are *content-based*: two instances whose traced code is
+    identical (same class, same trace-time constants) share compiled
+    programs.  Everything else (lights, matrices, textures, shadow maps)
+    flows through ``build_uniforms`` as runtime data.  Subclasses whose
+    trace depends on constructor state override ``_static_key``.
+    """
 
     name = "base"
     #: varying channel counts, static per shader (engine buffer layout)
     varying_spec: dict[str, int] = {"uv": 2, "position_eye": 3, "normal_eye": 3}
+
+    def _static_key(self) -> tuple:
+        return (type(self),)
+
+    def __hash__(self) -> int:
+        return hash(self._static_key())
+
+    def __eq__(self, other) -> bool:
+        return (isinstance(other, Shader)
+                and self._static_key() == other._static_key())
 
     def build_uniforms(self, modelview: np.ndarray, perspective: np.ndarray,
                        material: Material | None, dtype) -> dict:
@@ -255,6 +273,10 @@ class PhongShader(Shader):
         self.fill_light_world = np.asarray(fill_light_world, dtype=np.float64)
         self.rim_light_world = np.asarray(rim_light_world, dtype=np.float64)
         self.normal_map_strength = float(normal_map_strength)
+
+    def _static_key(self) -> tuple:
+        # the blend weight is baked into the traced fragment program
+        return (type(self), self.normal_map_strength)
 
     def build_uniforms(self, modelview, perspective, material, dtype):
         u = super().build_uniforms(modelview, perspective, material, dtype)
@@ -505,7 +527,10 @@ class ShadowMappedShader(PhongShader):
     def build_uniforms(self, modelview, perspective, material, dtype):
         u = super().build_uniforms(modelview, perspective, material, dtype)
         u["shadow_matrix"] = self.shadow_matrix.astype(dtype)
-        u["shadow_map"] = np.asarray(self.shadow_map, dtype=dtype)
+        sm = self.shadow_map
+        if isinstance(sm, np.ndarray):      # device arrays stay on device
+            sm = np.asarray(sm, dtype=dtype)
+        u["shadow_map"] = sm
         return u
 
     def vertex(self, u, attrs, xp):

@@ -62,16 +62,22 @@ def light_camera_for_scene(scene: Scene, light_dir,
 
 def render_depth_from_light(scene: Scene, light_cam: Camera,
                             settings: ShadowSettings,
-                            backend: str = "xla") -> np.ndarray:
-    """Pass 1: depth-only render of every mesh from the light's view."""
+                            backend: str = "xla",
+                            transfer: bool = True) -> np.ndarray:
+    """Pass 1: depth-only render of every mesh from the light's view.
+    ``transfer=False`` keeps the shadow map on device (it is consumed as
+    a pass-2 uniform, so a host round trip is pure overhead)."""
     depth_scene = Scene(camera=light_cam, width=settings.size,
                         height=settings.size)
     for p in scene.passes:
         depth_scene.add(p.mesh, p.model_matrix, DepthShader(),
                         name=f"{p.name or p.mesh.name}_lightdepth",
                         material_index=p.material_index)
-    result = depth_scene.render(backend=backend, frustum_cull=False)
-    return np.asarray(result.full_depth, dtype=np.float32)
+    result = depth_scene.render(backend=backend, frustum_cull=False,
+                                collect_stats=transfer, transfer=transfer)
+    if transfer:
+        return np.asarray(result.full_depth, dtype=np.float32)
+    return result.full_depth.astype("float32")
 
 
 def shadowed_scene(scene: Scene, light_dir, shadow_map: np.ndarray,
@@ -99,11 +105,14 @@ def shadowed_scene(scene: Scene, light_dir, shadow_map: np.ndarray,
 def render_with_shadows(scene: Scene, light_dir,
                         settings: ShadowSettings | None = None,
                         backend: str = "xla", frustum_cull: bool = True,
+                        collect_stats: bool = True, transfer: bool = True,
                         ) -> tuple[RenderResult, np.ndarray]:
     """Full two-pass shadowed render.  Returns (result, shadow_map)."""
     settings = settings or ShadowSettings()
     light_cam = light_camera_for_scene(scene, light_dir, settings)
-    shadow_map = render_depth_from_light(scene, light_cam, settings, backend)
+    shadow_map = render_depth_from_light(scene, light_cam, settings, backend,
+                                         transfer=transfer)
     lit = shadowed_scene(scene, light_dir, shadow_map, light_cam, settings)
-    result = lit.render(backend=backend, frustum_cull=frustum_cull)
+    result = lit.render(backend=backend, frustum_cull=frustum_cull,
+                        collect_stats=collect_stats, transfer=transfer)
     return result, shadow_map
