@@ -132,7 +132,8 @@ def bench_single_pass(shader_name, width, height, warmup, frames):
 
     def frame():
         fb = raster.new_framebuffers(width, height)
-        fb, _ = raster_tiled.render_pass_tiled(fb, attrs, shader, uniforms)
+        fb, _ = raster_tiled.render_pass_tiled(fb, attrs, shader, uniforms,
+                                               strict_capacity=False)
         return fb.color
 
     dt, compile_s = _time_frames(frame, warmup, frames)
@@ -149,7 +150,7 @@ def bench_shadows(width, height, warmup, frames, shadow_size=1024):
     def frame():
         result, _ = shadows.render_with_shadows(
             scene, key, settings, backend="tiled", frustum_cull=False,
-            collect_stats=False, transfer=False)
+            collect_stats=False, transfer=False, strict_capacity=False)
         return result.color
 
     dt, compile_s = _time_frames(frame, warmup, frames)
@@ -172,7 +173,8 @@ def bench_animation(width, height, frames):
         angle = 2 * pymath.pi * i / max(frames, 1)
         scene.camera.set_eye(orbit_eye(base_eye, base_target, angle))
         return scene.render(backend="tiled", frustum_cull=False,
-                            collect_stats=False, transfer=False).color
+                            collect_stats=False, transfer=False,
+                            strict_capacity=False).color
 
     import jax
     t0 = time.perf_counter()

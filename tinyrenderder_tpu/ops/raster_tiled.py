@@ -158,6 +158,11 @@ def _build_bins(tx0, ty0, span_x, spans, pair_capacity: int,
 # overflow is detected after downstream dispatch via Bins.overflowed().
 _PAIR_CAPACITY: dict = {}
 
+# async-mode bookkeeping: key -> (device total of the last frame, capacity
+# it ran with).  The D2H starts at dispatch time and is resolved at the
+# START of the next frame, so steady-state loops never block on it.
+_PENDING_TOTALS: dict = {}
+
 
 def bin_triangles_csr(setup, width: int, height: int,
                       tile_w: int = TILE_W, tile_h: int = TILE_H,
@@ -438,6 +443,7 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
                       winner_offset: int = 0,
                       tile_h: int = TILE_H, tile_w: int = TILE_W,
                       chunk: int = 8, use_pallas: bool | None = None,
+                      strict_capacity: bool = True,
                       _capacity: int | None = None):
     """Render one (mesh, shader) pass through the binned tile pipeline.
 
@@ -445,6 +451,13 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
     Pallas kernel automatically on TPU backends.  On the Pallas path the
     kernel also interpolates varyings in-tile (loop 2), so shading is a
     dense elementwise pass with no per-pixel gathers.
+
+    ``strict_capacity=True`` (default) host-syncs the true pair count per
+    pass and retries on bin overflow — exact output always, ~30 ms tunnel
+    round trip per pass.  ``strict_capacity=False`` resolves the count
+    asynchronously at the *next* frame: steady-state loops never block;
+    a frame whose pair count jumps past the cached capacity (+25%
+    headroom) may drop triangles once, after which the capacity grows.
     """
     height, width = fb.color.shape[:2]
     uniforms = dict(uniforms)
@@ -466,6 +479,22 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
         n_tiles_x = _cdiv(width, tile_w)
         n_tiles_y = _cdiv(height, tile_h)
         key = (f, n_tiles_x, n_tiles_y)
+
+        if not strict_capacity:
+            # resolve the PREVIOUS frame's pair count (its D2H has had a
+            # whole frame to complete) and grow the capacity before this
+            # frame dispatches
+            prev = _PENDING_TOTALS.pop(key, None)
+            if prev is not None:
+                prev_total, prev_cap = prev
+                pt = int(np.asarray(prev_total))
+                if pt > prev_cap:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "bin overflow (%d > %d) detected one frame late; "
+                        "capacity grown", pt, prev_cap)
+                    _PAIR_CAPACITY[key] = _quantize_capacity(pt)
+
         capacity = _capacity if _capacity is not None else _PAIR_CAPACITY.get(key)
         if capacity is None:                      # first frame: sync once
             setup0, _ = _vertex_setup_jit(attrs, uniforms, shader,
@@ -486,13 +515,20 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
         new_fb = _post_pallas_jit(fb, depth_t, winner_t, vary_t, uniforms,
                                   jnp.int32(winner_offset), shader, spec,
                                   width, height, tile_h, tile_w)
-        # deferred overflow check: the D2H fetch overlaps dispatched work
-        tot = int(jax.device_get(total))
-        if tot > capacity:
-            return render_pass_tiled(fb, attrs, shader, uniforms,
-                                     winner_offset, tile_h, tile_w, chunk,
-                                     use_pallas,
-                                     _capacity=_quantize_capacity(tot))
+        if strict_capacity:
+            # deferred overflow check: the D2H overlaps dispatched work
+            tot = int(jax.device_get(total))
+            if tot > capacity:
+                return render_pass_tiled(fb, attrs, shader, uniforms,
+                                         winner_offset, tile_h, tile_w,
+                                         chunk, use_pallas, strict_capacity,
+                                         _capacity=_quantize_capacity(tot))
+        else:
+            try:
+                total.copy_to_host_async()
+            except AttributeError:
+                pass
+            _PENDING_TOTALS[key] = (total, capacity)
         return new_fb, setup
 
     setup, varyings = _vertex_setup_jit(attrs, uniforms, shader, width, height)

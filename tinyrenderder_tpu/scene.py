@@ -92,10 +92,12 @@ class Scene:
 
     def render(self, backend: str = "xla", dtype=np.float32,
                frustum_cull: bool = True, collect_stats: bool = True,
-               transfer: bool = True) -> RenderResult:
+               transfer: bool = True,
+               strict_capacity: bool = True) -> RenderResult:
         return render_scene(self, backend=backend, dtype=dtype,
                             frustum_cull=frustum_cull,
-                            collect_stats=collect_stats, transfer=transfer)
+                            collect_stats=collect_stats, transfer=transfer,
+                            strict_capacity=strict_capacity)
 
 
 def _cull_passes(scene: Scene, frustum_cull: bool, stats: RenderStats):
@@ -129,7 +131,8 @@ def _pass_inputs(scene: Scene, p: ScenePass, dtype):
 
 def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
                  frustum_cull: bool = True, collect_stats: bool = True,
-                 transfer: bool = True) -> RenderResult:
+                 transfer: bool = True,
+                 strict_capacity: bool = True) -> RenderResult:
     """``collect_stats=False`` skips per-pass stats/timing host syncs;
     ``transfer=False`` leaves the result buffers on device (the full-
     frame D2H is the dominant cost on tunneled TPU hosts).  Use both for
@@ -142,7 +145,7 @@ def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
         return _render_oracle(scene, visible, dtype, stats, timings)
     if backend in ("xla", "tiled"):
         return _render_device(scene, visible, dtype, stats, timings, backend,
-                              collect_stats, transfer)
+                              collect_stats, transfer, strict_capacity)
     raise ValueError(f"unknown backend: {backend}")
 
 
@@ -171,14 +174,18 @@ def _render_oracle(scene, visible, dtype, stats, timings) -> RenderResult:
 
 
 def _render_device(scene, visible, dtype, stats, timings, backend,
-                   collect_stats=True, transfer=True) -> RenderResult:
+                   collect_stats=True, transfer=True,
+                   strict_capacity=True) -> RenderResult:
     import jax.numpy as jnp
 
     from tinyrenderder_tpu.ops import raster
 
     if backend == "tiled":
+        import functools
+
         from tinyrenderder_tpu.ops import raster_tiled
-        pass_fn = raster_tiled.render_pass_tiled
+        pass_fn = functools.partial(raster_tiled.render_pass_tiled,
+                                    strict_capacity=strict_capacity)
     else:
         pass_fn = raster.render_pass_xla
 

@@ -106,6 +106,7 @@ def render_with_shadows(scene: Scene, light_dir,
                         settings: ShadowSettings | None = None,
                         backend: str = "xla", frustum_cull: bool = True,
                         collect_stats: bool = True, transfer: bool = True,
+                        strict_capacity: bool = True,
                         ) -> tuple[RenderResult, np.ndarray]:
     """Full two-pass shadowed render.  Returns (result, shadow_map)."""
     settings = settings or ShadowSettings()
@@ -114,5 +115,6 @@ def render_with_shadows(scene: Scene, light_dir,
                                          transfer=transfer)
     lit = shadowed_scene(scene, light_dir, shadow_map, light_cam, settings)
     result = lit.render(backend=backend, frustum_cull=frustum_cull,
-                        collect_stats=collect_stats, transfer=transfer)
+                        collect_stats=collect_stats, transfer=transfer,
+                        strict_capacity=strict_capacity)
     return result, shadow_map
