@@ -266,3 +266,19 @@ class Mesh:
             "tangent": self.tangents[f].astype(dtype),
             "bitangent": self.bitangents[f].astype(dtype),
         }
+
+    def device_face_attributes(self, dtype=np.float32):
+        """face_attributes uploaded to the default device once and cached
+        (geometry is immutable per pass; re-uploading ~MBs per frame
+        through a tunneled host dominates animation loops).  Call
+        ``invalidate_device_cache`` after mutating geometry."""
+        key = np.dtype(dtype).str
+        cache = self.__dict__.setdefault("_device_attr_cache", {})
+        if key not in cache:
+            import jax.numpy as jnp
+            cache[key] = {k: jnp.asarray(v)
+                          for k, v in self.face_attributes(dtype).items()}
+        return cache[key]
+
+    def invalidate_device_cache(self) -> None:
+        self.__dict__.pop("_device_attr_cache", None)

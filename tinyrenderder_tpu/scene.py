@@ -118,15 +118,37 @@ def _cull_passes(scene: Scene, frustum_cull: bool, stats: RenderStats):
     return visible
 
 
-def _pass_inputs(scene: Scene, p: ScenePass, dtype):
+def _pass_inputs(scene: Scene, p: ScenePass, dtype, device: bool = False):
     view = scene.camera.view_matrix
     persp = scene.camera.projection_matrix
     modelview = view @ p.model_matrix
     material = (p.mesh.materials[p.material_index]
                 if p.mesh.materials else None)
     uniforms = p.shader.build_uniforms(modelview, persp, material, dtype)
-    attrs = p.mesh.face_attributes(dtype)
+    if device:
+        attrs = p.mesh.device_face_attributes(dtype)
+        uniforms = {k: _to_device_cached(v) for k, v in uniforms.items()}
+    else:
+        attrs = p.mesh.face_attributes(dtype)
     return attrs, uniforms
+
+
+# device copies of big immutable uniforms (textures, shadow maps), keyed
+# by the host array's identity — re-uploading ~1 MB of textures per pass
+# per frame dominates animation loops on tunneled hosts
+_DEVICE_UNIFORM_CACHE: dict[int, tuple] = {}
+
+
+def _to_device_cached(v):
+    if not isinstance(v, np.ndarray) or v.size < 4096:
+        return v
+    hit = _DEVICE_UNIFORM_CACHE.get(id(v))
+    if hit is not None and hit[0] is v:
+        return hit[1]
+    import jax.numpy as jnp
+    dev = jnp.asarray(v)
+    _DEVICE_UNIFORM_CACHE[id(v)] = (v, dev)   # keep v alive: id stays valid
+    return dev
 
 
 def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
@@ -193,8 +215,7 @@ def _render_device(scene, visible, dtype, stats, timings, backend,
     snapshot_depth = None
     winner_offset = 0
     for p in visible:
-        attrs, uniforms = _pass_inputs(scene, p, dtype)
-        attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
+        attrs, uniforms = _pass_inputs(scene, p, dtype, device=True)
         if p.exclude_from_output_depth and snapshot_depth is None:
             snapshot_depth = fb.depth               # immutable: free snapshot
         t0 = time.perf_counter()

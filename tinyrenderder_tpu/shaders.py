@@ -191,12 +191,16 @@ def _light_dirs_eye(modelview64: np.ndarray, world_dirs: list[np.ndarray]) -> li
 
 def _material_textures(material: Material | None) -> dict:
     m = material or Material()
+    # cache the packed texture on the material: build_uniforms runs per
+    # frame and the device-upload cache is keyed by array identity
+    if "_packed" not in m.__dict__:
+        m.__dict__["_packed"] = pack_material_textures(m)
     return {
         "tex_diffuse": m.diffuse,
         "tex_normal": m.normal,
         "tex_specular": m.specular,
         "tex_emission": m.emission,
-        "tex_packed": pack_material_textures(m),
+        "tex_packed": m.__dict__["_packed"],
     }
 
 
