@@ -127,6 +127,9 @@ def bench_single_pass(shader_name, width, height, warmup, frames):
     attrs, shader, uniforms = build_pass(width, height,
                                          shader=shaders[shader_name])
     attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
+    # upload textures once — per-frame H2D costs ~35 ms via the tunnel
+    from tinyrenderder_tpu.scene import _to_device_cached
+    uniforms = {k: _to_device_cached(v) for k, v in uniforms.items()}
 
     from tinyrenderder_tpu.ops import raster, raster_tiled
 

@@ -481,19 +481,26 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
         key = (f, n_tiles_x, n_tiles_y)
 
         if not strict_capacity:
-            # resolve the PREVIOUS frame's pair count (its D2H has had a
-            # whole frame to complete) and grow the capacity before this
-            # frame dispatches
-            prev = _PENDING_TOTALS.pop(key, None)
+            # resolve a PREVIOUS frame's pair count, but only once its D2H
+            # has actually landed (blocking on an in-flight tunnel
+            # transfer costs the same ~30 ms RTT the async mode exists to
+            # avoid); force resolution after 8 frames so overflow can
+            # never go undetected indefinitely
+            prev = _PENDING_TOTALS.get(key)
             if prev is not None:
-                prev_total, prev_cap = prev
-                pt = int(np.asarray(prev_total))
-                if pt > prev_cap:
-                    import logging
-                    logging.getLogger(__name__).warning(
-                        "bin overflow (%d > %d) detected one frame late; "
-                        "capacity grown", pt, prev_cap)
-                    _PAIR_CAPACITY[key] = _quantize_capacity(pt)
+                prev_total, prev_cap, age = prev
+                ready = getattr(prev_total, "is_ready", lambda: True)()
+                if ready or age >= 8:
+                    _PENDING_TOTALS.pop(key)
+                    pt = int(np.asarray(prev_total))
+                    if pt > prev_cap:
+                        import logging
+                        logging.getLogger(__name__).warning(
+                            "bin overflow (%d > %d) detected %d frame(s) "
+                            "late; capacity grown", pt, prev_cap, age + 1)
+                        _PAIR_CAPACITY[key] = _quantize_capacity(pt)
+                else:
+                    _PENDING_TOTALS[key] = (prev_total, prev_cap, age + 1)
 
         capacity = _capacity if _capacity is not None else _PAIR_CAPACITY.get(key)
         if capacity is None:                      # first frame: sync once
@@ -523,12 +530,13 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
                                          winner_offset, tile_h, tile_w,
                                          chunk, use_pallas, strict_capacity,
                                          _capacity=_quantize_capacity(tot))
-        else:
+        elif key not in _PENDING_TOTALS:
+            # sample one in-flight count at a time per key
             try:
                 total.copy_to_host_async()
             except AttributeError:
                 pass
-            _PENDING_TOTALS[key] = (total, capacity)
+            _PENDING_TOTALS[key] = (total, capacity, 0)
         return new_fb, setup
 
     setup, varyings = _vertex_setup_jit(attrs, uniforms, shader, width, height)
