@@ -88,7 +88,7 @@ def test_sharded_tiled_matches_single_device(meshes, n_devices):
     must match the single-device scan path pixel for pixel."""
     if len(jax.devices()) < n_devices:
         pytest.skip("not enough virtual devices")
-    w, h = 128, 64          # bands tile-aligned: 64 / 8 devices = 8 rows
+    w, h = 128, 128         # bands tile-aligned: 128 / 8 devices = 16 rows
     view, proj = default_view()
     passes = _passes(meshes, view, proj)
 

@@ -1,8 +1,8 @@
 """Pallas TPU rasterization kernel over CSR triangle bins.
 
 The performance replacement for the reference's serial per-pixel hot loop
-(our_gl.cpp:147-200).  One grid step owns one (8, 128) framebuffer tile
-held in VMEM; it streams its bin segment of pre-gathered triangle records
+(our_gl.cpp:147-200).  One grid step owns one (TILE_H, 128) framebuffer
+tile held in VMEM; it streams its bin segment of pre-gathered triangle records
 from HBM (double-buffered async DMA) in two ordered loops:
 
   Loop 1 — depth resolve: compare-and-select z merge per record chunk.
@@ -38,8 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tinyrenderder_tpu.ops import semantics
 from tinyrenderder_tpu.ops.raster import BACKGROUND
-from tinyrenderder_tpu.ops.raster_tiled import (Bins, _cdiv, _from_tiles,
-                                                _to_tiles)
+from tinyrenderder_tpu.ops.raster_tiled import (TILE_H, TILE_W, Bins, _cdiv,
+                                                _from_tiles, _to_tiles)
 
 __all__ = ["depth_resolve_pallas", "rasterize_pallas", "build_pair_records",
            "VARY_OFF", "MAX_VARY"]
@@ -290,8 +290,8 @@ def _pallas_call_jit(start, counts, records, init_tiles,
 
 
 def rasterize_pallas(setup, bins: Bins, init_depth, height: int, width: int,
-                     vary_corners=None, tile_h: int = 8, tile_w: int = 128,
-                     interpret: bool | None = None):
+                     vary_corners=None, tile_h: int = TILE_H,
+                     tile_w: int = TILE_W, interpret: bool | None = None):
     """Depth resolve (+ optional varying interpolation) via the tile
     kernel.  Returns (depth (H, W), winner (H, W) i32, vary (V, H, W) or
     None)."""
@@ -321,7 +321,7 @@ def rasterize_pallas(setup, bins: Bins, init_depth, height: int, width: int,
 
 def depth_resolve_pallas(setup, bins: Bins, init_depth,
                          height: int, width: int,
-                         tile_h: int = 8, tile_w: int = 128,
+                         tile_h: int = TILE_H, tile_w: int = TILE_W,
                          interpret: bool | None = None):
     """Phase A only — same contract as raster_tiled.depth_resolve_tiled."""
     depth, winner, _ = rasterize_pallas(
