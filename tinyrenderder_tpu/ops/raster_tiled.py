@@ -14,8 +14,10 @@ O(sum over triangles of (tiles overlapped) * tile_area):
      triangle submission order, which preserves the reference's
      first-drawn-wins z-tie semantics, our_gl.cpp:165).
   4. Depth-resolve each tile against only its bin (scan over bin chunks),
-     with pixels of a tile laid out as an (8, 128)-aligned block.
-  5. Shade winners once per pixel (shared phase B, ops.raster).
+     with pixels of a tile laid out as a (TILE_H, 128)-lane-aligned block.
+  5. Shade winners once per pixel: on the Pallas path from kernel-
+     interpolated varying planes (phase C), on the XLA fallback via the
+     shared gather-based phase B (ops.raster.shade_winners).
 
 Decision math is ops.semantics, so output is bit-identical to the scan
 path and parity-comparable with the CPU oracle.  On TPU the per-tile
