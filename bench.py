@@ -161,6 +161,40 @@ def bench_shadows(width, height, warmup, frames, shadow_size=1024):
             "mpix_s": width * height / dt / 1e6, "compile_s": compile_s}
 
 
+def bench_stress(width, height, warmup, frames, grid=3):
+    """Sponza-scale geometry: grid^2 dense heads (~246k triangles at
+    grid=3) through the full pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu import math3d
+    from tinyrenderder_tpu.models import procedural
+    from tinyrenderder_tpu.ops import raster, raster_tiled
+    from tinyrenderder_tpu.scene import _to_device_cached
+    from tinyrenderder_tpu.shaders import PhongShader
+
+    wall = procedural.head_wall(grid=grid)
+    key, fill, rim = _lights()
+    view = math3d.lookat((0, 0.3, 6.5), (0, 0, 0), (0, 1, 0))
+    proj = math3d.perspective(60.0, width / height, 0.1, 50.0)
+    shader = PhongShader(key, fill, rim, normal_map_strength=0.5)
+    uniforms = {k: _to_device_cached(v) for k, v in shader.build_uniforms(
+        view, proj, wall.materials[0], np.float32).items()}
+    attrs = wall.device_face_attributes(np.float32)
+    log(f"stress scene: {wall.nfaces} triangles at {width}x{height}")
+
+    def frame():
+        fb = raster.new_framebuffers(width, height)
+        fb, _ = raster_tiled.render_pass_tiled(fb, attrs, shader, uniforms,
+                                               strict_capacity=False)
+        return fb.color
+
+    dt, compile_s = _time_frames(frame, warmup, frames)
+    return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
+            "mpix_s": width * height / dt / 1e6,
+            "mtri_s": wall.nfaces / dt / 1e6, "compile_s": compile_s}
+
+
 def bench_animation(width, height, frames):
     """Config #5: multi-mesh orbit; reports steady fps over `frames`
     orbit steps (no disk writes — render throughput only)."""
@@ -227,6 +261,9 @@ def main() -> int:
     run(f"shadow_phong_{mid}", bench_shadows, mid, mid,
         max(warmup - 1, 1), max(frames // 2, 1), 1024 if on_tpu else 128)
     run(f"animation_multimesh_{big}", bench_animation, big, big, anim_frames)
+    run("sponza_scale_246k_1280x800" if on_tpu else "sponza_scale_cpu",
+        bench_stress, 1280 if on_tpu else 160, 800 if on_tpu else 100,
+        max(warmup - 1, 1), max(frames // 2, 1), 3 if on_tpu else 2)
 
     with open("bench_report.json", "w") as f:
         json.dump(report, f, indent=2)

@@ -16,6 +16,7 @@ import numpy as np
 from tinyrenderder_tpu.models.mesh import Material, Mesh, SubMesh
 
 __all__ = ["uv_sphere", "bumpy_head", "plane", "cube", "triangle_soup",
+           "head_wall",
            "checker_texture", "noise_texture", "gradient_specular_texture",
            "sphere_normal_texture", "default_head_material"]
 
@@ -121,6 +122,29 @@ def triangle_soup(n: int = 64, seed: int = 3, spread: float = 1.0,
     faces = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
     uvs = rng.uniform(0, 1, size=(n * 3, 2))
     return Mesh(positions=pos, faces=faces, uvs=uvs, name=name).finalize()
+
+
+def head_wall(grid: int = 3, n_lat: int = 96, n_lon: int = 144,
+              spacing: float = 2.4, name: str = "head_wall") -> Mesh:
+    """grid x grid dense bumpy heads merged into one mesh — the
+    Sponza-scale (~quarter-million triangle) stress stand-in."""
+    head = bumpy_head(n_lat, n_lon)
+    pos, fac, uvs, nrm = [], [], [], []
+    offset = 0
+    half = (grid - 1) / 2.0
+    for gy in range(grid):
+        for gx in range(grid):
+            shift = np.array([(gx - half) * spacing, (gy - half) * spacing, 0.0])
+            pos.append(head.positions + shift)
+            fac.append(head.faces + offset)
+            uvs.append(head.uvs)
+            nrm.append(head.normals)
+            offset += head.nverts
+    mesh = Mesh(positions=np.concatenate(pos), faces=np.concatenate(fac),
+                uvs=np.concatenate(uvs), normals=np.concatenate(nrm),
+                name=name)
+    mesh.materials = [default_head_material(128)]
+    return mesh.finalize()
 
 
 # ---------------------------------------------------------------------------

@@ -167,6 +167,9 @@ _PAIR_CAPACITY: dict = {}
 # START of the next frame, so steady-state loops never block on it.
 _PENDING_TOTALS: dict = {}
 
+# diagnostic: disable all overflow bookkeeping in non-strict mode
+_DISABLE_OVERFLOW_CHECKS = False
+
 
 def bin_triangles_csr(setup, width: int, height: int,
                       tile_w: int = TILE_W, tile_h: int = TILE_H,
@@ -484,7 +487,7 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
         n_tiles_y = _cdiv(height, tile_h)
         key = (f, n_tiles_x, n_tiles_y)
 
-        if not strict_capacity:
+        if not strict_capacity and not _DISABLE_OVERFLOW_CHECKS:
             # resolve a PREVIOUS frame's pair count, but only once its D2H
             # has actually landed (blocking on an in-flight tunnel
             # transfer costs the same ~30 ms RTT the async mode exists to
@@ -534,7 +537,7 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
                                          winner_offset, tile_h, tile_w,
                                          chunk, use_pallas, strict_capacity,
                                          _capacity=_quantize_capacity(tot))
-        elif key not in _PENDING_TOTALS:
+        elif not _DISABLE_OVERFLOW_CHECKS and key not in _PENDING_TOTALS:
             # sample one in-flight count at a time per key
             try:
                 total.copy_to_host_async()
