@@ -183,24 +183,31 @@ def run(argv=None) -> int:
             os.path.join(outdir, "phong.tga"))
         log.info("Saved: phong.tga")
 
-    xp = np
-    depth = np.asarray(result.depth, dtype=np.float64)
-    zimg = post.zbuffer_to_image(depth, xp)
+    if args.backend in ("xla", "tiled") and not args.no_ssao:
+        # one fused device dispatch for z-viz + SSAO + composite
+        zimg_d, ao_d, final_d = post.postprocess_device(
+            result.color, np.asarray(result.depth, dtype=np.float32))
+        zimg, ao_u8, final = (np.asarray(zimg_d), np.asarray(ao_d),
+                              np.asarray(final_d))
+    else:
+        depth = np.asarray(result.depth, dtype=np.float64)
+        zimg = post.zbuffer_to_image(depth, np)
+        ao_u8 = final = None
+        if not args.no_ssao:
+            ao_u8 = post.ssao_image(post.ssao_map(depth, np), np)
+            final = post.composite(result.color, ao_u8, np)
+
     tga.TGAImage.from_rgb(np.repeat(zimg[..., None], 3, axis=-1)).write_tga_file(
         os.path.join(outdir, "zbuffer.tga"))
     log.info("Saved: zbuffer.tga")
 
     if not args.no_ssao:
-        log.info("Computing SSAO...")
-        ao = post.ssao_map(depth, xp)
-        ao_u8 = post.ssao_image(ao, xp)
         tga.TGAImage.from_rgb(np.repeat(ao_u8[..., None], 3, axis=-1)).write_tga_file(
             os.path.join(outdir, "ao.tga"))
         log.info("Saved: ao.tga")
 
         if result.stats.models_rendered > 0:
-            final = post.composite(result.color, ao_u8, xp)
-            tga.TGAImage.from_rgb(final).write_tga_file(
+            tga.TGAImage.from_rgb(np.asarray(final)).write_tga_file(
                 os.path.join(outdir, "final.tga"))
             log.info("Saved: final.tga")
 

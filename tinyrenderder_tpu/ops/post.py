@@ -105,6 +105,33 @@ def ssao_image(ao, xp):
     return xp.trunc(255.0 * ao).astype(xp.uint8)
 
 
+_POSTPROCESS_JIT = None
+
+
+def postprocess_device(color_u8, depth):
+    """Full post pipeline (z visualization, SSAO, composite) as one
+    jitted device dispatch: (zbuffer_img, ao_img, final) uint8 arrays.
+
+    Byte-identical to the numpy path (the SSAO taps and all casts are
+    shared); used by the CLI on device backends so the 64-tap stencil
+    runs as 64 shifted-plane compares on the VPU instead of host loops.
+    """
+    global _POSTPROCESS_JIT
+    import jax
+    import jax.numpy as jnp
+
+    if _POSTPROCESS_JIT is None:
+        def _run(color_u8, depth):
+            zimg = zbuffer_to_image(depth, jnp)
+            ao = ssao_map(depth, jnp)
+            ao_u8 = ssao_image(ao, jnp)
+            final = composite(color_u8, ao_u8, jnp)
+            return zimg, ao_u8, final
+
+        _POSTPROCESS_JIT = jax.jit(_run)
+    return _POSTPROCESS_JIT(jnp.asarray(color_u8), jnp.asarray(depth))
+
+
 def composite(color, ao_intensity_u8, xp):
     """final = phong * (ao_byte / 255) per channel (main.cpp:768-786).
 
