@@ -13,8 +13,12 @@ import sys
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_allow_excess_precision" not in flags:
+    # forbid FMA contraction so identical formulas round identically
+    # across differently-fused programs (z-tie winner parity)
+    flags = (flags + " --xla_allow_excess_precision=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -180,6 +180,12 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
         covered &= live_mask(rows, pair0)
 
         zc = jnp.where(covered, z, jnp.inf)
+        # NOTE: a sequential per-pair compare-select merge is ~20% fewer
+        # register ops, but changing the op structure here perturbs XLA's
+        # FMA grouping of affine_z by 1 ulp relative to the XLA tiled
+        # path, flipping z-ties on shared edges — the argmin form fuses
+        # identically to the scan path and keeps winner maps bitwise
+        # equal across backends.
         zmin = jnp.min(zc, axis=0)               # (TH, TW)
         best = jnp.argmin(zc, axis=0)            # first min = lowest id
         ids = rows[:, 16][:, None, None]
