@@ -129,6 +129,18 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
             sem.at[slot],
         )
 
+    def run_chunk(ci, slot, process_sub):
+        def sub_body(s, _):
+            pair0 = ci * DMA_CHUNK + s * SUB
+
+            @pl.when(pair0 < count)              # skip all-dead tails
+            def _():
+                rows = buf[slot, pl.ds(s * SUB, SUB)]        # (SUB, REC)
+                process_sub(rows, pair0)
+            return 0
+
+        jax.lax.fori_loop(0, DMA_CHUNK // SUB, sub_body, 0)
+
     def stream(process_sub):
         """Double-buffered loop over the tile's record chunks."""
         @pl.when(n_chunks > 0)
@@ -143,17 +155,7 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
                 get_dma((ci + 1) % 2, ci + 1).start()
 
             get_dma(slot, ci).wait()
-
-            def sub_body(s, _):
-                pair0 = ci * DMA_CHUNK + s * SUB
-
-                @pl.when(pair0 < count)          # skip all-dead tails
-                def _():
-                    rows = buf[slot, pl.ds(s * SUB, SUB)]    # (SUB, REC)
-                    process_sub(rows, pair0)
-                return 0
-
-            jax.lax.fori_loop(0, DMA_CHUNK // SUB, sub_body, 0)
+            run_chunk(ci, slot, process_sub)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -200,6 +202,8 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
     stream(depth_sub)
 
     # ---- loop 2: varying interpolation for winners ------------------------
+    # single-chunk tiles (the common case) reuse the records still
+    # resident in buf[0] from loop 1 instead of re-DMAing the segment
     if n_vary:
         def vary_sub(rows, pair0):
             ids = rows[:, 16][:, None, None]
@@ -222,7 +226,13 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
                     contrib = jnp.sum(jnp.where(mine, val, 0.0), axis=0)
                     vary_ref[0, c] = jnp.where(hit, contrib, vary_ref[0, c])
 
-        stream(vary_sub)
+        @pl.when(n_chunks == 1)
+        def _():
+            run_chunk(0, 0, vary_sub)            # records still in buf[0]
+
+        @pl.when(n_chunks > 1)
+        def _():
+            stream(vary_sub)
 
 
 @functools.partial(jax.jit, static_argnames=("ty", "tx", "th", "tw"))
