@@ -106,3 +106,28 @@ def test_sharded_tiled_matches_single_device(meshes, n_devices):
     assert dc.max() <= 1
     d_sh, d_one = np.asarray(fb_sh.depth), np.asarray(fb_one.depth)
     assert (np.isfinite(d_sh) == np.isfinite(d_one)).all()
+
+
+def test_sharded_2d_mesh_matches_single_device(meshes):
+    """(2, 4) ('ty','tx') mesh: framebuffer blocks sharded in both screen
+    axes, still pixel-identical to single-device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough virtual devices")
+    w, h = 512, 32          # blocks (16, 128): tile-aligned on both axes
+    view, proj = default_view()
+    passes = _passes(meshes, view, proj)
+
+    mesh = dist.make_mesh_grid(2, 4)
+    fb_sh = dist.render_frame_sharded(mesh, passes, w, h, tiled=True)
+
+    ps = [make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj),
+          make_pass(meshes["plane"], TexturedShader(), view, proj),
+          make_pass(meshes["soup"], GouraudShader(), view, proj)]
+    fb_one = render_engine(ps, w, h, backend="xla")
+
+    assert (np.asarray(fb_sh.winner) == np.asarray(fb_one.winner)).all()
+    dc = np.abs(np.asarray(fb_sh.color).astype(int)
+                - np.asarray(fb_one.color).astype(int))
+    assert dc.max() <= 1
+    shards = {s.device for s in fb_sh.color.addressable_shards}
+    assert len(shards) == 8

@@ -89,12 +89,14 @@ class Bins:
 
 
 @functools.partial(jax.jit, static_argnames=("tile_w", "tile_h"))
-def _tile_spans(setup, tile_w: int, tile_h: int, ty_lo=None, ty_hi=None):
+def _tile_spans(setup, tile_w: int, tile_h: int, ty_lo=None, ty_hi=None,
+                tx_lo=None, tx_hi=None):
     """Per-triangle tile ranges and pair spans from the clamped bbox.
 
-    ``ty_lo``/``ty_hi`` (inclusive, may be traced) clip the vertical tile
-    range to a row band — the sharded path bins each device's band
-    independently; returned ty0 is band-local.
+    ``ty_lo``/``ty_hi`` and ``tx_lo``/``tx_hi`` (inclusive, may be
+    traced) clip the tile range to a screen block — the sharded paths
+    bin each device's block independently; returned tx0/ty0 are
+    block-local.
     """
     bbox = setup["bbox"]                      # (F, 4) min_x, max_x, min_y, max_y
     valid = setup["valid"]
@@ -106,10 +108,17 @@ def _tile_spans(setup, tile_w: int, tile_h: int, ty_lo=None, ty_hi=None):
         ty0c = jnp.maximum(ty0, ty_lo)
         ty1c = jnp.minimum(ty1, ty_hi)
         span_y = jnp.where(valid & (ty1c >= ty0c), ty1c - ty0c + 1, 0)
-        ty0 = ty0c - ty_lo                    # band-local
+        ty0 = ty0c - ty_lo                    # block-local
     else:
         span_y = jnp.where(valid, ty1 - ty0 + 1, 0)
-    span_x = jnp.where(valid, tx1 - tx0 + 1, 0).astype(jnp.int32)
+    if tx_lo is not None:
+        tx0c = jnp.maximum(tx0, tx_lo)
+        tx1c = jnp.minimum(tx1, tx_hi)
+        span_x = jnp.where(valid & (tx1c >= tx0c), tx1c - tx0c + 1, 0)
+        tx0 = tx0c - tx_lo                    # block-local
+    else:
+        span_x = jnp.where(valid, tx1 - tx0 + 1, 0)
+    span_x = span_x.astype(jnp.int32)
     span_y = span_y.astype(jnp.int32)
     spans = jnp.where(span_y > 0, span_x, 0) * span_y
     total = jnp.sum(spans)

@@ -37,6 +37,7 @@ __all__ = ["make_mesh", "render_pass_sharded", "render_frame_sharded",
            "new_sharded_framebuffers", "AXIS"]
 
 AXIS = "rows"
+AXIS_Y, AXIS_X = "ty", "tx"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -50,13 +51,31 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devices[:n_devices]), (AXIS,))
 
 
+def make_mesh_grid(n_rows: int, n_cols: int) -> Mesh:
+    """2-D ('ty', 'tx') device mesh: framebuffer sharded in both screen
+    axes (row bands x column bands)."""
+    devices = jax.devices()
+    n = n_rows * n_cols
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n]).reshape(n_rows, n_cols),
+                (AXIS_Y, AXIS_X))
+
+
 def new_sharded_framebuffers(mesh: Mesh, width: int, height: int) -> FrameBuffers:
-    """Fresh framebuffers laid out as row bands across the mesh
-    (init_zbuffer semantics: depth cleared to +inf, our_gl.cpp:72-74)."""
-    n = mesh.devices.size
-    if height % n:
-        raise ValueError(f"height {height} not divisible by {n} devices")
-    sharding = NamedSharding(mesh, P(AXIS))
+    """Fresh framebuffers laid out as row bands (1-D mesh) or screen
+    blocks (2-D mesh) across the devices (init_zbuffer semantics: depth
+    cleared to +inf, our_gl.cpp:72-74)."""
+    if mesh.axis_names == (AXIS_Y, AXIS_X):
+        if height % mesh.shape[AXIS_Y] or width % mesh.shape[AXIS_X]:
+            raise ValueError(f"{width}x{height} not divisible by the "
+                             f"{dict(mesh.shape)} mesh")
+        sharding = NamedSharding(mesh, P(AXIS_Y, AXIS_X))
+    else:
+        n = mesh.devices.size
+        if height % n:
+            raise ValueError(f"height {height} not divisible by {n} devices")
+        sharding = NamedSharding(mesh, P(AXIS))
 
     @functools.partial(jax.jit, out_shardings=sharding)
     def init():
@@ -125,10 +144,17 @@ def render_frame_sharded(mesh: Mesh, passes, width: int, height: int,
     ``tiled=None`` uses the production binned/Pallas pipeline when the
     band height is tile-aligned, else the scan path.
     """
-    n = mesh.devices.size
+    from tinyrenderder_tpu.ops import raster_tiled
+    two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
     if tiled is None:
-        from tinyrenderder_tpu.ops import raster_tiled
-        tiled = height % (n * raster_tiled.TILE_H) == 0
+        if two_d:
+            tiled = (height % (mesh.shape[AXIS_Y] * raster_tiled.TILE_H) == 0
+                     and width % (mesh.shape[AXIS_X] * raster_tiled.TILE_W) == 0)
+        else:
+            tiled = height % (mesh.devices.size * raster_tiled.TILE_H) == 0
+    if two_d and not tiled:
+        raise ValueError("2-D meshes require the tiled pipeline "
+                         "(tile-aligned blocks)")
     fb = new_sharded_framebuffers(mesh, width, height)
     offset = 0
     for attrs, shader, uniforms in passes:
@@ -152,48 +178,62 @@ def _sharded_tiled_fn(mesh: Mesh, shader, width: int, height: int,
                       interpret: bool):
     from tinyrenderder_tpu.ops import raster_pallas, raster_tiled
 
-    n = mesh.devices.size
-    band_h = height // n
-    n_tiles_x = -(-width // tile_w)
+    two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
+    n_rows = mesh.shape[AXIS_Y] if two_d else mesh.devices.size
+    n_cols = mesh.shape[AXIS_X] if two_d else 1
+    band_h = height // n_rows
+    band_w = width // n_cols
     band_tiles_y = band_h // tile_h
+    band_tiles_x = band_w // tile_w
     spec = tuple(shader.varying_spec.items())
     n_vary = sum(c for _, c in spec)
     vp = math3d.viewport(0, 0, width, height)
 
     def shard_body(fb: FrameBuffers, attrs, uniforms, winner_offset):
-        band = jax.lax.axis_index(AXIS)
-        ty_lo = band * band_tiles_y
+        iy = jax.lax.axis_index(AXIS_Y if two_d else AXIS)
+        ix = jax.lax.axis_index(AXIS_X) if two_d else jnp.int32(0)
+        ty_lo = iy * band_tiles_y
         ty_hi = ty_lo + band_tiles_y - 1
+        tx_lo = ix * band_tiles_x
+        tx_hi = tx_lo + band_tiles_x - 1
         dtype = attrs["position"].dtype
 
         clip, varyings = shader.vertex(uniforms, attrs, jnp)
         setup = semantics.triangle_setup_planes(
             clip, jnp.asarray(vp, dtype=dtype), width, height, jnp)
         tx0, ty0, span_x, spans, total = raster_tiled._tile_spans(
-            setup, tile_w, tile_h, ty_lo, ty_hi)
+            setup, tile_w, tile_h, ty_lo, ty_hi,
+            tx_lo if two_d else None, tx_hi if two_d else None)
         sorted_tri, start, counts = raster_tiled._build_bins(
-            tx0, ty0, span_x, spans, capacity, n_tiles_x, band_tiles_y)
+            tx0, ty0, span_x, spans, capacity, band_tiles_x, band_tiles_y)
         vary_corners = raster_tiled._flatten_varyings(varyings, spec)
         records = raster_pallas.build_pair_records(
             setup, sorted_tri, vary_corners)
         init_tiles = raster_tiled._to_tiles(
-            fb.depth, band_tiles_y, n_tiles_x, tile_h, tile_w, jnp.inf)
-        origin = jnp.stack([jnp.int32(0), band * jnp.int32(band_h)])
+            fb.depth, band_tiles_y, band_tiles_x, tile_h, tile_w, jnp.inf)
+        origin = jnp.stack([ix * jnp.int32(band_w), iy * jnp.int32(band_h)])
         depth_t, winner_t, vary_t = raster_pallas._pallas_call_jit(
             start[:-1], counts, records, init_tiles,
-            n_tiles_x, band_tiles_y, tile_h, tile_w, n_vary, interpret,
+            band_tiles_x, band_tiles_y, tile_h, tile_w, n_vary, interpret,
             origin=origin)
         new_fb = raster_tiled._post_pallas_jit(
             fb, depth_t, winner_t, vary_t, uniforms, winner_offset,
-            shader, spec, width, band_h, tile_h, tile_w)
-        return new_fb, total.reshape(1)   # (1,) per band -> (n,) gathered
+            shader, spec, band_w, band_h, tile_h, tile_w)
+        t_out = total.reshape(1, 1) if two_d else total.reshape(1)
+        return new_fb, t_out              # per-block totals, gathered
 
-    fb_spec = FrameBuffers(color=P(AXIS), depth=P(AXIS), winner=P(AXIS))
+    if two_d:
+        block = P(AXIS_Y, AXIS_X)
+        total_spec = P(AXIS_Y, AXIS_X)
+    else:
+        block = P(AXIS)
+        total_spec = P(AXIS)
+    fb_spec = FrameBuffers(color=block, depth=block, winner=block)
     # check_vma=False: pallas_call's out_shapes don't carry vma metadata
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(fb_spec, P(), P(), P()),
-        out_specs=(fb_spec, P(AXIS)),
+        out_specs=(fb_spec, total_spec),
         check_vma=False)
     return jax.jit(mapped)
 
@@ -214,17 +254,22 @@ def render_pass_sharded_tiled(mesh: Mesh, fb: FrameBuffers, attrs: dict,
     if tile_w is None:
         tile_w = raster_tiled.TILE_W
     height, width = fb.color.shape[:2]
-    n = mesh.devices.size
-    if (height % n) or (height // n) % tile_h:
-        raise ValueError(f"height {height} not divisible into {n} "
+    two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
+    n_rows = mesh.shape[AXIS_Y] if two_d else mesh.devices.size
+    n_cols = mesh.shape[AXIS_X] if two_d else 1
+    if (height % n_rows) or (height // n_rows) % tile_h:
+        raise ValueError(f"height {height} not divisible into {n_rows} "
                          f"tile-aligned bands")
+    if (width % n_cols) or (width // n_cols) % tile_w:
+        raise ValueError(f"width {width} not divisible into {n_cols} "
+                         f"tile-aligned columns")
     f = attrs["position"].shape[0]
     if f == 0:
         return fb
     attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
     uniforms = dict(uniforms)
 
-    key = (f, width, height, n, "sharded")
+    key = (f, width, height, n_rows, n_cols, "sharded")
     capacity = (_capacity if _capacity is not None
                 else raster_tiled._PAIR_CAPACITY.get(key))
     if capacity is None:
