@@ -146,6 +146,8 @@ def _to_device_cached(v):
     if hit is not None and hit[0] is v:
         return hit[1]
     import jax.numpy as jnp
+    if len(_DEVICE_UNIFORM_CACHE) >= 256:     # bound HBM held by the cache
+        _DEVICE_UNIFORM_CACHE.pop(next(iter(_DEVICE_UNIFORM_CACHE)))
     dev = jnp.asarray(v)
     _DEVICE_UNIFORM_CACHE[id(v)] = (v, dev)   # keep v alive: id stays valid
     return dev
