@@ -96,20 +96,24 @@ def _scene(width, height, shader_for=None, meshes=3):
     return scene
 
 
-def _time_frames(frame_fn, warmup, frames):
+def _time_frames(frame_fn, warmup, frames, batch: int = 2):
+    """Median of per-batch frame times — robust to host-side jitter
+    (benches share the machine with other work)."""
     import jax
     t0 = time.perf_counter()
     jax.block_until_ready(frame_fn())
     compile_s = time.perf_counter() - t0
     for _ in range(max(warmup - 1, 0)):
         jax.block_until_ready(frame_fn())
-    t0 = time.perf_counter()
-    r = None
-    for _ in range(frames):
-        r = frame_fn()
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / frames
-    return dt, compile_s
+    samples = []
+    for _ in range(max(frames // batch, 1)):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(batch):
+            r = frame_fn()
+        jax.block_until_ready(r)
+        samples.append((time.perf_counter() - t0) / batch)
+    return float(np.median(samples)), compile_s
 
 
 def bench_single_pass(shader_name, width, height, warmup, frames):
@@ -218,12 +222,15 @@ def bench_animation(width, height, frames):
     jax.block_until_ready(render_at(0))
     compile_s = time.perf_counter() - t0
     jax.block_until_ready(render_at(1))  # warms any capacity growth
-    t0 = time.perf_counter()
-    r = None
-    for i in range(frames):
-        r = render_at(i)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / frames
+    samples = []
+    for i in range(0, frames, 3):
+        t0 = time.perf_counter()
+        r = None
+        for j in range(3):
+            r = render_at(i + j)
+        jax.block_until_ready(r)
+        samples.append((time.perf_counter() - t0) / 3)
+    dt = float(np.median(samples))
     return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
             "mpix_s": width * height / dt / 1e6, "compile_s": compile_s}
 
