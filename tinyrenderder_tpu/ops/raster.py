@@ -132,8 +132,7 @@ def depth_resolve_xla(setup: dict, height: int, width: int, chunk: int = 8,
         b0, b1, b2, _ = semantics.barycentric(
             tcoord(0, 0), tcoord(0, 1), tcoord(1, 0), tcoord(1, 1),
             tcoord(2, 0), tcoord(2, 1), px, py, jnp)
-        # C++ NaN-tolerant coverage: not (b < 0) (our_gl.cpp:152)
-        covered = ~((b0 < 0) | (b1 < 0) | (b2 < 0))
+        covered = semantics.coverage_mask(b0, b1, b2)
         z = semantics.affine_z(c_z[:, 0, None, None], c_z[:, 1, None, None],
                                c_z[:, 2, None, None], b0, b1, b2)
         covered &= jnp.isfinite(z)

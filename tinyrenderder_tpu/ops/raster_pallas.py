@@ -173,7 +173,7 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
         ax, ay, bx, by, cx, cy = cols(rows, 0, 6)
         b0, b1, b2, _ = semantics.barycentric(ax, ay, bx, by, cx, cy,
                                               px, py, jnp)
-        covered = ~((b0 < 0) | (b1 < 0) | (b2 < 0))
+        covered = semantics.coverage_mask(b0, b1, b2)
         z0, z1, z2 = cols(rows, 6, 3)
         z = semantics.affine_z(z0, z1, z2, b0, b1, b2)
         covered &= jnp.isfinite(z)

@@ -313,7 +313,7 @@ def _depth_resolve_tiled_jit(setup, sorted_tri, start, init_depth,
         b0, b1, b2, _ = semantics.barycentric(
             tc(0, 0), tc(0, 1), tc(1, 0), tc(1, 1), tc(2, 0), tc(2, 1),
             px, py, jnp)
-        covered = ~((b0 < 0) | (b1 < 0) | (b2 < 0))              # NaN-tolerant
+        covered = semantics.coverage_mask(b0, b1, b2)
         z = semantics.affine_z(
             zs[:, :, 0, None, None], zs[:, :, 1, None, None],
             zs[:, :, 2, None, None], b0, b1, b2)

@@ -19,7 +19,7 @@ dimensions; scalars stay 0-d arrays of the working dtype.
 from __future__ import annotations
 
 __all__ = [
-    "apply_mat4", "barycentric", "interp3", "affine_z",
+    "apply_mat4", "barycentric", "coverage_mask", "interp3", "affine_z",
     "perspective_correct_bary", "triangle_setup_planes",
     "W_EPS", "DEGEN_EPS", "DENOM_EPS",
 ]
@@ -77,6 +77,14 @@ def barycentric(ax, ay, bx, by, cx, cy, px, py, xp):
     b1 = xp.where(degen, pos1, b1)
     b2 = xp.where(degen, pos1, b2)
     return b0, b1, b2, degen
+
+
+def coverage_mask(b0, b1, b2):
+    """The reference's NaN-tolerant inside test: ``not (b < 0)`` per
+    coordinate (our_gl.cpp:150-153) — NaN barycentrics fall through to
+    the later z-finiteness guard rather than rejecting here.  Every
+    backend must use this exact predicate (bitwise parity invariant)."""
+    return ~((b0 < 0) | (b1 < 0) | (b2 < 0))
 
 
 def interp3(v0, v1, v2, b0, b1, b2):

@@ -97,9 +97,7 @@ def render_pass(frame: OracleFrame, p: OraclePass, width: int, height: int,
         b0, b1, b2, _ = semantics.barycentric(
             screen[0, 0], screen[0, 1], screen[1, 0], screen[1, 1],
             screen[2, 0], screen[2, 1], px, py, xp)
-        # C++ `if (b < 0) continue` — NaN barycentrics fall through to the
-        # z finiteness guard, so use the same not-(b < 0) logic
-        covered = ~((b0 < 0) | (b1 < 0) | (b2 < 0))
+        covered = semantics.coverage_mask(b0, b1, b2)
 
         z = semantics.affine_z(ndc_z[0], ndc_z[1], ndc_z[2], b0, b1, b2)
         covered &= np.isfinite(z)

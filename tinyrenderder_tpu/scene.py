@@ -179,19 +179,24 @@ def _render_oracle(scene, visible, dtype, stats, timings) -> RenderResult:
         zbuffer=np.full((scene.height, scene.width), np.inf, dtype=dtype),
         stats=stats)
     snapshot = None
+    in_excluded = False
     for p in visible:
         attrs, uniforms = _pass_inputs(scene, p, dtype)
-        if p.exclude_from_output_depth and snapshot is None:
-            snapshot = frame.zbuffer.copy()     # main.cpp:700
+        if p.exclude_from_output_depth:
+            if not in_excluded:
+                snapshot = frame.zbuffer.copy()     # main.cpp:700
+                in_excluded = True
+        elif in_excluded:
+            # main.cpp:730: restore before any later pass renders, so its
+            # depth writes land in the snapshot-restored buffer
+            frame.zbuffer = snapshot.copy()
+            in_excluded = False
         t0 = time.perf_counter()
         oracle.render_pass(frame, oracle.OraclePass(attrs, p.shader, uniforms),
                            scene.width, scene.height, dtype=dtype)
         timings[p.name or p.mesh.name] = time.perf_counter() - t0
     full_depth = frame.zbuffer
-    # restore semantics (main.cpp:730): the output depth is the snapshot
-    # taken just before the first excluded pass (exactly the reference's
-    # zbuffer = zbuffer_before_eyes, since the eye pass is last)
-    out_depth = snapshot if snapshot is not None else full_depth
+    out_depth = snapshot if in_excluded else full_depth
     return RenderResult(color=frame.color, depth=out_depth,
                         full_depth=full_depth, stats=stats,
                         pass_timings=timings)
@@ -215,11 +220,19 @@ def _render_device(scene, visible, dtype, stats, timings, backend,
 
     fb = raster.new_framebuffers(scene.width, scene.height, dtype=jnp.float32)
     snapshot_depth = None
+    in_excluded = False
     winner_offset = 0
     for p in visible:
         attrs, uniforms = _pass_inputs(scene, p, dtype, device=True)
-        if p.exclude_from_output_depth and snapshot_depth is None:
-            snapshot_depth = fb.depth               # immutable: free snapshot
+        if p.exclude_from_output_depth:
+            if not in_excluded:
+                snapshot_depth = fb.depth           # immutable: free snapshot
+                in_excluded = True
+        elif in_excluded:
+            # main.cpp:730: restore before any later pass renders
+            fb = raster.FrameBuffers(color=fb.color, depth=snapshot_depth,
+                                     winner=fb.winner)
+            in_excluded = False
         t0 = time.perf_counter()
         fb, setup = pass_fn(fb, attrs, p.shader, uniforms,
                             winner_offset=winner_offset)
@@ -236,11 +249,11 @@ def _render_device(scene, visible, dtype, stats, timings, backend,
     if transfer:
         full_depth = np.asarray(fb.depth)
         out_depth = (np.asarray(snapshot_depth)
-                     if snapshot_depth is not None else full_depth)
+                     if in_excluded else full_depth)
         color = np.asarray(fb.color)
     else:
         full_depth = fb.depth
-        out_depth = snapshot_depth if snapshot_depth is not None else full_depth
+        out_depth = snapshot_depth if in_excluded else full_depth
         color = fb.color
     if collect_stats:
         fd = np.asarray(full_depth)

@@ -75,13 +75,25 @@ def _gather_texel(tex, u, v, xp):
     return tex.reshape(th * tw, -1)[yi * tw + xi]
 
 
+def _texel_rgb(texel, xp, dtype):
+    """Texel bytes -> RGB floats with the reference's zero-filled TGAColor
+    semantics: a c<3-channel texel leaves the missing BGRA bytes at 0, and
+    shaders read (c[2], c[1], c[0]) as RGB (main.cpp:106) — so a grayscale
+    texture contributes only to the blue channel, exactly like the C++."""
+    if texel.shape[-1] >= 3:
+        return texel[..., :3].astype(dtype)
+    gray = texel[..., 0].astype(dtype)
+    zero = xp.zeros_like(gray)
+    return xp.stack([zero, zero, gray], axis=-1)
+
+
 def sample_diffuse(tex, u, v, xp):
     """RGB in 0..255 as working-dtype floats; white fallback
     (model.cpp:415-426)."""
     if tex is None:
         shape = xp.shape(u) + (3,)
         return xp.full(shape, 255.0, dtype=u.dtype)
-    return _gather_texel(tex, u, v, xp)[..., :3].astype(u.dtype)
+    return _texel_rgb(_gather_texel(tex, u, v, xp), xp, u.dtype)
 
 
 def sample_normal_map(tex, u, v, xp):
@@ -93,7 +105,7 @@ def sample_normal_map(tex, u, v, xp):
             xp.zeros(shape + (2,), dtype=u.dtype),
             xp.ones(shape + (1,), dtype=u.dtype),
         ], axis=-1)
-    texel = _gather_texel(tex, u, v, xp)[..., :3].astype(u.dtype)
+    texel = _texel_rgb(_gather_texel(tex, u, v, xp), xp, u.dtype)
     n = texel / 255.0 * 2.0 - 1.0
     return normalized3(n, xp)
 
@@ -132,6 +144,8 @@ def pack_material_textures(material: "Material | None") -> np.ndarray | None:
     d, n, s = m.diffuse, m.normal, m.specular
     if not (d.shape[:2] == n.shape[:2] == s.shape[:2]):
         return None
+    if d.shape[-1] < 3 or n.shape[-1] < 3:
+        return None     # grayscale maps take the zero-fill fallback path
     spec_channel = 0 if s.shape[-1] == 1 else 2   # sample_specular's choice
     return np.concatenate([
         d[..., :3], n[..., :3], s[..., spec_channel:spec_channel + 1],
@@ -293,6 +307,11 @@ class PhongShader(Shader):
         return u
 
     def fragment(self, u, vary, xp):
+        return self._phong_fragment(u, vary, xp)[0]
+
+    def _phong_fragment(self, u, vary, xp):
+        """Returns (rgb, base diffuse sample) so subclasses (shadows) can
+        reuse the texture fetch instead of re-gathering."""
         pos_eye = vary["position_eye"]
         geom_normal = vary["normal_eye"]
         uv = vary["uv"]
@@ -338,8 +357,9 @@ class PhongShader(Shader):
                        * self.RIM_DIFFUSE_INTENSITY)
 
         total_diffuse = key_diffuse + fill_diffuse + rim_diffuse
-        return (base * (self.AMBIENT + total_diffuse)[..., None]
-                + 255.0 * (self.SPECULAR_SCALE * key_specular)[..., None])
+        rgb = (base * (self.AMBIENT + total_diffuse)[..., None]
+               + 255.0 * (self.SPECULAR_SCALE * key_specular)[..., None])
+        return rgb, base
 
 
 class EyeShader(Shader):
@@ -561,9 +581,9 @@ class ShadowMappedShader(PhongShader):
                         xp.asarray(self.SHADOW_AMBIENT_FACTOR, dtype=sx.dtype))
 
     def fragment(self, u, vary, xp):
-        base = super().fragment(u, vary, xp)
-        # gate everything but the ambient term by the shadow factor
-        uv = vary["uv"]
-        amb = sample_diffuse(u["tex_diffuse"], uv[..., 0], uv[..., 1], xp) * self.AMBIENT
+        rgb, base = self._phong_fragment(u, vary, xp)
+        # gate everything but the ambient term by the shadow factor,
+        # reusing the Phong stage's diffuse sample (no second gather)
+        amb = base * self.AMBIENT
         factor = self.shadow_factor(u, vary, xp)
-        return amb + (base - amb) * factor[..., None]
+        return amb + (rgb - amb) * factor[..., None]

@@ -80,15 +80,21 @@ def _decode_rle(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
     pixel = 0
     total = h * w
     while pixel < total:
+        if pos >= buf.size:
+            raise ValueError("truncated RLE data in TGA file")
         header = int(buf[pos]); pos += 1
         if header < 128:                      # raw packet: header+1 literal pixels
             count = header + 1
+            if pos + count * bpp > buf.size:
+                raise ValueError("truncated RLE packet in TGA file")
             chunk = buf[pos:pos + count * bpp].reshape(count, bpp)
             pos += count * bpp
             out[pixel:pixel + count] = chunk[: total - pixel]
             pixel += count
         else:                                 # run packet: header-127 copies
             count = header - 127
+            if pos + bpp > buf.size:
+                raise ValueError("truncated RLE run in TGA file")
             value = buf[pos:pos + bpp]
             pos += bpp
             out[pixel:pixel + count] = value
