@@ -131,3 +131,32 @@ def test_sharded_2d_mesh_matches_single_device(meshes):
     assert dc.max() <= 1
     shards = {s.device for s in fb_sh.color.addressable_shards}
     assert len(shards) == 8
+
+
+def test_scene_backend_sharded(meshes):
+    """Scene.render(backend='sharded') shards over all visible devices
+    and matches the xla backend pixel for pixel."""
+    from tinyrenderder_tpu import math3d
+    from tinyrenderder_tpu.camera import Camera
+    from tinyrenderder_tpu.models import procedural
+    from tinyrenderder_tpu.scene import Scene
+
+    cam = Camera()
+    cam.set_eye(math3d.vec3(0, 0.5, 3))
+    cam.set_target(math3d.vec3(0, 0, 0))
+    cam.set_fov(60.0)
+    cam.set_aspect(1.0)
+    cam.set_clipping(0.1, 50.0)
+
+    def build():
+        s = Scene(camera=cam, width=128, height=128)
+        s.add(meshes["head"], math3d.identity4(),
+              PhongShader(KEY, FILL, RIM), name="head")
+        s.add(meshes["plane"], math3d.identity4(), TexturedShader(),
+              name="plane")
+        return s
+
+    a = build().render(backend="xla", frustum_cull=False)
+    b = build().render(backend="sharded", frustum_cull=False)
+    dc = np.abs(a.color.astype(int) - np.asarray(b.color).astype(int))
+    assert dc.max() <= 1

@@ -118,7 +118,7 @@ def run(argv=None) -> int:
     parser.add_argument("--width", type=int, default=WIDTH)
     parser.add_argument("--height", type=int, default=HEIGHT)
     parser.add_argument("--backend", default="xla",
-                        choices=["xla", "tiled", "oracle"])
+                        choices=["xla", "tiled", "oracle", "sharded"])
     parser.add_argument("--outdir", default=".")
     parser.add_argument("--no-cull", action="store_true",
                         help="disable per-model frustum culling")
@@ -183,7 +183,7 @@ def run(argv=None) -> int:
             os.path.join(outdir, "phong.tga"))
         log.info("Saved: phong.tga")
 
-    if args.backend in ("xla", "tiled") and not args.no_ssao:
+    if args.backend in ("xla", "tiled", "sharded") and not args.no_ssao:
         # one fused device dispatch for z-viz + SSAO + composite
         zimg_d, ao_d, final_d = post.postprocess_device(
             result.color, np.asarray(result.depth, dtype=np.float32))

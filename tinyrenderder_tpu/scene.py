@@ -170,7 +170,34 @@ def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
     if backend in ("xla", "tiled"):
         return _render_device(scene, visible, dtype, stats, timings, backend,
                               collect_stats, transfer, strict_capacity)
+    if backend == "sharded":
+        return _render_sharded(scene, visible, dtype, stats, timings, transfer)
     raise ValueError(f"unknown backend: {backend}")
+
+
+def _render_sharded(scene, visible, dtype, stats, timings,
+                    transfer=True) -> RenderResult:
+    """Framebuffer row-sharded across every available device (the
+    multi-chip production path; on one device it degenerates to tiled).
+
+    Note: the sharded pipeline has no per-pass depth snapshot/restore —
+    exclude_from_output_depth passes are rendered normally.
+    """
+    from tinyrenderder_tpu.parallel import dist
+
+    mesh = dist.make_mesh()
+    passes = []
+    for p in visible:
+        attrs, uniforms = _pass_inputs(scene, p, dtype, device=True)
+        passes.append((attrs, p.shader, uniforms))
+    fb = dist.render_frame_sharded(mesh, passes, scene.width, scene.height)
+    if transfer:
+        color = np.asarray(fb.color)
+        depth = np.asarray(fb.depth)
+    else:
+        color, depth = fb.color, fb.depth
+    return RenderResult(color=color, depth=depth, full_depth=depth,
+                        stats=stats, pass_timings=timings)
 
 
 def _render_oracle(scene, visible, dtype, stats, timings) -> RenderResult:
