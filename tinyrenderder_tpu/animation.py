@@ -24,7 +24,6 @@ from dataclasses import dataclass
 import numpy as np
 
 from tinyrenderder_tpu import math3d
-from tinyrenderder_tpu.camera import Camera
 from tinyrenderder_tpu.scene import Scene
 from tinyrenderder_tpu.utils import tga
 

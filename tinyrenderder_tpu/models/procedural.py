@@ -13,7 +13,7 @@ import math
 
 import numpy as np
 
-from tinyrenderder_tpu.models.mesh import Material, Mesh, SubMesh
+from tinyrenderder_tpu.models.mesh import Material, Mesh
 
 __all__ = ["uv_sphere", "bumpy_head", "plane", "cube", "triangle_soup",
            "head_wall",

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tinyrenderder_tpu.ops import semantics
 from tinyrenderder_tpu.ops.raster import BACKGROUND
-from tinyrenderder_tpu.ops.raster_tiled import (TILE_H, TILE_W, Bins, _cdiv,
+from tinyrenderder_tpu.ops.raster_tiled import (TILE_H, TILE_W, Bins,
                                                 _from_tiles, _to_tiles)
 
 __all__ = ["depth_resolve_pallas", "rasterize_pallas", "build_pair_records",
