@@ -57,7 +57,7 @@ REC = 128
 VARY_OFF = 20
 MAX_VARY = (REC - VARY_OFF) // 3
 DMA_CHUNK = 64          # pairs per HBM->VMEM copy
-SUB = 8                 # pairs evaluated per vector step
+SUB = 16                # pairs evaluated per vector step (A/B tuned)
 
 
 @jax.jit
@@ -96,7 +96,8 @@ def build_pair_records(setup, sorted_tri, vary_corners=None):
 
 def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
                  depth_ref, winner_ref, vary_ref, buf, sem,
-                 *, n_tiles_x, tile_h, tile_w, n_vary):
+                 *, n_tiles_x, tile_h, tile_w, n_vary,
+                 dma_chunk=DMA_CHUNK, sub=SUB):
     t = pl.program_id(0)
     seg_start = start_ref[t]
     count = count_ref[t]
@@ -120,26 +121,26 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
     if n_vary:
         vary_ref[0] = jnp.zeros((n_vary, tile_h, tile_w), dtype)
 
-    n_chunks = pl.cdiv(count, DMA_CHUNK)
+    n_chunks = pl.cdiv(count, dma_chunk)
 
     def get_dma(slot, chunk_idx):
         return pltpu.make_async_copy(
-            rec_hbm.at[pl.ds(seg_start + chunk_idx * DMA_CHUNK, DMA_CHUNK), :],
+            rec_hbm.at[pl.ds(seg_start + chunk_idx * dma_chunk, dma_chunk), :],
             buf.at[slot],
             sem.at[slot],
         )
 
     def run_chunk(ci, slot, process_sub):
         def sub_body(s, _):
-            pair0 = ci * DMA_CHUNK + s * SUB
+            pair0 = ci * dma_chunk + s * sub
 
             @pl.when(pair0 < count)              # skip all-dead tails
             def _():
-                rows = buf[slot, pl.ds(s * SUB, SUB)]        # (SUB, REC)
+                rows = buf[slot, pl.ds(s * sub, sub)]        # (sub, REC)
                 process_sub(rows, pair0)
             return 0
 
-        jax.lax.fori_loop(0, DMA_CHUNK // SUB, sub_body, 0)
+        jax.lax.fori_loop(0, dma_chunk // sub, sub_body, 0)
 
     def stream(process_sub):
         """Double-buffered loop over the tile's record chunks."""
@@ -165,7 +166,7 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
 
     def live_mask(rows, pair0):
         pair_idx = (pair0
-                    + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1, 1), 0))
+                    + jax.lax.broadcasted_iota(jnp.int32, (sub, 1, 1), 0))
         return pair_idx < count
 
     # ---- loop 1: depth resolve --------------------------------------------
@@ -192,7 +193,7 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
         best = jnp.argmin(zc, axis=0)            # first min = lowest id
         ids = rows[:, 16][:, None, None]
         sel = jax.lax.broadcasted_iota(
-            jnp.int32, (SUB, tile_h, tile_w), 0) == best[None]
+            jnp.int32, (sub, tile_h, tile_w), 0) == best[None]
         win = jnp.sum(jnp.where(sel, ids, 0.0), axis=0)
 
         better = zmin < depth_ref[0]
@@ -264,15 +265,17 @@ def _untile_vary_jit(tiles, ty, tx, th, tw, h, w):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_tiles_x", "n_tiles_y", "tile_h", "tile_w", "n_vary", "interpret"))
+    "n_tiles_x", "n_tiles_y", "tile_h", "tile_w", "n_vary", "interpret",
+    "dma_chunk", "sub"))
 def _pallas_call_jit(start, counts, records, init_tiles,
                      n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary,
-                     interpret, origin=None):
+                     interpret, origin=None, dma_chunk=DMA_CHUNK, sub=SUB):
     n_tiles = n_tiles_x * n_tiles_y
     if origin is None:
         origin = jnp.zeros((2,), jnp.int32)
     kernel = functools.partial(_tile_kernel, n_tiles_x=n_tiles_x,
-                               tile_h=tile_h, tile_w=tile_w, n_vary=n_vary)
+                               tile_h=tile_h, tile_w=tile_w, n_vary=n_vary,
+                               dma_chunk=dma_chunk, sub=sub)
     tile_block = pl.BlockSpec((1, tile_h, tile_w),
                               lambda t, s, c, o: (t, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -288,7 +291,7 @@ def _pallas_call_jit(start, counts, records, init_tiles,
         ],
         out_specs=[tile_block, tile_block, vary_block],
         scratch_shapes=[
-            pltpu.VMEM((2, DMA_CHUNK, REC), jnp.float32),
+            pltpu.VMEM((2, dma_chunk, REC), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
