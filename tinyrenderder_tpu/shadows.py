@@ -60,6 +60,33 @@ def light_camera_for_scene(scene: Scene, light_dir,
     return cam
 
 
+def _merged_world_mesh(scene: Scene):
+    """All scene meshes merged into one, model matrices baked into the
+    positions — the light's depth pass has no per-mesh state (DepthShader
+    uses no lights/materials), so one pass replaces len(passes) passes.
+    Cached on the scene keyed by the pass list and matrices."""
+    from tinyrenderder_tpu.models.mesh import Mesh
+
+    key = tuple((id(p.mesh), p.model_matrix.tobytes())
+                for p in scene.passes)
+    cached = scene.__dict__.get("_shadow_merged")
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    pos, fac = [], []
+    offset = 0
+    for p in scene.passes:
+        m = p.model_matrix
+        ph = p.mesh.positions @ m[:3, :3].T + m[:3, 3]
+        w = (p.mesh.positions @ m[3:4, :3].T + m[3, 3]).reshape(-1, 1)
+        pos.append(ph / w)                      # AABB-style w divide
+        fac.append(p.mesh.faces + offset)
+        offset += p.mesh.nverts
+    merged = Mesh(positions=np.concatenate(pos),
+                  faces=np.concatenate(fac), name="shadow_merged")
+    scene.__dict__["_shadow_merged"] = (key, merged)
+    return merged
+
+
 def render_depth_from_light(scene: Scene, light_cam: Camera,
                             settings: ShadowSettings,
                             backend: str = "xla",
@@ -69,10 +96,8 @@ def render_depth_from_light(scene: Scene, light_cam: Camera,
     a pass-2 uniform, so a host round trip is pure overhead)."""
     depth_scene = Scene(camera=light_cam, width=settings.size,
                         height=settings.size)
-    for p in scene.passes:
-        depth_scene.add(p.mesh, p.model_matrix, DepthShader(),
-                        name=f"{p.name or p.mesh.name}_lightdepth",
-                        material_index=p.material_index)
+    depth_scene.add(_merged_world_mesh(scene), np.eye(4), DepthShader(),
+                    name="lightdepth")
     result = depth_scene.render(backend=backend, frustum_cull=False,
                                 collect_stats=transfer, transfer=transfer)
     if transfer:
