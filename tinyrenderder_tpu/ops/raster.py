@@ -222,8 +222,11 @@ def _render_pass_xla_jit(fb: FrameBuffers, attrs, uniforms, winner_offset,
 
     won = winner_local >= 0
     new_winner = jnp.where(won, winner_local + winner_offset, fb.winner)
-    color = shade_winners(fb.color, winner_local, setup, varyings,
-                          shader, uniforms, height, width)
+    if shader.writes_color:
+        color = shade_winners(fb.color, winner_local, setup, varyings,
+                              shader, uniforms, height, width)
+    else:
+        color = fb.color                 # depth-only pass
     return FrameBuffers(color=color, depth=depth, winner=new_winner), setup
 
 

@@ -394,11 +394,15 @@ def _pre_pallas_jit(attrs, uniforms, fb_depth, shader, width, height,
     tx0, ty0, span_x, spans, total = _tile_spans(setup, tile_w, tile_h)
     sorted_tri, start, counts = _build_bins(
         tx0, ty0, span_x, spans, capacity, n_tiles_x, n_tiles_y)
-    spec = tuple(shader.varying_spec.items())   # same order as post stage
-    if set(n for n, _ in spec) != set(varyings):
-        raise ValueError(f"{shader.name}.varying_spec {sorted(dict(spec))} "
-                         f"!= vertex output {sorted(varyings)}")
-    vary_corners = _flatten_varyings(varyings, spec)
+    if shader.writes_color:
+        spec = tuple(shader.varying_spec.items())   # same order as post
+        if set(n for n, _ in spec) != set(varyings):
+            raise ValueError(f"{shader.name}.varying_spec "
+                             f"{sorted(dict(spec))} != vertex output "
+                             f"{sorted(varyings)}")
+        vary_corners = _flatten_varyings(varyings, spec)
+    else:
+        vary_corners = None                 # depth-only: skip loop 2
     records = raster_pallas.build_pair_records(setup, sorted_tri, vary_corners)
     init_tiles = _to_tiles(fb_depth, n_tiles_y, n_tiles_x, tile_h, tile_w,
                            jnp.inf)
@@ -411,13 +415,18 @@ def _post_pallas_jit(fb: FrameBuffers, depth_t, winner_t, vary_t, uniforms,
                      winner_offset, shader, spec, width, height,
                      tile_h, tile_w):
     """Fused post-kernel stage: untile depth/winner/varyings (one
-    transpose), dense fragment shading, merge."""
+    transpose), dense fragment shading, merge.  Depth-only shaders
+    (writes_color=False) skip the varying untile and shading."""
     n_tiles_y = _cdiv(height, tile_h)
     n_tiles_x = _cdiv(width, tile_w)
     depth = _from_tiles(depth_t, n_tiles_y, n_tiles_x, tile_h, tile_w,
                         height, width)
     winner_local = _from_tiles(winner_t.astype(jnp.int32), n_tiles_y,
                                n_tiles_x, tile_h, tile_w, height, width)
+    won = winner_local >= 0
+    if not shader.writes_color:
+        new_winner = jnp.where(won, winner_local + winner_offset, fb.winner)
+        return FrameBuffers(color=fb.color, depth=depth, winner=new_winner)
     v = vary_t.shape[1]
     img = (vary_t.reshape(n_tiles_y, n_tiles_x, v, tile_h, tile_w)
            .transpose(0, 3, 1, 4, 2)
@@ -430,7 +439,6 @@ def _post_pallas_jit(fb: FrameBuffers, depth_t, winner_t, vary_t, uniforms,
         i += c
     rgb = shader.fragment(uniforms, vary, jnp)
     out = finalize_color(rgb, jnp)
-    won = winner_local >= 0
     color = jnp.where(won[..., None], out, fb.color)
     new_winner = jnp.where(won, winner_local + winner_offset, fb.winner)
     return FrameBuffers(color=color, depth=depth, winner=new_winner)
@@ -526,7 +534,8 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
             capacity = _quantize_capacity(int(jax.device_get(total0)))
         _PAIR_CAPACITY[key] = capacity
 
-        spec = tuple(shader.varying_spec.items())
+        spec = (tuple(shader.varying_spec.items())
+                if shader.writes_color else ())
         n_vary = sum(c for _, c in spec)
         setup, records, start, counts, init_tiles, total = _pre_pallas_jit(
             attrs, uniforms, fb.depth, shader, width, height, capacity,

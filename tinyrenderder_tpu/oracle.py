@@ -107,11 +107,17 @@ def render_pass(frame: OracleFrame, p: OraclePass, width: int, height: int,
         if not mask.any():
             continue
 
+        midx = np.nonzero(mask)
+        zwin = z[midx]
+        if not p.shader.writes_color:    # depth-only pass: skip shading
+            tile[midx] = zwin
+            st.fragments_drawn += int(mask.sum())
+            st.merge_z(float(zwin.min()), float(zwin.max()))
+            continue
+
         pb0, pb1, pb2 = semantics.perspective_correct_bary(
             b0, b1, b2, w[0], w[1], w[2], xp)
 
-        # shade only the surviving pixels (flattened)
-        midx = np.nonzero(mask)
         vary_pix = {}
         for name, vv in varyings.items():
             v0, v1, v2 = (np.asarray(vv[f, k], dtype=dtype) for k in range(3))
@@ -121,7 +127,6 @@ def render_pass(frame: OracleFrame, p: OraclePass, width: int, height: int,
         rgb = p.shader.fragment(uniforms, vary_pix, xp)
         out = finalize_color(rgb, xp)
 
-        zwin = z[midx]
         tile[midx] = zwin
         color[min_y:max_y + 1, min_x:max_x + 1][midx] = out
 

@@ -113,8 +113,12 @@ def _sharded_pass_fn(mesh: Mesh, shader, width: int, height: int, chunk: int):
             init_winner=init_winner, y0=y0)
         won = winner_local >= 0
         new_winner = jnp.where(won, winner_local + winner_offset, fb.winner)
-        color = raster.shade_winners(fb.color, winner_local, setup, varyings,
-                                     shader, uniforms, band_h, width, y0=y0)
+        if shader.writes_color:
+            color = raster.shade_winners(fb.color, winner_local, setup,
+                                         varyings, shader, uniforms,
+                                         band_h, width, y0=y0)
+        else:
+            color = fb.color             # depth-only pass
         return FrameBuffers(color=color, depth=depth, winner=new_winner)
 
     fb_spec = FrameBuffers(color=P(AXIS), depth=P(AXIS), winner=P(AXIS))
@@ -185,7 +189,8 @@ def _sharded_tiled_fn(mesh: Mesh, shader, width: int, height: int,
     band_w = width // n_cols
     band_tiles_y = band_h // tile_h
     band_tiles_x = band_w // tile_w
-    spec = tuple(shader.varying_spec.items())
+    spec = (tuple(shader.varying_spec.items())
+            if shader.writes_color else ())
     n_vary = sum(c for _, c in spec)
     vp = math3d.viewport(0, 0, width, height)
 
@@ -206,7 +211,8 @@ def _sharded_tiled_fn(mesh: Mesh, shader, width: int, height: int,
             tx_lo if two_d else None, tx_hi if two_d else None)
         sorted_tri, start, counts = raster_tiled._build_bins(
             tx0, ty0, span_x, spans, capacity, band_tiles_x, band_tiles_y)
-        vary_corners = raster_tiled._flatten_varyings(varyings, spec)
+        vary_corners = (raster_tiled._flatten_varyings(varyings, spec)
+                        if spec else None)
         records = raster_pallas.build_pair_records(
             setup, sorted_tri, vary_corners)
         init_tiles = raster_tiled._to_tiles(

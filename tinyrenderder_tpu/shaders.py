@@ -39,7 +39,7 @@ from tinyrenderder_tpu.ops.semantics import apply_mat4
 
 __all__ = [
     "Shader", "PhongShader", "EyeShader", "FlatShader", "GouraudShader",
-    "TexturedShader", "DepthShader", "ShadowMappedShader",
+    "TexturedShader", "DepthShader", "GrayDepthShader", "ShadowMappedShader",
     "sample_diffuse", "sample_normal_map", "sample_specular",
     "sample_emission", "finalize_color",
     "EYE_DIFFUSE_BRIGHTNESS_THRESHOLD", "EYE_SPECULAR_POWER_THRESHOLD",
@@ -233,6 +233,10 @@ class Shader:
     name = "base"
     #: varying channel counts, static per shader (engine buffer layout)
     varying_spec: dict[str, int] = {"uv": 2, "position_eye": 3, "normal_eye": 3}
+    #: False for depth-only passes: the engine skips varying
+    #: interpolation and fragment shading entirely (z-test precedes
+    #: shading, our_gl.cpp:165, so depth output is unaffected)
+    writes_color: bool = True
 
     def _static_key(self) -> tuple:
         return (type(self),)
@@ -506,11 +510,13 @@ class TexturedShader(GouraudShader):
 class DepthShader(Shader):
     """Depth-only pass for shadow mapping (benchmark config #4, pass 1).
     The fragment stage is never consulted for depth (the z-test precedes
-    shading, our_gl.cpp:165); it returns the NDC depth as grayscale for
-    visualization parity with save_zbuffer_image-style outputs."""
+    shading, our_gl.cpp:165) and the engine skips shading entirely
+    (writes_color=False); use GrayDepthShader for a shaded grayscale
+    visualization pass."""
 
     name = "depth"
     varying_spec = {"ndc_z": 1}
+    writes_color = False
 
     def vertex(self, u, attrs, xp):
         clip, _ = super().vertex(u, attrs, xp)
@@ -522,6 +528,14 @@ class DepthShader(Shader):
     def fragment(self, u, vary, xp):
         v = (vary["ndc_z"][..., 0] * 0.5 + 0.5) * 255.0
         return xp.stack([v, v, v], axis=-1)
+
+
+class GrayDepthShader(DepthShader):
+    """DepthShader variant that does shade: NDC depth as grayscale
+    (save_zbuffer_image-style visualization as a color pass)."""
+
+    name = "gray_depth"
+    writes_color = True
 
 
 class ShadowMappedShader(PhongShader):
