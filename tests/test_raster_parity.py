@@ -149,3 +149,26 @@ def test_f32_vs_f64_oracle_divergence_is_edge_only():
     both = cov32 & cov64
     dc = np.abs(f32.color[both].astype(int) - f64.color[both].astype(int))
     assert np.percentile(dc, 99.9) <= 1
+
+
+def test_depth_only_shader_skips_color():
+    """DepthShader (writes_color=False) must produce depth but leave the
+    color buffer untouched, identically on every backend."""
+    import numpy as np
+
+    from helpers import default_view, make_pass, render_engine, render_oracle, standard_meshes
+    from tinyrenderder_tpu.shaders import DepthShader
+
+    meshes = standard_meshes()
+    view, proj = default_view()
+    p = make_pass(meshes["head"], DepthShader(), view, proj)
+
+    frame = render_oracle([p], 64, 48)
+    assert np.isfinite(frame.zbuffer).any()
+    assert (frame.color == 0).all()
+
+    for backend in ("xla", "tiled"):
+        fb = render_engine([p], 64, 48, backend=backend)
+        d = np.asarray(fb.depth)
+        assert (np.isfinite(d) == np.isfinite(frame.zbuffer)).all(), backend
+        assert (np.asarray(fb.color) == 0).all(), backend

@@ -360,8 +360,11 @@ def _shade_merge_jit(fb: FrameBuffers, depth, winner_local, setup, varyings,
                      uniforms, winner_offset, shader, width, height):
     won = winner_local >= 0
     new_winner = jnp.where(won, winner_local + winner_offset, fb.winner)
-    color = raster.shade_winners(fb.color, winner_local, setup, varyings,
-                                 shader, uniforms, height, width)
+    if shader.writes_color:
+        color = raster.shade_winners(fb.color, winner_local, setup, varyings,
+                                     shader, uniforms, height, width)
+    else:
+        color = fb.color                 # depth-only pass
     return FrameBuffers(color=color, depth=depth, winner=new_winner)
 
 
