@@ -179,6 +179,11 @@ _PENDING_TOTALS: dict = {}
 # diagnostic: disable all overflow bookkeeping in non-strict mode
 _DISABLE_OVERFLOW_CHECKS = False
 
+# opt-in: route depth-only passes through the strip-parallel kernel
+# (ops/raster_strips.py) — wins on strip-balanced small-triangle scenes,
+# loses on mixed scenes; default off pending round-2 record streaming
+USE_STRIP_DEPTH = False
+
 
 def bin_triangles_csr(setup, width: int, height: int,
                       tile_w: int = TILE_W, tile_h: int = TILE_H,
@@ -502,6 +507,23 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
 
     if use_pallas:
         from tinyrenderder_tpu.ops import raster_pallas
+
+        if not shader.writes_color and USE_STRIP_DEPTH:
+            # depth-only pass via the strip-parallel kernel
+            # (ops/raster_strips.py).  Opt-in: measured faster only on
+            # strip-balanced small-triangle scenes; the record build +
+            # per-row permutes lose on mixed scenes (see ROADMAP.md).
+            from tinyrenderder_tpu.ops import raster_strips
+            setup, _ = _vertex_setup_jit(attrs, uniforms, shader,
+                                         width, height)
+            depth, winner_local = raster_strips.depth_resolve_strips(
+                setup, fb.depth, height, width,
+                strict_capacity=strict_capacity)
+            won = winner_local >= 0
+            new_winner = jnp.where(won, winner_local + winner_offset,
+                                   fb.winner)
+            return FrameBuffers(color=fb.color, depth=depth,
+                                winner=new_winner), setup
 
         n_tiles_x = _cdiv(width, tile_w)
         n_tiles_y = _cdiv(height, tile_h)
