@@ -32,6 +32,23 @@ from tinyrenderder_tpu.shaders import (EyeShader, FlatShader, GouraudShader,
                                        PhongShader, TexturedShader)
 from tinyrenderder_tpu.utils import tga
 
+
+def postprocess_golden():
+    """Full post pipeline (z-viz + SSAO + composite) over the multi-pass
+    scene — pins ops/post.py end to end."""
+    import numpy as np
+
+    from tinyrenderder_tpu.ops import post
+
+    passes = golden_configs()["multi_pass"]
+    fb = render_engine(passes, W, H, backend="xla")
+    color = np.asarray(fb.color)
+    depth = np.asarray(fb.depth, dtype=np.float64)
+    zimg = post.zbuffer_to_image(depth, np)
+    ao_u8 = post.ssao_image(post.ssao_map(depth, np), np)
+    final = post.composite(color, ao_u8, np)
+    return np.stack([zimg, ao_u8], axis=-1), final
+
 W, H = 96, 72
 KEY = np.array([1.0, 1.4, 1.0])
 FILL = np.array([-0.3, 0.5, 0.2])
@@ -69,6 +86,15 @@ def main():
         tga.TGAImage.from_rgb(color).write_tga_file(path)
         covered = int(np.isfinite(np.asarray(fb.depth)).sum())
         print(f"wrote {path} ({covered} covered px)")
+
+    zao, final = postprocess_golden()
+    zimg3 = np.repeat(zao[..., 0:1], 3, axis=-1)
+    ao3 = np.repeat(zao[..., 1:2], 3, axis=-1)
+    for name, img in (("post_zbuffer", zimg3), ("post_ao", ao3),
+                      ("post_final", final)):
+        path = os.path.join(out_dir, f"{name}.tga")
+        tga.TGAImage.from_rgb(img).write_tga_file(path)
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":

@@ -43,3 +43,32 @@ def test_golden(configs, name, backend):
     assert delta.max() <= 1, (
         f"{name}/{backend}: max delta {delta.max()} at "
         f"{np.argwhere((delta > 1).any(-1))[:3]}")
+
+
+def test_golden_postprocess():
+    """z-viz + SSAO + composite over the multi-pass scene vs the
+    checked-in fixtures.  Tolerance 2 LSB on <=2 pixels: the SSAO and
+    z-viz thresholds sit on raw depth values, and a 1-ulp depth change
+    (compilation-context-dependent fusion) flips one 64-tap count
+    (255*0.35/64 ~ 1.4 LSB)."""
+    from gen_goldens import postprocess_golden
+
+    zao, final = postprocess_golden()
+    for name, img in (("post_zbuffer", np.repeat(zao[..., 0:1], 3, -1)),
+                      ("post_ao", np.repeat(zao[..., 1:2], 3, -1)),
+                      ("post_final", final)):
+        path = os.path.join(GOLDEN_DIR, f"{name}.tga")
+        golden = tga.read(path).to_rgb()[::-1][..., :3]
+        d = np.abs(img.astype(int) - golden.astype(int))
+        assert d.max() <= 2, f"{name}: max delta {d.max()}"
+        assert (d > 0).any(-1).sum() <= 2, f"{name}: too many diffs"
+
+    # fused device dispatch agrees closely (f32 vs f64 SSAO math)
+    from helpers import render_engine
+    from tinyrenderder_tpu.ops import post
+    cfg = golden_configs()["multi_pass"]
+    fb = render_engine(cfg, W, H, backend="xla")
+    _, ao_d, final_d = post.postprocess_device(
+        np.asarray(fb.color), np.asarray(fb.depth, dtype=np.float32))
+    delta = np.abs(np.asarray(final_d).astype(int) - final.astype(int))
+    assert delta.max() <= 2
