@@ -96,9 +96,14 @@ def _scene(width, height, shader_for=None, meshes=3):
     return scene
 
 
-def _time_frames(frame_fn, warmup, frames, batch: int = 2):
-    """Median of per-batch frame times — robust to host-side jitter
-    (benches share the machine with other work)."""
+def _time_frames(frame_fn, warmup, frames, batches: int = 3):
+    """Median over a few LARGE pipelined batches.
+
+    Each batch dispatches ``frames`` frames and blocks once: a blocking
+    sync through the device tunnel costs ~15-30 ms, so blocking per
+    frame (or per small batch) adds up to +50% to the measurement.  The
+    median over batches keeps robustness to load spikes.
+    """
     import jax
     t0 = time.perf_counter()
     jax.block_until_ready(frame_fn())
@@ -106,13 +111,13 @@ def _time_frames(frame_fn, warmup, frames, batch: int = 2):
     for _ in range(max(warmup - 1, 0)):
         jax.block_until_ready(frame_fn())
     samples = []
-    for _ in range(max(frames // batch, 1)):
+    for _ in range(batches):
         t0 = time.perf_counter()
         r = None
-        for _ in range(batch):
+        for _ in range(frames):
             r = frame_fn()
         jax.block_until_ready(r)
-        samples.append((time.perf_counter() - t0) / batch)
+        samples.append((time.perf_counter() - t0) / frames)
     return float(np.median(samples)), compile_s
 
 
@@ -222,14 +227,17 @@ def bench_animation(width, height, frames):
     jax.block_until_ready(render_at(0))
     compile_s = time.perf_counter() - t0
     jax.block_until_ready(render_at(1))  # warms any capacity growth
+    # large pipelined batches: one blocking sync per batch (see
+    # _time_frames — per-frame syncs cost ~15-30 ms each via the tunnel)
     samples = []
-    for i in range(0, frames, 3):
+    third = max(frames // 3, 1)
+    for b in range(3):
         t0 = time.perf_counter()
         r = None
-        for j in range(3):
-            r = render_at(i + j)
+        for j in range(third):
+            r = render_at(b * third + j)
         jax.block_until_ready(r)
-        samples.append((time.perf_counter() - t0) / 3)
+        samples.append((time.perf_counter() - t0) / third)
     dt = float(np.median(samples))
     return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
             "mpix_s": width * height / dt / 1e6, "compile_s": compile_s}
