@@ -350,9 +350,16 @@ class PhongShader(Shader):
         reflect_dir = normalized3(
             final_normal * (2.0 * dot3(final_normal, key))[..., None] - key, xp)
         reflect_view = xp.maximum(0.0, dot3(reflect_dir, view_dir))
+        # exponent quirk (main.cpp:107): specPower = max(1.0, specular(uv))
+        # with specular(uv) in [0, 1] (model.cpp:447-459) is ALWAYS 1.0,
+        # and pow(x, 1.0) == x exactly in IEEE — so the C++ reference's
+        # specular term is just reflect_view.  Computing x directly is
+        # both faster (no transcendental) and closer to the reference
+        # than exp(p*log(x)).
+        del specular_power
         key_specular = xp.where(
             reflect_view > 0.0,
-            xp.power(reflect_view, specular_power),
+            reflect_view,
             xp.zeros_like(reflect_view)) * self.KEY_SPECULAR_INTENSITY
 
         fill_diffuse = (xp.maximum(0.0, dot3(final_normal, u["fill_light_eye"]))
