@@ -78,6 +78,10 @@ void* trd_obj_parse(const char* path, const char* default_group) {
     if (!f) return nullptr;
     std::fseek(f, 0, SEEK_END);
     long size = std::ftell(f);
+    if (size < 0) {
+        std::fclose(f);
+        return nullptr;
+    }
     std::fseek(f, 0, SEEK_SET);
     std::string buf((size_t)size, '\0');
     if (size > 0 && std::fread(&buf[0], 1, (size_t)size, f) != (size_t)size) {
@@ -187,7 +191,13 @@ void* trd_obj_parse(const char* path, const char* default_group) {
                         }
                     }
                 }
+                // invalid indices: skip the corner for vi, treat ti/ni
+                // as missing — same rules as the Python loader, and a
+                // malformed file ("f 1/999999", "f 1/0") must never
+                // read past the raw-directive buffers
                 if (vi < 0 || vi >= (int64_t)(positions.size() / 3)) continue;
+                if (ti < 0 || ti >= (int64_t)(texcoords.size() / 2)) ti = -1;
+                if (ni < 0 || ni >= (int64_t)(normals.size() / 3)) ni = -1;
                 corner_ids.push_back(vertex_id(vi, ti, ni));
             }
             // fan triangulation (aiProcess_Triangulate)

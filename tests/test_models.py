@@ -170,3 +170,40 @@ f 2/2/1 3/3/1 4/4/1
         assert (sa.name, sa.start_index, sa.index_count, sa.material_index) \
             == (sb.name, sb.start_index, sb.index_count, sb.material_index)
     assert [m.name for m in a.materials] == [m.name for m in b.materials]
+
+
+def test_obj_loader_malformed_indices(tmp_path):
+    """Out-of-range indices must not crash (or read out of bounds in the
+    native path): a bad vertex index drops the corner, a bad texcoord /
+    normal index falls back to the missing-attribute default — and both
+    loader paths agree on the result."""
+    import numpy as np
+
+    from tinyrenderder_tpu.models import obj
+    from tinyrenderder_tpu.utils import native
+
+    content = """v 0 0 0
+v 1 0 0
+v 1 1 0
+vt 0 0
+vt 1 1
+vn 0 0 1
+f 1/999999/1 2/0/1 3/2/99
+f 1/1/1 999 2/2/1 3/1/1
+f -999 1 2
+"""
+    p = tmp_path / "bad.obj"
+    p.write_text(content)
+    a = obj.load_obj(str(p), load_textures=False, use_native=False)
+    # face 1: all vi valid; ti 999999 and 0 out of range -> (0,0) uv;
+    #         ni 99 out of range -> zero normal. face 2: corner "999"
+    #         dropped, fan over remaining 3 corners. face 3: "-999"
+    #         dropped, only 2 corners left -> no triangle.
+    assert a.nfaces == 2
+    assert np.array_equal(a.uvs[0], [0.0, 0.0])
+    if native.obj_available():
+        b = obj.load_obj(str(p), load_textures=False, use_native=True)
+        assert np.array_equal(a.positions, b.positions)
+        assert np.array_equal(a.faces, b.faces)
+        assert np.array_equal(a.uvs, b.uvs)
+        assert np.array_equal(a.normals, b.normals)

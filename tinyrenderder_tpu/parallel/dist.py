@@ -141,12 +141,24 @@ def render_pass_sharded(mesh: Mesh, fb: FrameBuffers, attrs: dict, shader,
 
 
 def render_frame_sharded(mesh: Mesh, passes, width: int, height: int,
-                         chunk: int = 8, tiled: bool | None = None) -> FrameBuffers:
+                         chunk: int = 8, tiled: bool | None = None,
+                         return_output_depth: bool = False):
     """Full multi-pass frame (the main.cpp:647-736 flow) on a sharded
-    framebuffer.  ``passes``: iterable of (attrs, shader, uniforms).
+    framebuffer.  ``passes``: iterable of (attrs, shader, uniforms) or
+    (attrs, shader, uniforms, exclude_from_output_depth).
+
+    Passes flagged ``exclude_from_output_depth`` get the reference's
+    z-snapshot-around-the-eye-pass semantics (main.cpp:700,730): their
+    depth writes are restored away before any later pass and excluded
+    from the frame's *output* depth.  The snapshot is a free pytree
+    reference (sharded arrays are immutable) and needs no collectives.
 
     ``tiled=None`` uses the production binned/Pallas pipeline when the
     band height is tile-aligned, else the scan path.
+
+    Returns ``fb``, or ``(fb, output_depth)`` when
+    ``return_output_depth`` — ``fb.depth`` always includes every pass,
+    ``output_depth`` is the post-restore depth SSAO/z-viz should see.
     """
     from tinyrenderder_tpu.ops import raster_tiled
     two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
@@ -161,7 +173,20 @@ def render_frame_sharded(mesh: Mesh, passes, width: int, height: int,
                          "(tile-aligned blocks)")
     fb = new_sharded_framebuffers(mesh, width, height)
     offset = 0
-    for attrs, shader, uniforms in passes:
+    snapshot_depth = None
+    in_excluded = False
+    for item in passes:
+        attrs, shader, uniforms, *rest = item
+        exclude = bool(rest[0]) if rest else False
+        if exclude:
+            if not in_excluded:
+                snapshot_depth = fb.depth       # immutable: free snapshot
+                in_excluded = True
+        elif in_excluded:
+            # main.cpp:730: restore before any later pass renders
+            fb = FrameBuffers(color=fb.color, depth=snapshot_depth,
+                              winner=fb.winner)
+            in_excluded = False
         if tiled:
             fb = render_pass_sharded_tiled(mesh, fb, attrs, shader, uniforms,
                                            winner_offset=offset)
@@ -169,6 +194,9 @@ def render_frame_sharded(mesh: Mesh, passes, width: int, height: int,
             fb = render_pass_sharded(mesh, fb, attrs, shader, uniforms,
                                      winner_offset=offset, chunk=chunk)
         offset += attrs["position"].shape[0]
+    if return_output_depth:
+        out_depth = snapshot_depth if in_excluded else fb.depth
+        return fb, out_depth
     return fb
 
 

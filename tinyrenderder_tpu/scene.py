@@ -171,17 +171,19 @@ def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
         return _render_device(scene, visible, dtype, stats, timings, backend,
                               collect_stats, transfer, strict_capacity)
     if backend == "sharded":
-        return _render_sharded(scene, visible, dtype, stats, timings, transfer)
+        return _render_sharded(scene, visible, dtype, stats, timings,
+                               transfer, collect_stats)
     raise ValueError(f"unknown backend: {backend}")
 
 
 def _render_sharded(scene, visible, dtype, stats, timings,
-                    transfer=True) -> RenderResult:
+                    transfer=True, collect_stats=True) -> RenderResult:
     """Framebuffer row-sharded across every available device (the
     multi-chip production path; on one device it degenerates to tiled).
 
-    Note: the sharded pipeline has no per-pass depth snapshot/restore —
-    exclude_from_output_depth passes are rendered normally.
+    Same semantics as the single-device backends, including the
+    z-snapshot/restore around exclude_from_output_depth passes
+    (main.cpp:700,730) — asserted sharded-vs-xla by tests/test_parallel.py.
     """
     from tinyrenderder_tpu.parallel import dist
 
@@ -189,14 +191,33 @@ def _render_sharded(scene, visible, dtype, stats, timings,
     passes = []
     for p in visible:
         attrs, uniforms = _pass_inputs(scene, p, dtype, device=True)
-        passes.append((attrs, p.shader, uniforms))
-    fb = dist.render_frame_sharded(mesh, passes, scene.width, scene.height)
+        passes.append((attrs, p.shader, uniforms, p.exclude_from_output_depth))
+    t0 = time.perf_counter()
+    fb, out_depth = dist.render_frame_sharded(
+        mesh, passes, scene.width, scene.height, return_output_depth=True)
+    if collect_stats:
+        fb.color.block_until_ready()
+        timings["frame"] = time.perf_counter() - t0
     if transfer:
         color = np.asarray(fb.color)
-        depth = np.asarray(fb.depth)
+        depth = np.asarray(out_depth)
+        full_depth = np.asarray(fb.depth)
     else:
-        color, depth = fb.color, fb.depth
-    return RenderResult(color=color, depth=depth, full_depth=depth,
+        color, depth, full_depth = fb.color, out_depth, fb.depth
+    if collect_stats:
+        fd = np.asarray(fb.depth)
+        finite = np.isfinite(fd)
+        if finite.any():
+            stats.merge_z(float(fd[finite].min()), float(fd[finite].max()))
+        win = np.asarray(fb.winner)
+        covered = win >= 0
+        stats.fragments_drawn = int(covered.sum())
+        stats.fragments_exact = False
+        if covered.any():
+            ys, xs = np.nonzero(covered)
+            stats.merge_bbox(int(xs.min()), int(ys.min()),
+                             int(xs.max()), int(ys.max()))
+    return RenderResult(color=color, depth=depth, full_depth=full_depth,
                         stats=stats, pass_timings=timings)
 
 

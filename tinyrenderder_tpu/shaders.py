@@ -416,14 +416,18 @@ class EyeShader(Shader):
         rim_diffuse = (xp.maximum(0.0, dot3(normal, u["rim_light_eye"]))
                        * self.RIM_DIFFUSE_INTENSITY)
         total_diffuse = key_diffuse + rim_diffuse
-        specular_power = xp.maximum(
-            xp.asarray(1.0, dtype=spec_val.dtype), spec_val) * 8.0
+        # exponent quirk (main.cpp:235): specPower = max(1.0, specular(uv))
+        # * 8.0 with specular(uv) in [0, 1] (model.cpp:447-459) is ALWAYS
+        # 8.0 — integer power, computed by three exact squarings instead
+        # of the transcendental pow (shared verbatim with the oracle, so
+        # cross-path parity is structural)
+        del spec_val
         reflect_dir = normalized3(
             normal * (2.0 * dot3(normal, key))[..., None] - key, xp)
         reflect_view = xp.maximum(0.0, dot3(reflect_dir, view_dir))
-        specular = xp.where(reflect_view > 0.0,
-                            xp.power(reflect_view, specular_power),
-                            xp.zeros_like(reflect_view))
+        x2 = reflect_view * reflect_view
+        x4 = x2 * x2
+        specular = x4 * x4          # reflect_view ** 8; 0 stays 0 exactly
 
         return (base * (self.AMBIENT + total_diffuse)[..., None]
                 + 255.0 * (self.SPECULAR_SCALE * specular)[..., None])

@@ -90,16 +90,20 @@ def _merged_world_mesh(scene: Scene):
 def render_depth_from_light(scene: Scene, light_cam: Camera,
                             settings: ShadowSettings,
                             backend: str = "xla",
-                            transfer: bool = True) -> np.ndarray:
+                            transfer: bool = True,
+                            strict_capacity: bool = True) -> np.ndarray:
     """Pass 1: depth-only render of every mesh from the light's view.
     ``transfer=False`` keeps the shadow map on device (it is consumed as
-    a pass-2 uniform, so a host round trip is pure overhead)."""
+    a pass-2 uniform, so a host round trip is pure overhead);
+    ``strict_capacity=False`` skips the per-pass pair-count host sync
+    (~30 ms tunnel RTT — it was half the measured shadow frame)."""
     depth_scene = Scene(camera=light_cam, width=settings.size,
                         height=settings.size)
     depth_scene.add(_merged_world_mesh(scene), np.eye(4), DepthShader(),
                     name="lightdepth")
     result = depth_scene.render(backend=backend, frustum_cull=False,
-                                collect_stats=transfer, transfer=transfer)
+                                collect_stats=transfer, transfer=transfer,
+                                strict_capacity=strict_capacity)
     if transfer:
         return np.asarray(result.full_depth, dtype=np.float32)
     return result.full_depth.astype("float32")
@@ -137,7 +141,8 @@ def render_with_shadows(scene: Scene, light_dir,
     settings = settings or ShadowSettings()
     light_cam = light_camera_for_scene(scene, light_dir, settings)
     shadow_map = render_depth_from_light(scene, light_cam, settings, backend,
-                                         transfer=transfer)
+                                         transfer=transfer,
+                                         strict_capacity=strict_capacity)
     lit = shadowed_scene(scene, light_dir, shadow_map, light_cam, settings)
     result = lit.render(backend=backend, frustum_cull=frustum_cull,
                         collect_stats=collect_stats, transfer=transfer,
