@@ -26,7 +26,10 @@ def t(fn, n=10, warmup=3):
 W = H = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 attrs, shader, uniforms = build_pass(W, H)
 attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
-uniforms = dict(uniforms)
+# device-resident textures, like the bench/scene paths — otherwise every
+# timed call re-uploads ~MBs of host numpy through the tunnel
+from tinyrenderder_tpu.scene import _to_device_cached
+uniforms = {k: _to_device_cached(v) for k, v in uniforms.items()}
 fb = raster.new_framebuffers(W, H)
 
 print("backend:", jax.default_backend(), file=sys.stderr)
