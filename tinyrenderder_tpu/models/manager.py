@@ -21,7 +21,17 @@ from tinyrenderder_tpu.models.obj import load_obj
 
 log = logging.getLogger("tinyrenderder_tpu.manager")
 
-__all__ = ["ModelManager"]
+__all__ = ["ModelManager", "load_mesh"]
+
+
+def load_mesh(path: str, load_textures: bool = True) -> Mesh:
+    """Format-dispatched load (the Assimp-style single entry point the
+    reference gets from ReadFile, model.cpp:91-99): .ply -> PLY loader,
+    anything else -> OBJ."""
+    if os.path.splitext(path)[1].lower() == ".ply":
+        from tinyrenderder_tpu.models.ply import load_ply
+        return load_ply(path, load_textures=load_textures)
+    return load_obj(path, load_textures=load_textures)
 
 
 class ModelManager:
@@ -58,7 +68,7 @@ class ModelManager:
                 log.info("Model cache hit: %s", key)
                 return mesh
         try:
-            mesh = load_obj(key, load_textures=load_textures)
+            mesh = load_mesh(key, load_textures=load_textures)
         except (OSError, ValueError, IndexError) as exc:
             log.error("Failed to load model: %s (%s)", key, exc)
             return None
