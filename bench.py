@@ -140,13 +140,16 @@ def bench_single_pass(shader_name, width, height, warmup, frames):
     from tinyrenderder_tpu.scene import _to_device_cached
     uniforms = {k: _to_device_cached(v) for k, v in uniforms.items()}
 
-    from tinyrenderder_tpu.ops import raster, raster_tiled
+    from tinyrenderder_tpu.ops import raster_sparse
 
     def frame():
-        fb = raster.new_framebuffers(width, height)
-        fb, _ = raster_tiled.render_pass_tiled(fb, attrs, shader, uniforms,
-                                               strict_capacity=False)
-        return fb.color
+        ft = raster_sparse.new_frame_tiles(width, height)
+        ft, _, _ = raster_sparse.render_pass_tiles(
+            ft, attrs, shader, uniforms, width, height,
+            strict_capacity=False)
+        # the frame deliverable is the (H, W) image: untile is in the
+        # measured loop (the one per-frame layout conversion)
+        return raster_sparse.tiles_to_buffers(ft, width, height).color
 
     dt, compile_s = _time_frames(frame, warmup, frames)
     return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
@@ -178,7 +181,7 @@ def bench_stress(width, height, warmup, frames, grid=3):
 
     from tinyrenderder_tpu import math3d
     from tinyrenderder_tpu.models import procedural
-    from tinyrenderder_tpu.ops import raster, raster_tiled
+    # raster_sparse imported below
     from tinyrenderder_tpu.scene import _to_device_cached
     from tinyrenderder_tpu.shaders import PhongShader
 
@@ -191,12 +194,14 @@ def bench_stress(width, height, warmup, frames, grid=3):
         view, proj, wall.materials[0], np.float32).items()}
     attrs = wall.device_face_attributes(np.float32)
     log(f"stress scene: {wall.nfaces} triangles at {width}x{height}")
+    from tinyrenderder_tpu.ops import raster_sparse
 
     def frame():
-        fb = raster.new_framebuffers(width, height)
-        fb, _ = raster_tiled.render_pass_tiled(fb, attrs, shader, uniforms,
-                                               strict_capacity=False)
-        return fb.color
+        ft = raster_sparse.new_frame_tiles(width, height)
+        ft, _, _ = raster_sparse.render_pass_tiles(
+            ft, attrs, shader, uniforms, width, height,
+            strict_capacity=False)
+        return raster_sparse.tiles_to_buffers(ft, width, height).color
 
     dt, compile_s = _time_frames(frame, warmup, frames)
     return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,

@@ -214,28 +214,29 @@ def test_async_capacity_grows_after_overflow(meshes):
     p = _passes(meshes, view, proj)[0]
     attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
     w, h = 64, 64
+    from tinyrenderder_tpu.ops import raster_sparse
     key = (attrs["position"].shape[0],
            -(-w // raster_tiled.TILE_W), -(-h // raster_tiled.TILE_H))
-    raster_tiled._PAIR_CAPACITY.pop(key, None)
-    raster_tiled._PENDING_TOTALS.pop(key, None)
+    raster_sparse._SPARSE_CAPACITY.pop(key, None)
+    raster_sparse._SPARSE_PENDING.pop(key, None)
 
     fb_ref, _ = raster_tiled.render_pass_tiled(
         raster.new_framebuffers(w, h), attrs, p.shader, p.uniforms,
         use_pallas=True)
-    raster_tiled._PENDING_TOTALS.pop(key, None)
+    raster_sparse._SPARSE_PENDING.pop(key, None)
 
     # frame 1: deliberately tiny capacity, non-strict -> may drop pairs
     # (the async path lives on the Pallas branch; interpret mode on CPU)
     raster_tiled.render_pass_tiled(
         raster.new_framebuffers(w, h), attrs, p.shader, p.uniforms,
         use_pallas=True, strict_capacity=False, _capacity=16)
-    assert raster_tiled._PAIR_CAPACITY[key] == 16
+    assert raster_sparse._SPARSE_CAPACITY[key][0] == 16
 
     # frame 2: the pending count resolves, capacity grows, output exact
     fb2, _ = raster_tiled.render_pass_tiled(
         raster.new_framebuffers(w, h), attrs, p.shader, p.uniforms,
         use_pallas=True, strict_capacity=False)
-    assert raster_tiled._PAIR_CAPACITY[key] > 16
+    assert raster_sparse._SPARSE_CAPACITY[key][0] > 16
     assert (np.asarray(fb2.color) == np.asarray(fb_ref.color)).all()
     assert (np.asarray(fb2.winner) == np.asarray(fb_ref.winner)).all()
 

@@ -1,0 +1,251 @@
+"""Sparse active-tile pipeline (ops.raster_sparse) correctness tests.
+
+The compacted-grid kernel must be bitwise-identical to the dense-grid
+kernel and the XLA tiled path on depth/winner maps, with untouched tiles
+preserved exactly; the overflow flag must fire on the frame that drops
+work (VERDICT item 7)."""
+
+import numpy as np
+import pytest
+
+from helpers import default_view, make_pass, standard_meshes
+from tinyrenderder_tpu import math3d
+from tinyrenderder_tpu.ops import raster, raster_sparse, raster_tiled
+from tinyrenderder_tpu.shaders import (EyeShader, GouraudShader,
+                                       PhongShader)
+
+KEY = math3d.normalized(math3d.vec3(1.0, 1.4, 1.0))
+FILL = math3d.normalized(math3d.vec3(-0.3, 0.5, 0.2))
+RIM = math3d.normalized(math3d.vec3(-1.0, 0.8, -1.5))
+
+
+@pytest.fixture(scope="module")
+def meshes():
+    return standard_meshes()
+
+
+def _passes(meshes, view, proj):
+    return [make_pass(meshes["soup"], GouraudShader(), view, proj),
+            make_pass(meshes["head"], PhongShader(KEY, FILL, RIM),
+                      view, proj)]
+
+
+def test_tiles_roundtrip():
+    rng = np.random.default_rng(5)
+    import jax.numpy as jnp
+    h, w = 70, 150                     # ragged on both tile axes
+    fb = raster.FrameBuffers(
+        color=jnp.asarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)),
+        depth=jnp.asarray(rng.normal(size=(h, w)).astype(np.float32)),
+        winner=jnp.asarray(rng.integers(-1, 9, (h, w), dtype=np.int32)))
+    ft = raster_sparse.buffers_to_tiles(fb, w, h)
+    fb2 = raster_sparse.tiles_to_buffers(ft, w, h)
+    for field in ("color", "depth", "winner"):
+        np.testing.assert_array_equal(np.asarray(getattr(fb, field)),
+                                      np.asarray(getattr(fb2, field)))
+
+
+def test_sparse_matches_xla_tiled(meshes):
+    """Sparse pallas (interpret) vs the XLA tiled fallback: bitwise
+    winner maps (the exactness invariant), depth within 1 ulp (kernel
+    affine_z fuses in a different program than the scan path), <=1 LSB
+    color."""
+    import jax.numpy as jnp
+    view, proj = default_view()
+    w, h = 170, 90                     # ragged edges + empty border tiles
+    for p in _passes(meshes, view, proj):
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        fb0 = raster.new_framebuffers(w, h)
+        fb_s, _ = raster_tiled.render_pass_tiled(
+            fb0, attrs, p.shader, p.uniforms, use_pallas=True)
+        fb_x, _ = raster_tiled.render_pass_tiled(
+            fb0, attrs, p.shader, p.uniforms, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(fb_s.winner),
+                                      np.asarray(fb_x.winner))
+        ds, dx = np.asarray(fb_s.depth), np.asarray(fb_x.depth)
+        fin = np.isfinite(dx)
+        np.testing.assert_array_equal(fin, np.isfinite(ds))
+        np.testing.assert_allclose(ds[fin], dx[fin], rtol=3e-7)
+        d = np.abs(np.asarray(fb_s.color).astype(int)
+                   - np.asarray(fb_x.color).astype(int))
+        assert d.max() <= 1
+
+
+def test_sparse_matches_dense_kernel_bitwise(meshes):
+    """Sparse (compacted grid) vs dense (all-tiles grid) kernel launches
+    on identical records: depth AND winner bitwise — compaction must not
+    perturb any kernel math."""
+    import jax.numpy as jnp
+    view, proj = default_view()
+    w, h = 170, 90
+    th, tw = raster_tiled.TILE_H, raster_tiled.TILE_W
+    ntx, nty = -(-w // tw), -(-h // th)
+    n_tiles = ntx * nty
+    for p in _passes(meshes, view, proj):
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        cap = 4096
+        (setup, records, ids, kernel_ids, start_a, counts_a, total,
+         n_active) = raster_sparse._pre_sparse_jit(
+            attrs, dict(p.uniforms), p.shader, w, h, cap, n_tiles, th, tw)
+        n_vary = sum(p.shader.varying_spec.values())
+        tx0, ty0, span_x, spans, _ = raster_tiled._tile_spans(setup, tw, th)
+        sorted_tri, start, counts = raster_tiled._build_bins(
+            tx0, ty0, span_x, spans, cap, ntx, nty)
+        init = jnp.full((n_tiles, th, tw), jnp.inf, jnp.float32)
+        from tinyrenderder_tpu.ops import raster_pallas
+        d_d, w_d, v_d = raster_pallas._pallas_call_jit(
+            start[:-1], counts, records, init, ntx, nty, th, tw,
+            n_vary, True)
+        d_s, w_s, v_s = raster_pallas._pallas_call_sparse_jit(
+            kernel_ids, start_a, counts_a, records, init, ntx, nty,
+            th, tw, n_vary, True)
+        act = np.asarray(ids)
+        live = act < n_tiles
+        np.testing.assert_array_equal(np.asarray(d_s)[live],
+                                      np.asarray(d_d)[act[live]])
+        np.testing.assert_array_equal(np.asarray(w_s)[live],
+                                      np.asarray(w_d)[act[live]])
+        np.testing.assert_array_equal(np.asarray(v_s)[live],
+                                      np.asarray(v_d)[act[live]])
+
+
+def test_sparse_preserves_untouched_tiles(meshes):
+    """A pass whose geometry covers a corner must leave every other
+    tile's color/depth/winner bit-identical (the compaction contract)."""
+    import jax.numpy as jnp
+    view, proj = default_view()
+    w, h = 512, 128                    # 4 x 8 = 32-tile grid at (16, 128)
+    p = make_pass(meshes["soup"], GouraudShader(), view, proj)
+    attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+    rng = np.random.default_rng(9)
+    base = raster.FrameBuffers(
+        color=jnp.asarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)),
+        depth=jnp.full((h, w), np.inf, jnp.float32),
+        winner=jnp.full((h, w), raster.BACKGROUND, jnp.int32))
+    ft = raster_sparse.buffers_to_tiles(base, w, h)
+    ft2, setup, ovf = raster_sparse.render_pass_tiles(
+        ft, attrs, p.shader, p.uniforms, w, h)
+    assert not bool(ovf)
+    touched = np.asarray(ft2.winner != ft.winner).any(axis=(1, 2))
+    covered_tiles = int(touched.sum())
+    assert 0 < covered_tiles < ft.winner.shape[0]
+    # untouched tiles preserved bitwise (including random color bytes)
+    keep = ~touched
+    np.testing.assert_array_equal(np.asarray(ft2.color)[keep],
+                                  np.asarray(ft.color)[keep])
+    np.testing.assert_array_equal(np.asarray(ft2.depth)[keep],
+                                  np.asarray(ft.depth)[keep])
+
+
+def test_overflow_flag_fires_same_frame(meshes):
+    """Non-strict mode: the frame that drops pairs reports it in its OWN
+    outputs (device flag), not one frame later (VERDICT item 7)."""
+    import jax.numpy as jnp
+    view, proj = default_view()
+    w = h = 64
+    p = make_pass(meshes["soup"], GouraudShader(), view, proj)
+    attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+    key = (attrs["position"].shape[0],
+           -(-w // raster_tiled.TILE_W), -(-h // raster_tiled.TILE_H))
+    raster_sparse._SPARSE_CAPACITY.pop(key, None)
+    raster_sparse._SPARSE_PENDING.pop(key, None)
+    ft = raster_sparse.new_frame_tiles(w, h)
+    _, _, ovf = raster_sparse.render_pass_tiles(
+        ft, attrs, p.shader, p.uniforms, w, h,
+        strict_capacity=False, _caps=(16, 1))
+    assert bool(ovf)                   # capacity-busting frame flags NOW
+    raster_sparse._SPARSE_PENDING.pop(key, None)
+    raster_sparse._SPARSE_CAPACITY.pop(key, None)
+    _, _, ovf2 = raster_sparse.render_pass_tiles(
+        ft, attrs, p.shader, p.uniforms, w, h, strict_capacity=False)
+    assert not bool(ovf2)
+
+
+def test_scene_tiles_loop_matches_xla(meshes):
+    """Scene backend 'tiled' routed through the tiled-resident frame loop
+    (the TPU production path, FORCE_TILES_LOOP hook) vs the xla backend:
+    winner bitwise, color <=1 LSB, output-depth exclusion preserved."""
+    from tinyrenderder_tpu import scene as scene_mod
+    from tinyrenderder_tpu.camera import Camera
+    from tinyrenderder_tpu.scene import Scene
+
+    cam = Camera()
+    cam.set_eye(math3d.vec3(0, 0.5, 3))
+    cam.set_target(math3d.vec3(0, 0, 0))
+    cam.set_fov(60.0)
+    cam.set_aspect(170 / 90)
+    cam.set_clipping(0.1, 50.0)
+    sc = Scene(camera=cam, width=170, height=90)
+    sc.add(meshes["head"], np.eye(4), PhongShader(KEY, FILL, RIM),
+           name="head")
+    eye_m = (math3d.translation_matrix(0.3, 0.0, 1.2)
+             @ math3d.scale_matrix(0.4, 0.4, 0.4))
+    sc.add(meshes["sphere"], eye_m, EyeShader(KEY, RIM), name="eyes",
+           exclude_from_output_depth=True)
+
+    r_x = sc.render(backend="xla")
+    scene_mod.FORCE_TILES_LOOP = True
+    try:
+        r_t = sc.render(backend="tiled")
+    finally:
+        scene_mod.FORCE_TILES_LOOP = False
+    d = np.abs(r_t.color.astype(int) - r_x.color.astype(int))
+    assert d.max() <= 1
+    # output depth excludes the eye pass on both backends
+    np.testing.assert_allclose(
+        np.where(np.isfinite(r_t.depth), r_t.depth, 0.0),
+        np.where(np.isfinite(r_x.depth), r_x.depth, 0.0), rtol=3e-7)
+    assert (np.asarray(r_t.depth) != np.asarray(r_t.full_depth)).any()
+    assert not bool(np.asarray(r_t.overflowed))
+
+
+def test_frame_tiles_multipass_eye_semantics(meshes):
+    """render_frame_tiles reproduces the scene loop's z-snapshot/restore
+    (main.cpp:700,730) — vs the FrameBuffers-based reference loop."""
+    import jax.numpy as jnp
+    view, proj = default_view()
+    w, h = 170, 90
+    g = make_pass(meshes["soup"], GouraudShader(), view, proj)
+    # eye sphere pulled toward the camera so its depth writes are the
+    # nearest surface somewhere (-> output depth visibly excludes them)
+    e = make_pass(meshes["sphere"], EyeShader(KEY, RIM), view, proj,
+                  model_matrix=math3d.translation_matrix(0.3, 0.0, 1.2)
+                  @ math3d.scale_matrix(0.4, 0.4, 0.4))
+    ph = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
+    passes = []
+    for p, excl in ((g, False), (ph, False), (e, True)):
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        passes.append((attrs, p.shader, dict(p.uniforms), excl))
+
+    ft, out_depth_t, ovf, _ = raster_sparse.render_frame_tiles(
+        passes, w, h)
+    fb = raster_sparse.tiles_to_buffers(ft, w, h)
+    out_depth = raster_sparse.tiles_to_buffers(
+        raster_sparse.FrameTiles(ft.color, out_depth_t, ft.winner),
+        w, h).depth
+
+    # reference loop through the per-pass FrameBuffers API
+    ref = raster.new_framebuffers(w, h)
+    snapshot = None
+    offset = 0
+    for attrs, shader, uniforms, excl in passes:
+        if excl and snapshot is None:
+            snapshot = ref.depth
+        elif not excl and snapshot is not None:
+            ref = raster.FrameBuffers(color=ref.color, depth=snapshot,
+                                      winner=ref.winner)
+            snapshot = None
+        ref, _ = raster_tiled.render_pass_tiled(
+            ref, attrs, shader, uniforms, winner_offset=offset,
+            use_pallas=True)
+        offset += attrs["position"].shape[0]
+
+    np.testing.assert_array_equal(np.asarray(fb.depth),
+                                  np.asarray(ref.depth))
+    np.testing.assert_array_equal(np.asarray(fb.winner),
+                                  np.asarray(ref.winner))
+    np.testing.assert_array_equal(np.asarray(fb.color),
+                                  np.asarray(ref.color))
+    od, fd = np.asarray(out_depth), np.asarray(fb.depth)
+    assert np.isfinite(od).sum() <= np.isfinite(fd).sum()
+    assert (od != fd).any()            # eye depth excluded from output

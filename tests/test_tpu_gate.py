@@ -1,0 +1,130 @@
+"""Real-TPU parity gate (VERDICT item 6).
+
+The CPU suite runs the Pallas kernel in interpret mode; this marked
+suite pins the REAL Mosaic kernel on the bench chip:
+
+    TPU_TESTS=1 PYTHONPATH=/root/repo:/root/.axon_site \
+        python -m pytest tests/ -m tpu -q
+
+It protects the e35d513 FMA-grouping invariant with assertions instead
+of a comment (raster_pallas.py depth merge): the Mosaic kernel's winner
+maps must equal the XLA tiled fallback's AND the serial NumPy oracle's
+bitwise, on the same chip.  Small reused shapes keep cold compiles
+bounded (~1-3 min each, then cached in /root/.jax_cache).
+"""
+
+import numpy as np
+import pytest
+
+from helpers import default_view, make_pass, render_oracle, standard_meshes
+from tinyrenderder_tpu import math3d
+from tinyrenderder_tpu.ops import raster, raster_sparse, raster_tiled
+from tinyrenderder_tpu.shaders import GouraudShader, PhongShader
+
+KEY = math3d.normalized(math3d.vec3(1.0, 1.4, 1.0))
+FILL = math3d.normalized(math3d.vec3(-0.3, 0.5, 0.2))
+RIM = math3d.normalized(math3d.vec3(-1.0, 0.8, -1.5))
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _require_tpu():
+    import jax
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a real TPU backend")
+
+
+@pytest.fixture(scope="module")
+def meshes():
+    return standard_meshes()
+
+
+def _passes(meshes, view, proj):
+    return [make_pass(meshes["soup"], GouraudShader(), view, proj),
+            make_pass(meshes["head"], PhongShader(KEY, FILL, RIM),
+                      view, proj)]
+
+
+def test_mosaic_kernel_matches_xla_on_tpu(meshes):
+    """Real kernel vs XLA fallback, both compiled for this chip: winner
+    maps bitwise (z-tie order), colors <=1 LSB — the FMA-grouping
+    invariant of the depth merge."""
+    import jax.numpy as jnp
+    view, proj = default_view()
+    w, h = 256, 128
+    for p in _passes(meshes, view, proj):
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        fb0 = raster.new_framebuffers(w, h)
+        fb_k, _ = raster_tiled.render_pass_tiled(
+            fb0, attrs, p.shader, p.uniforms, use_pallas=True)
+        fb_x, _ = raster_tiled.render_pass_tiled(
+            fb0, attrs, p.shader, p.uniforms, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(fb_k.winner),
+                                      np.asarray(fb_x.winner))
+        d = np.abs(np.asarray(fb_k.color).astype(int)
+                   - np.asarray(fb_x.color).astype(int))
+        assert d.max() <= 1, f"{p.shader.name}: color delta {d.max()}"
+
+
+def test_mosaic_kernel_matches_oracle_on_tpu(meshes):
+    """Real kernel vs the serial NumPy oracle: coverage + winner bitwise,
+    colors <=1 LSB (the cross-backend exactness invariant on hardware)."""
+    import jax.numpy as jnp
+    view, proj = default_view()
+    w, h = 256, 128
+    passes = _passes(meshes, view, proj)
+    frame = render_oracle(passes, w, h)
+
+    fb = raster.new_framebuffers(w, h)
+    offset = 0
+    for p in passes:
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        fb, _ = raster_tiled.render_pass_tiled(
+            fb, attrs, p.shader, p.uniforms, winner_offset=offset,
+            use_pallas=True)
+        offset += attrs["position"].shape[0]
+
+    got_cov = np.asarray(fb.winner) >= 0
+    want_cov = np.isfinite(frame.zbuffer)
+    np.testing.assert_array_equal(got_cov, want_cov)
+    dc = np.abs(np.asarray(fb.color).astype(np.int64)
+                - frame.color.astype(np.int64))
+    assert dc.max() <= 1, f"oracle color delta {dc.max()}"
+
+
+def test_sparse_matches_dense_kernel_on_tpu(meshes):
+    """Compacted-grid Mosaic kernel vs dense-grid Mosaic kernel: depth,
+    winner and varying planes bitwise on the active tiles."""
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.ops import raster_pallas
+    view, proj = default_view()
+    w, h = 256, 128
+    th, tw = raster_tiled.TILE_H, raster_tiled.TILE_W
+    ntx, nty = -(-w // tw), -(-h // th)
+    n_tiles = ntx * nty
+    p = _passes(meshes, view, proj)[1]
+    attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+    cap = 4096
+    (setup, records, ids, kernel_ids, start_a, counts_a, *_
+     ) = raster_sparse._pre_sparse_jit(
+        attrs, dict(p.uniforms), p.shader, w, h, cap, n_tiles, th, tw)
+    n_vary = sum(p.shader.varying_spec.values())
+    tx0, ty0, span_x, spans, _ = raster_tiled._tile_spans(setup, tw, th)
+    sorted_tri, start, counts = raster_tiled._build_bins(
+        tx0, ty0, span_x, spans, cap, ntx, nty)
+    init = jnp.full((n_tiles, th, tw), jnp.inf, jnp.float32)
+    d_d, w_d, v_d = raster_pallas._pallas_call_jit(
+        start[:-1], counts, records, init, ntx, nty, th, tw, n_vary, False)
+    d_s, w_s, v_s = raster_pallas._pallas_call_sparse_jit(
+        kernel_ids, start_a, counts_a, records, init, ntx, nty, th, tw,
+        n_vary, False)
+    act = np.asarray(ids)
+    live = act < n_tiles
+    np.testing.assert_array_equal(np.asarray(d_s)[live],
+                                  np.asarray(d_d)[act[live]])
+    np.testing.assert_array_equal(np.asarray(w_s)[live],
+                                  np.asarray(w_d)[act[live]])
+    np.testing.assert_array_equal(np.asarray(v_s)[live],
+                                  np.asarray(v_d)[act[live]])

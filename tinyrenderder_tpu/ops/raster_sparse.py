@@ -1,0 +1,375 @@
+"""Active-tile sparse pipeline: tiled-resident framebuffers + compacted
+kernel grids.
+
+Round-1 profiling (docs/PERFORMANCE.md) showed two fixed costs that do
+not shrink with scene sparsity: (a) every pass untiled depth/winner/
+varyings back to (H, W) layout (~2.6 ms of transposes per pass at
+2048²), and (b) the Pallas grid visited every screen tile — an empty
+tile still paid a grid step, an init-depth DMA and a full block
+writeback of depth + winner + V varying planes (~150 MB of HBM writes at
+2048² regardless of coverage).
+
+This module removes both:
+
+  * ``FrameTiles`` keeps the frame in (T, tile_h, tile_w) tiled layout
+    across ALL passes; the single (H, W) untile happens once per frame
+    at the transfer boundary (z-snapshot/restore around excluded passes
+    stays a free pytree swap).
+  * The kernel grid runs over a COMPACTED list of non-empty tile ids
+    (scalar-prefetched dynamic block index maps, validated on real TPU
+    by scripts/probe_inplace_blocks.py).  Outputs are compact
+    (A_cap, th, tw) blocks scattered back into the frame; untouched
+    tiles cost nothing.  Fragment shading (phase C) also runs only on
+    the compact active set, so texture-gather cost now scales with
+    covered area instead of screen area.
+
+Decision math is still ops.semantics via the unchanged _tile_kernel —
+coverage/winner maps stay bitwise-identical to the dense kernel, the XLA
+tiled path, and the oracle (the merge keeps the argmin op structure, see
+raster_pallas.py:186-191 / commit e35d513).
+
+The reference anchor is unchanged: this replaces the serial per-pixel
+loop of our_gl.cpp:147-200.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinyrenderder_tpu import math3d
+from tinyrenderder_tpu.ops import raster, raster_pallas, semantics
+from tinyrenderder_tpu.ops.raster import BACKGROUND, FrameBuffers
+from tinyrenderder_tpu.ops.raster_tiled import (TILE_H, TILE_W, _build_bins,
+                                                _cdiv, _next_pow2,
+                                                _quantize_capacity,
+                                                _tile_spans)
+from tinyrenderder_tpu.shaders import finalize_color
+
+__all__ = ["FrameTiles", "new_frame_tiles", "tiles_to_buffers",
+           "buffers_to_tiles", "render_pass_tiles"]
+
+
+class FrameTiles(NamedTuple):
+    """Framebuffers resident in tiled layout: tile t covers pixel rows
+    (t // ntx)*th .. +th and cols (t % ntx)*tw .. +tw.  Ragged-edge
+    padding pixels can never be covered (the bbox test is in global
+    pixel coords), so they stay background and slicing untiles exactly."""
+
+    color: jax.Array     # (T, th, tw, 3) uint8
+    depth: jax.Array     # (T, th, tw) f32
+    winner: jax.Array    # (T, th, tw) i32
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile_h",
+                                             "tile_w"))
+def new_frame_tiles(width: int, height: int, tile_h: int = TILE_H,
+                    tile_w: int = TILE_W) -> FrameTiles:
+    n = _cdiv(width, tile_w) * _cdiv(height, tile_h)
+    return FrameTiles(
+        color=jnp.zeros((n, tile_h, tile_w, 3), jnp.uint8),
+        depth=jnp.full((n, tile_h, tile_w), jnp.inf, jnp.float32),
+        winner=jnp.full((n, tile_h, tile_w), BACKGROUND, jnp.int32),
+    )
+
+
+def _to_tiles_nd(img, nty, ntx, th, tw, fill):
+    """(H, W, ...) -> (T, th, tw, ...) with ragged edges padded."""
+    h, w = img.shape[:2]
+    ph, pw = nty * th, ntx * tw
+    if (ph, pw) != (h, w):
+        pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (img.ndim - 2)
+        img = jnp.pad(img, pad, constant_values=fill)
+    tail = img.shape[2:]
+    perm = (0, 2, 1, 3) + tuple(range(4, 4 + len(tail)))
+    return (img.reshape((nty, th, ntx, tw) + tail)
+               .transpose(perm)
+               .reshape((nty * ntx, th, tw) + tail))
+
+
+def _from_tiles_nd(tiles, nty, ntx, th, tw, height, width):
+    tail = tiles.shape[3:]
+    perm = (0, 2, 1, 3) + tuple(range(4, 4 + len(tail)))
+    img = (tiles.reshape((nty, ntx, th, tw) + tail)
+                .transpose(perm)
+                .reshape((nty * th, ntx * tw) + tail))
+    return img[:height, :width]
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile_h",
+                                             "tile_w"))
+def buffers_to_tiles(fb: FrameBuffers, width: int, height: int,
+                     tile_h: int = TILE_H, tile_w: int = TILE_W) -> FrameTiles:
+    nty, ntx = _cdiv(height, tile_h), _cdiv(width, tile_w)
+    return FrameTiles(
+        color=_to_tiles_nd(fb.color, nty, ntx, tile_h, tile_w, 0),
+        depth=_to_tiles_nd(fb.depth, nty, ntx, tile_h, tile_w, jnp.inf),
+        winner=_to_tiles_nd(fb.winner, nty, ntx, tile_h, tile_w, BACKGROUND),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile_h",
+                                             "tile_w"))
+def tiles_to_buffers(ft: FrameTiles, width: int, height: int,
+                     tile_h: int = TILE_H, tile_w: int = TILE_W) -> FrameBuffers:
+    nty, ntx = _cdiv(height, tile_h), _cdiv(width, tile_w)
+    return FrameBuffers(
+        color=_from_tiles_nd(ft.color, nty, ntx, tile_h, tile_w,
+                             height, width),
+        depth=_from_tiles_nd(ft.depth, nty, ntx, tile_h, tile_w,
+                             height, width),
+        winner=_from_tiles_nd(ft.winner, nty, ntx, tile_h, tile_w,
+                              height, width),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "shader", "width", "height", "capacity", "a_cap", "tile_h", "tile_w"))
+def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
+                    a_cap, tile_h, tile_w):
+    """Fused pre-kernel stage: vertex transform, setup, binning, pair
+    records, and active-tile compaction — one dispatch."""
+    dtype = attrs["position"].dtype
+    clip, varyings = shader.vertex(uniforms, attrs, jnp)
+    vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
+    setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
+    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_y = _cdiv(height, tile_h)
+    n_tiles = n_tiles_x * n_tiles_y
+    tx0, ty0, span_x, spans, total = _tile_spans(setup, tile_w, tile_h)
+    sorted_tri, start, counts = _build_bins(
+        tx0, ty0, span_x, spans, capacity, n_tiles_x, n_tiles_y)
+
+    if shader.writes_color:
+        from tinyrenderder_tpu.ops.raster_tiled import _flatten_varyings
+        spec = tuple(shader.varying_spec.items())
+        if set(n for n, _ in spec) != set(varyings):
+            raise ValueError(f"{shader.name}.varying_spec "
+                             f"{sorted(dict(spec))} != vertex output "
+                             f"{sorted(varyings)}")
+        vary_corners = _flatten_varyings(varyings, spec)
+    else:
+        vary_corners = None
+    records = raster_pallas.build_pair_records(setup, sorted_tri, vary_corners)
+
+    # active-tile compaction: ids[j] = j-th non-empty tile (ascending),
+    # padding entries = n_tiles sentinel (out-of-bounds -> scatter-dropped)
+    active = counts > 0
+    n_active = jnp.sum(active.astype(jnp.int32))
+    pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+    slot = jnp.where(active, pos, a_cap)
+    ids = jnp.full((a_cap,), n_tiles, jnp.int32).at[slot].set(
+        jnp.arange(n_tiles, dtype=jnp.int32), mode="drop")
+    kernel_ids = jnp.minimum(ids, n_tiles - 1)   # in-range for block maps
+    start_a = start[:-1][kernel_ids]
+    counts_a = jnp.where(ids < n_tiles, counts[kernel_ids], 0)
+    return (setup, records, ids, kernel_ids, start_a, counts_a,
+            total, n_active)
+
+
+@functools.partial(jax.jit, static_argnames=("shader", "spec"))
+def _post_sparse_jit(ft: FrameTiles, ids, kernel_ids, depth_c, winner_c,
+                     vary_c, uniforms, winner_offset, shader, spec):
+    """Fused post-kernel stage in COMPACT space: fragment-shade only the
+    active tiles, merge, scatter back into the tiled frame.  Padding
+    entries (ids == n_tiles) scatter out of bounds and are dropped."""
+    winner_c = winner_c.astype(jnp.int32)
+    won = winner_c >= 0
+    new_depth = ft.depth.at[ids].set(depth_c, mode="drop")
+    new_w_c = jnp.where(won, winner_c + winner_offset,
+                        ft.winner[kernel_ids])
+    new_winner = ft.winner.at[ids].set(new_w_c, mode="drop")
+    if not shader.writes_color:
+        return FrameTiles(color=ft.color, depth=new_depth, winner=new_winner)
+    vary = {}
+    i = 0
+    for name, c in spec:
+        vary[name] = jnp.moveaxis(vary_c[:, i:i + c], 1, -1)  # (A, th, tw, c)
+        i += c
+    rgb = shader.fragment(uniforms, vary, jnp)
+    out = finalize_color(rgb, jnp)
+    new_c_c = jnp.where(won[..., None], out, ft.color[kernel_ids])
+    new_color = ft.color.at[ids].set(new_c_c, mode="drop")
+    return FrameTiles(color=new_color, depth=new_depth, winner=new_winner)
+
+
+# capacity caches shared with raster_tiled's conventions: key ->
+# (pair capacity, active-tile capacity); async totals resolve one frame
+# later exactly like raster_tiled._PENDING_TOTALS
+_SPARSE_CAPACITY: dict = {}
+_SPARSE_PENDING: dict = {}
+
+
+def _quantize_active(n_active: int, n_tiles: int) -> int:
+    """Active-tile capacity: 25% headroom rounded UP to an eighth of the
+    (pow2-rounded) tile count.  Pow2 rounding like the pair capacity
+    would jump straight to n_tiles once coverage passes ~40% (e.g. 965
+    active of 2048 -> 2048) and the compaction would never engage; an
+    n_tiles/8 grain keeps at most 8 compiled grid variants per
+    resolution while preserving the win at mid coverage."""
+    grain = max(8, _next_pow2(n_tiles) // 8)
+    want = n_active + n_active // 4
+    return max(8, min(_cdiv(want, grain) * grain, n_tiles))
+
+
+def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
+                      width: int, height: int, winner_offset: int = 0,
+                      tile_h: int = TILE_H, tile_w: int = TILE_W,
+                      strict_capacity: bool = True,
+                      interpret: bool | None = None,
+                      _caps: tuple | None = None):
+    """Render one (mesh, shader) pass on a tiled-resident frame through
+    the sparse Pallas pipeline.  Same output contract as
+    raster_tiled.render_pass_tiled (after tiles_to_buffers), same
+    capacity semantics: strict mode host-syncs and retries on pair-bin
+    OR active-list overflow; async mode resolves the counts next frame.
+
+    Returns (new FrameTiles, setup, overflowed) — ``overflowed`` is a
+    DEVICE bool scalar (true iff this pass dropped pairs or tiles), so
+    callers can fold it into frame outputs without a host sync.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    uniforms = dict(uniforms)
+    f = attrs["position"].shape[0]
+    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_y = _cdiv(height, tile_h)
+    n_tiles = n_tiles_x * n_tiles_y
+    if f == 0:
+        empty = {"valid": jnp.zeros((0,), bool),
+                 "screen": jnp.zeros((0, 3, 2), jnp.float32),
+                 "ndc_z": jnp.zeros((0, 3), jnp.float32),
+                 "clip_w": jnp.zeros((0, 3), jnp.float32),
+                 "bbox": jnp.zeros((0, 4), jnp.int32)}
+        return ft, empty, jnp.asarray(False)
+
+    key = (f, n_tiles_x, n_tiles_y)
+
+    if not strict_capacity:
+        prev = _SPARSE_PENDING.get(key)
+        if prev is not None:
+            totals_dev, prev_caps, age = prev
+            ready = getattr(totals_dev, "is_ready", lambda: True)()
+            if ready or age >= 8:
+                _SPARSE_PENDING.pop(key)
+                pt, pa = (int(x) for x in np.asarray(totals_dev))
+                cap, a_cap = prev_caps
+                if pt > cap or pa > a_cap:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "sparse overflow (pairs %d/%d, tiles %d/%d) "
+                        "detected %d frame(s) late; capacity grown",
+                        pt, cap, pa, a_cap, age + 1)
+                    _SPARSE_CAPACITY[key] = (
+                        max(cap, _quantize_capacity(pt)),
+                        max(a_cap, _quantize_active(pa, n_tiles)))
+            else:
+                _SPARSE_PENDING[key] = (totals_dev, prev_caps, age + 1)
+
+    caps = _caps if _caps is not None else _SPARSE_CAPACITY.get(key)
+    if caps is None:
+        # first frame: one extra sync each for the pair count and the
+        # active-tile count (both needed as static capacities)
+        setup0, _ = _vertex_setup(attrs, uniforms, shader, width, height)
+        *_, total0 = _tile_spans(setup0, tile_w, tile_h)
+        capacity = _quantize_capacity(int(jax.device_get(total0)))
+        n_act0 = _count_active(setup0, capacity, width, height,
+                               tile_h, tile_w)
+        caps = (capacity, _quantize_active(int(jax.device_get(n_act0)),
+                                           n_tiles))
+    _SPARSE_CAPACITY[key] = caps
+    capacity, a_cap = caps
+
+    spec = (tuple(shader.varying_spec.items())
+            if shader.writes_color else ())
+    n_vary = sum(c for _, c in spec)
+    (setup, records, ids, kernel_ids, start_a, counts_a, total,
+     n_active) = _pre_sparse_jit(attrs, uniforms, shader, width, height,
+                                 capacity, a_cap, tile_h, tile_w)
+    depth_c, winner_c, vary_c = raster_pallas._pallas_call_sparse_jit(
+        kernel_ids, start_a, counts_a, records, ft.depth,
+        n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
+    new_ft = _post_sparse_jit(ft, ids, kernel_ids, depth_c, winner_c,
+                              vary_c, uniforms, jnp.int32(winner_offset),
+                              shader, spec)
+    overflowed = (total > capacity) | (n_active > a_cap)
+
+    if strict_capacity:
+        tot, act = (int(x) for x in
+                    jax.device_get((total, n_active)))
+        if tot > capacity or act > a_cap:
+            grown = (max(capacity, _quantize_capacity(tot)),
+                     max(a_cap, _quantize_active(act, n_tiles)))
+            _SPARSE_CAPACITY[key] = grown
+            return render_pass_tiles(ft, attrs, shader, uniforms,
+                                     width, height, winner_offset,
+                                     tile_h, tile_w, strict_capacity,
+                                     interpret, _caps=grown)
+    elif key not in _SPARSE_PENDING:
+        totals_dev = jnp.stack([total, n_active])
+        try:
+            totals_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        _SPARSE_PENDING[key] = (totals_dev, caps, 0)
+    return new_ft, setup, overflowed
+
+
+@functools.partial(jax.jit, static_argnames=("shader", "width", "height"))
+def _vertex_setup(attrs, uniforms, shader, width: int, height: int):
+    clip, _ = shader.vertex(uniforms, attrs, jnp)
+    vp = jnp.asarray(math3d.viewport(0, 0, width, height),
+                     dtype=attrs["position"].dtype)
+    return semantics.triangle_setup_planes(clip, vp, width, height, jnp), None
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "width", "height",
+                                             "tile_h", "tile_w"))
+def _count_active(setup, capacity, width, height, tile_h, tile_w):
+    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_y = _cdiv(height, tile_h)
+    tx0, ty0, span_x, spans, _ = _tile_spans(setup, tile_w, tile_h)
+    _, _, counts = _build_bins(tx0, ty0, span_x, spans, capacity,
+                               n_tiles_x, n_tiles_y)
+    return jnp.sum((counts > 0).astype(jnp.int32))
+
+
+def render_frame_tiles(passes, width: int, height: int,
+                       strict_capacity: bool = True,
+                       tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """Multi-pass frame fully resident in tiled layout (main.cpp:647-736
+    flow incl. the z-snapshot/restore around exclude_from_output_depth
+    passes, main.cpp:700,730).  ``passes``: iterable of (attrs, shader,
+    uniforms, exclude_from_output_depth).
+
+    Returns (FrameTiles, output_depth_tiles, overflowed-device-bool,
+    setups list).  The single (H, W) untile is the caller's transfer
+    boundary (tiles_to_buffers)."""
+    ft = new_frame_tiles(width, height, tile_h, tile_w)
+    snapshot = None
+    in_excluded = False
+    offset = 0
+    overflow = jnp.asarray(False)
+    setups = []
+    for attrs, shader, uniforms, exclude in passes:
+        if exclude:
+            if not in_excluded:
+                snapshot = ft.depth          # immutable: free snapshot
+                in_excluded = True
+        elif in_excluded:
+            ft = FrameTiles(color=ft.color, depth=snapshot,
+                            winner=ft.winner)
+            in_excluded = False
+        ft, setup, ovf = render_pass_tiles(
+            ft, attrs, shader, uniforms, width, height,
+            winner_offset=offset, tile_h=tile_h, tile_w=tile_w,
+            strict_capacity=strict_capacity)
+        overflow = overflow | ovf
+        setups.append(setup)
+        offset += attrs["position"].shape[0]
+    out_depth = snapshot if in_excluded else ft.depth
+    return ft, out_depth, overflow, setups

@@ -506,8 +506,6 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
         use_pallas = jax.default_backend() == "tpu"
 
     if use_pallas:
-        from tinyrenderder_tpu.ops import raster_pallas
-
         if not shader.writes_color and USE_STRIP_DEPTH:
             # depth-only pass via the strip-parallel kernel
             # (ops/raster_strips.py).  Opt-in: measured faster only on
@@ -525,69 +523,23 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
             return FrameBuffers(color=fb.color, depth=depth,
                                 winner=new_winner), setup
 
-        n_tiles_x = _cdiv(width, tile_w)
-        n_tiles_y = _cdiv(height, tile_h)
-        key = (f, n_tiles_x, n_tiles_y)
-
-        if not strict_capacity and not _DISABLE_OVERFLOW_CHECKS:
-            # resolve a PREVIOUS frame's pair count, but only once its D2H
-            # has actually landed (blocking on an in-flight tunnel
-            # transfer costs the same ~30 ms RTT the async mode exists to
-            # avoid); force resolution after 8 frames so overflow can
-            # never go undetected indefinitely
-            prev = _PENDING_TOTALS.get(key)
-            if prev is not None:
-                prev_total, prev_cap, age = prev
-                ready = getattr(prev_total, "is_ready", lambda: True)()
-                if ready or age >= 8:
-                    _PENDING_TOTALS.pop(key)
-                    pt = int(np.asarray(prev_total))
-                    if pt > prev_cap:
-                        import logging
-                        logging.getLogger(__name__).warning(
-                            "bin overflow (%d > %d) detected %d frame(s) "
-                            "late; capacity grown", pt, prev_cap, age + 1)
-                        _PAIR_CAPACITY[key] = _quantize_capacity(pt)
-                else:
-                    _PENDING_TOTALS[key] = (prev_total, prev_cap, age + 1)
-
-        capacity = _capacity if _capacity is not None else _PAIR_CAPACITY.get(key)
-        if capacity is None:                      # first frame: sync once
-            setup0, _ = _vertex_setup_jit(attrs, uniforms, shader,
-                                          width, height)
-            *_, total0 = _tile_spans(setup0, tile_w, tile_h)
-            capacity = _quantize_capacity(int(jax.device_get(total0)))
-        _PAIR_CAPACITY[key] = capacity
-
-        spec = (tuple(shader.varying_spec.items())
-                if shader.writes_color else ())
-        n_vary = sum(c for _, c in spec)
-        setup, records, start, counts, init_tiles, total = _pre_pallas_jit(
-            attrs, uniforms, fb.depth, shader, width, height, capacity,
-            tile_h, tile_w)
-        interpret = jax.default_backend() != "tpu"
-        depth_t, winner_t, vary_t = raster_pallas._pallas_call_jit(
-            start, counts, records, init_tiles, n_tiles_x, n_tiles_y,
-            tile_h, tile_w, n_vary, interpret)
-        new_fb = _post_pallas_jit(fb, depth_t, winner_t, vary_t, uniforms,
-                                  jnp.int32(winner_offset), shader, spec,
-                                  width, height, tile_h, tile_w)
-        if strict_capacity:
-            # deferred overflow check: the D2H overlaps dispatched work
-            tot = int(jax.device_get(total))
-            if tot > capacity:
-                return render_pass_tiled(fb, attrs, shader, uniforms,
-                                         winner_offset, tile_h, tile_w,
-                                         chunk, use_pallas, strict_capacity,
-                                         _capacity=_quantize_capacity(tot))
-        elif not _DISABLE_OVERFLOW_CHECKS and key not in _PENDING_TOTALS:
-            # sample one in-flight count at a time per key
-            try:
-                total.copy_to_host_async()
-            except AttributeError:
-                pass
-            _PENDING_TOTALS[key] = (total, capacity, 0)
-        return new_fb, setup
+        # sparse active-tile pipeline (ops.raster_sparse): compacted
+        # kernel grid + tiled-resident merge; this wrapper keeps the
+        # (H, W) FrameBuffers contract by tiling/untiling per pass —
+        # frame loops should hold FrameTiles directly (scene.py does)
+        from tinyrenderder_tpu.ops import raster_sparse
+        caps = None
+        if _capacity is not None:     # test hook: forced pair capacity
+            n_tiles = _cdiv(width, tile_w) * _cdiv(height, tile_h)
+            caps = (_capacity, n_tiles)
+        ft = raster_sparse.buffers_to_tiles(fb, width, height,
+                                            tile_h, tile_w)
+        ft, setup, _ = raster_sparse.render_pass_tiles(
+            ft, attrs, shader, uniforms, width, height,
+            winner_offset=winner_offset, tile_h=tile_h, tile_w=tile_w,
+            strict_capacity=strict_capacity, _caps=caps)
+        return raster_sparse.tiles_to_buffers(ft, width, height,
+                                              tile_h, tile_w), setup
 
     setup, varyings = _vertex_setup_jit(attrs, uniforms, shader, width, height)
     bins = bin_triangles_csr(setup, width, height, tile_w, tile_h,

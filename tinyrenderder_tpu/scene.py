@@ -57,6 +57,11 @@ class RenderResult:
     full_depth: np.ndarray       # (H, W) float — including excluded passes
     stats: RenderStats
     pass_timings: dict = field(default_factory=dict)
+    #: device bool scalar (or None): True iff any pass of THIS frame
+    #: dropped work to a capacity overflow (async capacity mode); part of
+    #: the frame's own outputs, so checking it costs no extra round trip
+    #: once the frame is synced
+    overflowed: object = None
 
 
 @dataclass
@@ -250,9 +255,88 @@ def _render_oracle(scene, visible, dtype, stats, timings) -> RenderResult:
                         pass_timings=timings)
 
 
+#: test hook — route the scene's "tiled" backend through the tiled-
+#: resident sparse frame loop even off-TPU (interpret-mode kernel)
+FORCE_TILES_LOOP = False
+
+
+def _render_device_tiles(scene, visible, dtype, stats, timings,
+                         collect_stats, transfer,
+                         strict_capacity) -> RenderResult:
+    """Production TPU frame loop: the framebuffers stay in tiled layout
+    across every pass (ops.raster_sparse); the single (H, W) untile is
+    the transfer boundary."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.ops import raster, raster_sparse
+
+    width, height = scene.width, scene.height
+    ft = raster_sparse.new_frame_tiles(width, height)
+    snapshot = None
+    in_excluded = False
+    winner_offset = 0
+    overflow = jnp.asarray(False)
+    for p in visible:
+        attrs, uniforms = _pass_inputs(scene, p, dtype, device=True)
+        if p.exclude_from_output_depth:
+            if not in_excluded:
+                snapshot = ft.depth                 # main.cpp:700
+                in_excluded = True
+        elif in_excluded:
+            ft = raster_sparse.FrameTiles(          # main.cpp:730
+                color=ft.color, depth=snapshot, winner=ft.winner)
+            in_excluded = False
+        t0 = time.perf_counter()
+        ft, setup, ovf = raster_sparse.render_pass_tiles(
+            ft, attrs, p.shader, uniforms, width, height,
+            winner_offset=winner_offset, strict_capacity=strict_capacity)
+        overflow = overflow | ovf
+        if collect_stats:
+            ft.color.block_until_ready()
+            timings[p.name or p.mesh.name] = time.perf_counter() - t0
+            agg = raster.pass_stats(setup)
+            stats.triangles_rasterized += agg["triangles"]
+            if agg["valid_triangles"]:
+                stats.merge_bbox(agg["min_x"], agg["min_y"],
+                                 agg["max_x"], agg["max_y"])
+        winner_offset += p.mesh.nfaces
+
+    fb = raster_sparse.tiles_to_buffers(ft, width, height)
+    out_depth_t = snapshot if in_excluded else ft.depth
+    if in_excluded:
+        out_fb = raster_sparse.tiles_to_buffers(
+            raster_sparse.FrameTiles(ft.color, out_depth_t, ft.winner),
+            width, height)
+        out_depth_hw = out_fb.depth
+    else:
+        out_depth_hw = fb.depth
+    if transfer:
+        color = np.asarray(fb.color)
+        full_depth = np.asarray(fb.depth)
+        out_depth = (np.asarray(out_depth_hw)
+                     if in_excluded else full_depth)
+    else:
+        color, full_depth, out_depth = fb.color, fb.depth, out_depth_hw
+    if collect_stats:
+        fd = np.asarray(full_depth)
+        finite = np.isfinite(fd)
+        if finite.any():
+            stats.merge_z(float(fd[finite].min()), float(fd[finite].max()))
+        stats.fragments_drawn = int((np.asarray(fb.winner) >= 0).sum())
+        stats.fragments_exact = False
+        if bool(jax.device_get(overflow)):
+            log.warning("frame dropped work to a capacity overflow "
+                        "(async mode); capacity grows next frame")
+    return RenderResult(color=color, depth=out_depth,
+                        full_depth=full_depth, stats=stats,
+                        pass_timings=timings, overflowed=overflow)
+
+
 def _render_device(scene, visible, dtype, stats, timings, backend,
                    collect_stats=True, transfer=True,
                    strict_capacity=True) -> RenderResult:
+    import jax
     import jax.numpy as jnp
 
     from tinyrenderder_tpu.ops import raster
@@ -261,6 +345,11 @@ def _render_device(scene, visible, dtype, stats, timings, backend,
         import functools
 
         from tinyrenderder_tpu.ops import raster_tiled
+        if (jax.default_backend() == "tpu" and not raster_tiled.USE_STRIP_DEPTH) \
+                or FORCE_TILES_LOOP:
+            return _render_device_tiles(scene, visible, dtype, stats,
+                                        timings, collect_stats, transfer,
+                                        strict_capacity)
         pass_fn = functools.partial(raster_tiled.render_pass_tiled,
                                     strict_capacity=strict_capacity)
     else:
