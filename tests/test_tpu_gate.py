@@ -117,7 +117,7 @@ def test_sparse_matches_dense_kernel_on_tpu(meshes):
     init = jnp.full((n_tiles, th, tw), jnp.inf, jnp.float32)
     d_d, w_d, v_d = raster_pallas._pallas_call_jit(
         start[:-1], counts, records, init, ntx, nty, th, tw, n_vary, False)
-    d_s, w_s, v_s = raster_pallas._pallas_call_sparse_jit(
+    d_s, w_s, v_s, _ = raster_pallas._pallas_call_sparse_jit(
         kernel_ids, start_a, counts_a, records, init, ntx, nty, th, tw,
         n_vary, False)
     act = np.asarray(ids)

@@ -97,7 +97,8 @@ def build_pair_records(setup, sorted_tri, vary_corners=None):
 def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
                  depth_ref, winner_ref, vary_ref, buf, sem,
                  *, n_tiles_x, tile_h, tile_w, n_vary,
-                 dma_chunk=DMA_CHUNK, sub=SUB, ids_ref=None):
+                 dma_chunk=DMA_CHUNK, sub=SUB, ids_ref=None,
+                 ev_ref=None):
     if ids_ref is None:
         t = pl.program_id(0)               # dense grid: one step per tile
         seg_start = start_ref[t]
@@ -126,6 +127,11 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
     winner_ref[0] = jnp.full((tile_h, tile_w), float(BACKGROUND), dtype)
     if n_vary:
         vary_ref[0] = jnp.zeros((n_vary, tile_h, tile_w), dtype)
+    if ev_ref is not None:
+        # ev plane 0: per-pixel z-pass EVENT count (overdraw-inclusive,
+        # our_gl.cpp:194); plane 1: max z over events (our_gl.cpp:199)
+        ev_ref[0, 0] = jnp.zeros((tile_h, tile_w), dtype)
+        ev_ref[0, 1] = jnp.full((tile_h, tile_w), -jnp.inf, dtype)
 
     n_chunks = pl.cdiv(count, dma_chunk)
 
@@ -189,6 +195,29 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
         covered &= live_mask(rows, pair0)
 
         zc = jnp.where(covered, z, jnp.inf)
+        if ev_ref is not None:
+            # exact sequential z-pass semantics within the sub-block:
+            # event k fires iff zc[k] < min(carry depth, zc[0..k-1]).
+            # Hillis-Steele inclusive cummin along the pair axis, shifted
+            # to exclusive with the running depth as carry.
+            p = zc
+            s = 1
+            while s < sub:
+                shifted = jnp.concatenate(
+                    [jnp.full((s, tile_h, tile_w), jnp.inf, dtype),
+                     p[:-s]], axis=0)
+                p = jnp.minimum(p, shifted)
+                s *= 2
+            excl = jnp.concatenate(
+                [jnp.full((1, tile_h, tile_w), jnp.inf, dtype), p[:-1]],
+                axis=0)
+            thresh = jnp.minimum(excl, depth_ref[0][None])
+            events = zc < thresh
+            ev_ref[0, 0] += jnp.sum(
+                jnp.where(events, jnp.asarray(1.0, dtype), 0.0), axis=0)
+            ev_ref[0, 1] = jnp.maximum(
+                ev_ref[0, 1],
+                jnp.max(jnp.where(events, zc, -jnp.inf), axis=0))
         # NOTE: a sequential per-pair compare-select merge is ~20% fewer
         # register ops, but changing the op structure here perturbs XLA's
         # FMA grouping of affine_z by 1 ulp relative to the XLA tiled
@@ -316,11 +345,11 @@ def _pallas_call_jit(start, counts, records, init_tiles,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_tiles_x", "n_tiles_y", "tile_h", "tile_w", "n_vary", "interpret",
-    "dma_chunk", "sub"))
+    "dma_chunk", "sub", "collect_stats"))
 def _pallas_call_sparse_jit(ids, start, counts, records, depth_tiles,
                             n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary,
                             interpret, origin=None, dma_chunk=DMA_CHUNK,
-                            sub=SUB):
+                            sub=SUB, collect_stats=False):
     """Active-tile compacted kernel launch: the grid runs over the A_cap
     entries of ``ids`` (compacted non-empty tile ids, clamped in-range —
     padding entries carry count 0) instead of every screen tile.  The
@@ -336,10 +365,17 @@ def _pallas_call_sparse_jit(ids, start, counts, records, depth_tiles,
                                tile_h=tile_h, tile_w=tile_w, n_vary=n_vary,
                                dma_chunk=dma_chunk, sub=sub)
 
-    def sparse_kernel(ids_r, start_r, count_r, origin_r, rec, init,
-                      depth_o, winner_o, vary_o, buf, sem):
-        kernel(start_r, count_r, origin_r, rec, init,
-               depth_o, winner_o, vary_o, buf, sem, ids_ref=ids_r)
+    if collect_stats:
+        def sparse_kernel(ids_r, start_r, count_r, origin_r, rec, init,
+                          depth_o, winner_o, vary_o, ev_o, buf, sem):
+            kernel(start_r, count_r, origin_r, rec, init,
+                   depth_o, winner_o, vary_o, buf, sem, ids_ref=ids_r,
+                   ev_ref=ev_o)
+    else:
+        def sparse_kernel(ids_r, start_r, count_r, origin_r, rec, init,
+                          depth_o, winner_o, vary_o, buf, sem):
+            kernel(start_r, count_r, origin_r, rec, init,
+                   depth_o, winner_o, vary_o, buf, sem, ids_ref=ids_r)
 
     out_block = pl.BlockSpec((1, tile_h, tile_w),
                              lambda i, ids, s, c, o: (i, 0, 0),
@@ -347,6 +383,20 @@ def _pallas_call_sparse_jit(ids, start, counts, records, depth_tiles,
     vary_block = pl.BlockSpec((1, max(n_vary, 1), tile_h, tile_w),
                               lambda i, ids, s, c, o: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
+    ev_block = pl.BlockSpec((1, 2, tile_h, tile_w),
+                            lambda i, ids, s, c, o: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [out_block, out_block, vary_block]
+    out_shape = [
+        jax.ShapeDtypeStruct((a_cap, tile_h, tile_w), jnp.float32),
+        jax.ShapeDtypeStruct((a_cap, tile_h, tile_w), jnp.float32),
+        jax.ShapeDtypeStruct((a_cap, max(n_vary, 1), tile_h, tile_w),
+                             jnp.float32),
+    ]
+    if collect_stats:
+        out_specs.append(ev_block)
+        out_shape.append(
+            jax.ShapeDtypeStruct((a_cap, 2, tile_h, tile_w), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(a_cap,),
@@ -356,23 +406,21 @@ def _pallas_call_sparse_jit(ids, start, counts, records, depth_tiles,
                          lambda i, ids, s, c, o: (ids[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_block, out_block, vary_block],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, dma_chunk, REC), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         sparse_kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((a_cap, tile_h, tile_w), jnp.float32),
-            jax.ShapeDtypeStruct((a_cap, tile_h, tile_w), jnp.float32),
-            jax.ShapeDtypeStruct((a_cap, max(n_vary, 1), tile_h, tile_w),
-                                 jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(ids, start, counts, origin.astype(jnp.int32), records, depth_tiles)
+    if collect_stats:
+        return out
+    return list(out) + [None]
 
 
 def rasterize_pallas(setup, bins: Bins, init_depth, height: int, width: int,

@@ -221,6 +221,7 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
                       tile_h: int = TILE_H, tile_w: int = TILE_W,
                       strict_capacity: bool = True,
                       interpret: bool | None = None,
+                      collect_stats: bool = False,
                       _caps: tuple | None = None):
     """Render one (mesh, shader) pass on a tiled-resident frame through
     the sparse Pallas pipeline.  Same output contract as
@@ -231,6 +232,13 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
     Returns (new FrameTiles, setup, overflowed) — ``overflowed`` is a
     DEVICE bool scalar (true iff this pass dropped pairs or tiles), so
     callers can fold it into frame outputs without a host sync.
+
+    ``collect_stats=True`` additionally returns a 4th element: a device
+    (fragments, min_z, max_z) triple with the reference's EXACT counter
+    semantics — fragments counts z-pass *events* including overdraw in
+    submission order (our_gl.cpp:194-200), z-range is over drawn events
+    (not the final buffer).  Costs one extra kernel output + a log2(SUB)
+    prefix-min per sub-step; off on the bench path.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -245,6 +253,10 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
                  "ndc_z": jnp.zeros((0, 3), jnp.float32),
                  "clip_w": jnp.zeros((0, 3), jnp.float32),
                  "bbox": jnp.zeros((0, 4), jnp.int32)}
+        if collect_stats:
+            zero = jnp.float32(0)
+            return (ft, empty, jnp.asarray(False),
+                    (zero, jnp.float32(jnp.inf), jnp.float32(-jnp.inf)))
         return ft, empty, jnp.asarray(False)
 
     key = (f, n_tiles_x, n_tiles_y)
@@ -290,13 +302,16 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
     (setup, records, ids, kernel_ids, start_a, counts_a, total,
      n_active) = _pre_sparse_jit(attrs, uniforms, shader, width, height,
                                  capacity, a_cap, tile_h, tile_w)
-    depth_c, winner_c, vary_c = raster_pallas._pallas_call_sparse_jit(
+    depth_c, winner_c, vary_c, ev_c = raster_pallas._pallas_call_sparse_jit(
         kernel_ids, start_a, counts_a, records, ft.depth,
-        n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
+        n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
+        collect_stats=collect_stats)
     new_ft = _post_sparse_jit(ft, ids, kernel_ids, depth_c, winner_c,
                               vary_c, uniforms, jnp.int32(winner_offset),
                               shader, spec)
     overflowed = (total > capacity) | (n_active > a_cap)
+    events = _reduce_events_jit(ev_c, depth_c, winner_c,
+                                ids, n_tiles) if collect_stats else None
 
     if strict_capacity:
         tot, act = (int(x) for x in
@@ -308,7 +323,7 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
             return render_pass_tiles(ft, attrs, shader, uniforms,
                                      width, height, winner_offset,
                                      tile_h, tile_w, strict_capacity,
-                                     interpret, _caps=grown)
+                                     interpret, collect_stats, _caps=grown)
     elif key not in _SPARSE_PENDING:
         totals_dev = jnp.stack([total, n_active])
         try:
@@ -316,7 +331,23 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
         except AttributeError:
             pass
         _SPARSE_PENDING[key] = (totals_dev, caps, 0)
+    if collect_stats:
+        return new_ft, setup, overflowed, events
     return new_ft, setup, overflowed
+
+
+@jax.jit
+def _reduce_events_jit(ev_c, depth_c, winner_c, ids, n_tiles):
+    """Per-pass exact counters from the kernel's event planes: fragment
+    (z-pass event) total, min/max z over drawn events.  The min event at
+    a pixel is its final pass depth (events strictly decrease), so
+    min_z = min over won pixels of the resolved depth."""
+    live = (ids < n_tiles)[:, None, None]
+    frags = jnp.sum(jnp.where(live, ev_c[:, 0], 0.0))
+    max_z = jnp.max(jnp.where(live, ev_c[:, 1], -jnp.inf))
+    won = live & (winner_c.astype(jnp.int32) >= 0)
+    min_z = jnp.min(jnp.where(won, depth_c, jnp.inf))
+    return frags, min_z, max_z
 
 
 @functools.partial(jax.jit, static_argnames=("shader", "width", "height"))

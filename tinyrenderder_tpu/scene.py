@@ -288,9 +288,11 @@ def _render_device_tiles(scene, visible, dtype, stats, timings,
                 color=ft.color, depth=snapshot, winner=ft.winner)
             in_excluded = False
         t0 = time.perf_counter()
-        ft, setup, ovf = raster_sparse.render_pass_tiles(
+        out = raster_sparse.render_pass_tiles(
             ft, attrs, p.shader, uniforms, width, height,
-            winner_offset=winner_offset, strict_capacity=strict_capacity)
+            winner_offset=winner_offset, strict_capacity=strict_capacity,
+            collect_stats=collect_stats)
+        ft, setup, ovf = out[:3]
         overflow = overflow | ovf
         if collect_stats:
             ft.color.block_until_ready()
@@ -300,6 +302,13 @@ def _render_device_tiles(scene, visible, dtype, stats, timings,
             if agg["valid_triangles"]:
                 stats.merge_bbox(agg["min_x"], agg["min_y"],
                                  agg["max_x"], agg["max_y"])
+            # exact z-pass event counters from the kernel
+            # (our_gl.cpp:194-200 semantics, overdraw included)
+            frags, min_z, max_z = (float(x) for x in
+                                   jax.device_get(out[3]))
+            stats.fragments_drawn += int(frags)
+            if np.isfinite(min_z):
+                stats.merge_z(min_z, max_z)
         winner_offset += p.mesh.nfaces
 
     fb = raster_sparse.tiles_to_buffers(ft, width, height)
@@ -319,12 +328,9 @@ def _render_device_tiles(scene, visible, dtype, stats, timings,
     else:
         color, full_depth, out_depth = fb.color, fb.depth, out_depth_hw
     if collect_stats:
-        fd = np.asarray(full_depth)
-        finite = np.isfinite(fd)
-        if finite.any():
-            stats.merge_z(float(fd[finite].min()), float(fd[finite].max()))
-        stats.fragments_drawn = int((np.asarray(fb.winner) >= 0).sum())
-        stats.fragments_exact = False
+        # fragments_drawn and the z-range were accumulated per pass from
+        # the kernel's exact event counters; nothing to approximate here
+        stats.fragments_exact = True
         if bool(jax.device_get(overflow)):
             log.warning("frame dropped work to a capacity overflow "
                         "(async mode); capacity grows next frame")
