@@ -96,28 +96,68 @@ def _scene(width, height, shader_for=None, meshes=3):
     return scene
 
 
+def _force(r):
+    """Force TRUE completion of ``r`` (and, by in-order execution, all
+    previously dispatched work) with a host fetch of a tiny reduction.
+
+    ``jax.block_until_ready`` is NOT a reliable completion barrier
+    through the axon tunnel — it has been observed returning in ~0.02 ms
+    right after dispatching seconds of device work (measured 2026-08-16;
+    see docs/PERFORMANCE.md).  A device_get of a value that depends on
+    the result is the only trustworthy sync; keep the fetched value tiny
+    (full-buffer transfers run at ~20 MB/s through the tunnel).
+    """
+    import jax
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(r)
+    x = leaves[0]
+    return jax.device_get(_force_red(jnp.ravel(x)[:8].astype(jnp.float32)))
+
+
+def _force_red(x):
+    import jax
+    if not hasattr(_force_red, "_f"):
+        import jax.numpy as jnp
+        _force_red._f = jax.jit(lambda v: jnp.sum(v))
+    return _force_red._f(x)
+
+
+def _measure_rtt():
+    """One-way-trip cost of a tiny forced fetch (median of 5)."""
+    import jax.numpy as jnp
+    x = jnp.zeros((8,), jnp.float32)
+    _force(x)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _force(x)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
 def _time_frames(frame_fn, warmup, frames, batches: int = 3):
     """Median over a few LARGE pipelined batches.
 
-    Each batch dispatches ``frames`` frames and blocks once: a blocking
-    sync through the device tunnel costs ~15-30 ms, so blocking per
-    frame (or per small batch) adds up to +50% to the measurement.  The
-    median over batches keeps robustness to load spikes.
+    Each batch dispatches ``frames`` frames and forces completion once
+    (a forced fetch through the device tunnel costs ~15-30 ms, so
+    syncing per frame adds up to +50%); the fetch RTT is measured and
+    subtracted.  The median over batches keeps robustness to spikes.
     """
-    import jax
     t0 = time.perf_counter()
-    jax.block_until_ready(frame_fn())
+    _force(frame_fn())
     compile_s = time.perf_counter() - t0
     for _ in range(max(warmup - 1, 0)):
-        jax.block_until_ready(frame_fn())
+        frame_fn()
+    _force(frame_fn())
+    rtt = _measure_rtt()
     samples = []
     for _ in range(batches):
         t0 = time.perf_counter()
         r = None
         for _ in range(frames):
             r = frame_fn()
-        jax.block_until_ready(r)
-        samples.append((time.perf_counter() - t0) / frames)
+        _force(r)
+        samples.append((time.perf_counter() - t0 - rtt) / frames)
     return float(np.median(samples)), compile_s
 
 
@@ -227,12 +267,12 @@ def bench_animation(width, height, frames):
                             collect_stats=False, transfer=False,
                             strict_capacity=False).color
 
-    import jax
     t0 = time.perf_counter()
-    jax.block_until_ready(render_at(0))
+    _force(render_at(0))
     compile_s = time.perf_counter() - t0
-    jax.block_until_ready(render_at(1))  # warms any capacity growth
-    # large pipelined batches: one blocking sync per batch (see
+    _force(render_at(1))  # warms any capacity growth
+    rtt = _measure_rtt()
+    # large pipelined batches: one forced fetch per batch (see
     # _time_frames — per-frame syncs cost ~15-30 ms each via the tunnel)
     samples = []
     third = max(frames // 3, 1)
@@ -241,8 +281,8 @@ def bench_animation(width, height, frames):
         r = None
         for j in range(third):
             r = render_at(b * third + j)
-        jax.block_until_ready(r)
-        samples.append((time.perf_counter() - t0) / third)
+        _force(r)
+        samples.append((time.perf_counter() - t0 - rtt) / third)
     dt = float(np.median(samples))
     return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
             "mpix_s": width * height / dt / 1e6, "compile_s": compile_s}

@@ -1,0 +1,570 @@
+"""Fine (strip-parallel) sparse rasterization — 8 pairs per vector step.
+
+The coarse kernel (ops.raster_pallas) evaluates ONE (tile, triangle)
+pair per vector step over a full (TILE_H, 128) tile; tiny triangles use
+a few percent of each step.  This module subdivides every tile into 8
+strips of (TILE_H, 16) and packs EIGHT (strip, triangle) pairs into one
+record row — each pair's fields pre-broadcast across its own 16-lane
+group — so one vector step rasterizes 8 pairs.  A triangle spanning the
+whole tile lands in all 8 strip bins *of the same row budget* (rows per
+tile = max strip bin size), so dense scenes cost the same number of
+steps while tiny-triangle scenes approach 8x (the regime of the
+reference hot loop our_gl.cpp:147-200 on high-poly scenes).
+
+Exactness design (the whole point of this productionization vs the
+round-1 prototype, scripts/experimental_fine_raster.py):
+
+  * Records are PRE-EXPANDED on the XLA side into plane-major
+    (n_planes, R, 128) arrays — lane group k of plane f already holds
+    pair k's field f in all 16 lanes.  The kernel reads contiguous
+    (sub, 128) plane slices; no in-kernel lane permutes (the prototype
+    measured ~290 ns/row of permute+loop overhead, the reason its
+    tiny-triangle win evaporated).
+  * The merge keeps the coarse kernel's SUB-block argmin structure —
+    the sub axis is "record rows" instead of "pairs", but the op graph
+    (coverage -> affine_z -> where -> min/argmin -> select) is
+    identical, which is what keeps XLA's FMA grouping of affine_z
+    bitwise-aligned across every backend (see raster_pallas.py merge
+    note / commit e35d513).  Within a lane, candidates arrive in bin
+    order (rows ascend = per-strip submission order) and argmin takes
+    the first minimum, reproducing the reference's strict-less
+    first-drawn-wins z-test (our_gl.cpp:165).
+  * Decision math is ops.semantics, shared verbatim.
+
+Streaming: loop 1 reads rec1 (14 planes: coeff 6, ndc z 3, bbox 4,
+id 1); loop 2 reads rec2 (10 + 3V planes: coeff 6, clip w 3, id 1,
+varying corners 3V) — each loop streams only the planes it uses,
+double-buffered HBM->VMEM DMA exactly like the coarse kernel.
+
+Grid + outputs are the sparse active-tile form (compact blocks
+scattered by tile id) so ops.raster_sparse._post_sparse_jit and the
+exact-stats reduction are reused unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tinyrenderder_tpu import math3d
+from tinyrenderder_tpu.ops import semantics
+from tinyrenderder_tpu.ops.raster import BACKGROUND
+from tinyrenderder_tpu.ops.raster_tiled import (TILE_H, TILE_W, _build_bins,
+                                                _cdiv, _next_pow2,
+                                                _quantize_capacity,
+                                                _tile_spans)
+
+__all__ = ["render_pass_fine", "STRIP_W", "STRIPS"]
+
+STRIP_W = 16
+STRIPS = TILE_W // STRIP_W            # 8 strips per (TILE_H, 128) tile
+
+# rec1 plane layout (loop 1 / depth resolve)
+REC1_PLANES = 14                      # coeff 6 | z 6..8 | bbox 9..12 | id 13
+# rec2 plane layout (loop 2 / varyings): coeff 6 | w 6..8 | id 9 | vary 10..
+REC2_BASE = 10
+
+DMA_ROWS = 32                         # record rows per HBM->VMEM copy
+SUB_ROWS = 8                          # rows per vector step (=64 pairs)
+
+
+# ---------------------------------------------------------------------------
+# Record build: strip bins -> pre-expanded plane-major rows
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "shader", "width", "height", "pair_cap", "row_cap", "a_cap",
+    "tile_h", "tile_w"))
+def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
+                  row_cap, a_cap, tile_h, tile_w):
+    """Fused pre-stage: vertex transform, setup, strip binning, row CSR,
+    record expansion, active-tile compaction — one dispatch.
+
+    Returns (setup, rec1, rec2, ids, kernel_ids, row_start_a, rows_a,
+    pair_total, row_total, n_active)."""
+    dtype = attrs["position"].dtype
+    clip, varyings = shader.vertex(uniforms, attrs, jnp)
+    vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
+    setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
+    f = max(setup["valid"].shape[0], 1)
+    ntx = _cdiv(width, tile_w)
+    nty = _cdiv(height, tile_h)
+    n_tiles = ntx * nty
+    nsx = ntx * STRIPS                              # strip columns
+
+    # strip-granularity bins; strip id = 8*tile + k (verified: tile tx's
+    # strips are columns tx*8..tx*8+7 of the strip grid)
+    tx0, ty0, span_x, spans, pair_total = _tile_spans(
+        setup, STRIP_W, tile_h)
+    sorted_tri, start, counts = _build_bins(
+        tx0, ty0, span_x, spans, pair_cap, nsx, nty)
+    counts_t = counts.reshape(n_tiles, STRIPS)      # (T, 8)
+    strip_start_t = start[:-1].reshape(n_tiles, STRIPS)
+
+    rows_t = jnp.max(counts_t, axis=1)              # (T,)
+    row_start = jnp.cumsum(rows_t) - rows_t         # (T,) exclusive
+    row_total = jnp.sum(rows_t)
+
+    # flat row -> (owning tile, row index within tile)
+    row_ids = jnp.arange(row_cap, dtype=jnp.int32)
+    t_of_row = jnp.clip(
+        jnp.searchsorted(row_start, row_ids, side="right").astype(jnp.int32)
+        - 1, 0, n_tiles - 1)
+    i_of_row = row_ids - row_start[t_of_row]
+    live_row = (i_of_row >= 0) & (row_ids < row_total)
+
+    # per row and lane group: the strip bin entry (or -1 beyond count)
+    pos = strip_start_t[t_of_row] + i_of_row[:, None]          # (R, 8)
+    live = live_row[:, None] & (i_of_row[:, None] < counts_t[t_of_row])
+    p = sorted_tri.shape[0]
+    tri = jnp.where(live, sorted_tri[jnp.clip(pos, 0, p - 1)], -1)
+
+    # one gather from the combined per-triangle field table
+    if shader.writes_color:
+        from tinyrenderder_tpu.ops.raster_tiled import _flatten_varyings
+        spec = tuple(shader.varying_spec.items())
+        vary_corners = _flatten_varyings(varyings, spec)       # (F, 3, V)
+        n_vary = vary_corners.shape[-1]
+        vary_cols = (vary_corners.astype(jnp.float32)
+                     .transpose(0, 2, 1).reshape(-1, 3 * n_vary))
+    else:
+        n_vary = 0
+        vary_cols = jnp.zeros((f, 0), jnp.float32)
+    tbl = jnp.concatenate([
+        setup["screen"].reshape(-1, 6).astype(jnp.float32),    # 0..5
+        setup["ndc_z"].astype(jnp.float32),                    # 6..8
+        setup["bbox"].astype(jnp.float32),                     # 9..12
+        setup["clip_w"].astype(jnp.float32),                   # 13..15
+        vary_cols,                                             # 16..
+    ], axis=1)                                                 # (F, 16+3V)
+    safe = jnp.clip(tri, 0, f - 1)
+    g = jnp.where(live[..., None], tbl[safe], 0.0)             # (R, 8, NP)
+    idp = tri.astype(jnp.float32)                              # (R, 8), -1 pad
+
+    def expand(planes):                                        # (R, 8, P)
+        # -> plane-major (P, R, 128): lane group k lanes [16k, 16k+16)
+        x = planes.transpose(2, 0, 1)[..., None]               # (P, R, 8, 1)
+        x = jnp.broadcast_to(x, x.shape[:3] + (STRIP_W,))
+        return x.reshape(x.shape[0], x.shape[1], TILE_W)
+
+    rec1 = expand(jnp.concatenate(
+        [g[..., 0:13], idp[..., None]], axis=-1))              # (14, R, 128)
+    if n_vary:
+        rec2 = expand(jnp.concatenate(
+            [g[..., 0:6], g[..., 13:16], idp[..., None], g[..., 16:]],
+            axis=-1))                                          # (10+3V, R, 128)
+    else:
+        rec2 = jnp.zeros((1, 1, TILE_W), jnp.float32)
+    # pad rows so fixed-size chunk DMAs stay in bounds
+    rec1 = jnp.pad(rec1, ((0, 0), (0, DMA_ROWS), (0, 0)))
+    if n_vary:
+        rec2 = jnp.pad(rec2, ((0, 0), (0, DMA_ROWS), (0, 0)))
+
+    # active-tile compaction (tiles with rows > 0), raster_sparse form
+    active = rows_t > 0
+    n_active = jnp.sum(active.astype(jnp.int32))
+    apos = jnp.cumsum(active.astype(jnp.int32)) - 1
+    slot = jnp.where(active, apos, a_cap)
+    ids = jnp.full((a_cap,), n_tiles, jnp.int32).at[slot].set(
+        jnp.arange(n_tiles, dtype=jnp.int32), mode="drop")
+    kernel_ids = jnp.minimum(ids, n_tiles - 1)
+    row_start_a = row_start[kernel_ids].astype(jnp.int32)
+    rows_a = jnp.where(ids < n_tiles, rows_t[kernel_ids], 0).astype(jnp.int32)
+    return (setup, rec1, rec2, ids, kernel_ids, row_start_a, rows_a,
+            pair_total, row_total, n_active)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
+                 rec1_hbm, rec2_hbm, init_ref,
+                 depth_ref, winner_ref, vary_ref, buf1, sem1, buf2, sem2,
+                 *, n_tiles_x, tile_h, tile_w, n_vary,
+                 dma_rows=DMA_ROWS, sub=SUB_ROWS, ev_ref=None):
+    i = pl.program_id(0)
+    t = ids_ref[i]                      # clamped; padding rows = 0
+    seg_start = start_ref[i]
+    count = rows_ref[i]                 # record ROWS for this tile
+
+    dtype = jnp.float32
+    gx0 = (origin_ref[0] + (t % n_tiles_x) * tile_w).astype(jnp.int32)
+    gy0 = (origin_ref[1] + (t // n_tiles_x) * tile_h).astype(jnp.int32)
+    xi = (gx0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+          ).astype(dtype)
+    yi = (gy0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+          ).astype(dtype)
+    half = jnp.asarray(0.5, dtype)
+    px = (xi + half)[None]
+    py = (yi + half)[None]
+    xi = xi[None]
+    yi = yi[None]
+
+    depth_ref[0] = init_ref[0]
+    winner_ref[0] = jnp.full((tile_h, tile_w), float(BACKGROUND), dtype)
+    if n_vary:
+        vary_ref[0] = jnp.zeros((n_vary, tile_h, tile_w), dtype)
+    if ev_ref is not None:
+        ev_ref[0, 0] = jnp.zeros((tile_h, tile_w), dtype)
+        ev_ref[0, 1] = jnp.full((tile_h, tile_w), -jnp.inf, dtype)
+
+    n_chunks = pl.cdiv(count, dma_rows)
+
+    def get_dma(rec_hbm, buf, sem, slot, chunk_idx):
+        return pltpu.make_async_copy(
+            rec_hbm.at[:, pl.ds(seg_start + chunk_idx * dma_rows,
+                                dma_rows), :],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    def stream(rec_hbm, buf, sem, process_sub):
+        """Double-buffered loop over this tile's record rows."""
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(rec_hbm, buf, sem, 0, 0).start()
+
+        def chunk_body(ci, _):
+            slot = ci % 2
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                get_dma(rec_hbm, buf, sem, (ci + 1) % 2, ci + 1).start()
+
+            get_dma(rec_hbm, buf, sem, slot, ci).wait()
+
+            def sub_body(s, _):
+                row0 = ci * dma_rows + s * sub
+
+                @pl.when(row0 < count)
+                def _():
+                    process_sub(slot, s * sub, row0)
+                return 0
+
+            jax.lax.fori_loop(0, dma_rows // sub, sub_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    def planes(buf, slot, r0, j0, n):               # n x (sub, 1, 128)
+        return [buf[slot, j, pl.ds(r0, sub), :][:, None, :]
+                for j in range(j0, j0 + n)]
+
+    def live_mask(row0):
+        row_idx = (row0
+                   + jax.lax.broadcasted_iota(jnp.int32, (sub, 1, 1), 0))
+        return row_idx < count
+
+    # ---- loop 1: depth resolve (argmin structure == coarse kernel) --------
+    def depth_sub(slot, r0, row0):
+        ax, ay, bx, by, cx, cy = planes(buf1, slot, r0, 0, 6)
+        b0, b1, b2, _ = semantics.barycentric(ax, ay, bx, by, cx, cy,
+                                              px, py, jnp)
+        covered = semantics.coverage_mask(b0, b1, b2)
+        z0, z1, z2 = planes(buf1, slot, r0, 6, 3)
+        z = semantics.affine_z(z0, z1, z2, b0, b1, b2)
+        covered &= jnp.isfinite(z)
+        x0b, x1b, y0b, y1b = planes(buf1, slot, r0, 9, 4)
+        covered &= (xi >= x0b) & (xi <= x1b) & (yi >= y0b) & (yi <= y1b)
+        ids = planes(buf1, slot, r0, 13, 1)[0]
+        covered &= ids >= 0                          # -1 = empty strip slot
+        covered &= live_mask(row0)
+
+        zc = jnp.where(covered, z, jnp.inf)
+        if ev_ref is not None:
+            p = zc
+            s = 1
+            while s < sub:
+                shifted = jnp.concatenate(
+                    [jnp.full((s, tile_h, tile_w), jnp.inf, dtype),
+                     p[:-s]], axis=0)
+                p = jnp.minimum(p, shifted)
+                s *= 2
+            excl = jnp.concatenate(
+                [jnp.full((1, tile_h, tile_w), jnp.inf, dtype), p[:-1]],
+                axis=0)
+            thresh = jnp.minimum(excl, depth_ref[0][None])
+            events = zc < thresh
+            ev_ref[0, 0] += jnp.sum(
+                jnp.where(events, jnp.asarray(1.0, dtype), 0.0), axis=0)
+            ev_ref[0, 1] = jnp.maximum(
+                ev_ref[0, 1],
+                jnp.max(jnp.where(events, zc, -jnp.inf), axis=0))
+        # same argmin merge as the coarse kernel (raster_pallas.py:221-236
+        # note / e35d513): rows ascend in per-strip bin order, argmin's
+        # first-minimum rule = first-drawn-wins at exact z ties
+        zmin = jnp.min(zc, axis=0)
+        best = jnp.argmin(zc, axis=0)
+        sel = jax.lax.broadcasted_iota(
+            jnp.int32, (sub, tile_h, tile_w), 0) == best[None]
+        win = jnp.sum(jnp.where(sel, ids, 0.0), axis=0)
+
+        better = zmin < depth_ref[0]
+        depth_ref[0] = jnp.where(better, zmin, depth_ref[0])
+        winner_ref[0] = jnp.where(better, win, winner_ref[0])
+
+    stream(rec1_hbm, buf1, sem1, depth_sub)
+
+    # ---- loop 2: varying interpolation for winners ------------------------
+    if n_vary:
+        def vary_sub(slot, r0, row0):
+            ids = planes(buf2, slot, r0, 9, 1)[0]
+            mine = ((winner_ref[0][None] == ids)
+                    & (ids >= 0)                      # pad != BACKGROUND
+                    & live_mask(row0))
+            hit_any = jnp.any(mine)
+
+            @pl.when(hit_any)
+            def _():
+                ax, ay, bx, by, cx, cy = planes(buf2, slot, r0, 0, 6)
+                b0, b1, b2, _ = semantics.barycentric(
+                    ax, ay, bx, by, cx, cy, px, py, jnp)
+                w0, w1, w2 = planes(buf2, slot, r0, 6, 3)
+                pb0, pb1, pb2 = semantics.perspective_correct_bary(
+                    b0, b1, b2, w0, w1, w2, jnp)
+                hit = jnp.any(mine, axis=0)
+                for c in range(n_vary):
+                    v0, v1, v2 = planes(buf2, slot, r0, REC2_BASE + 3 * c, 3)
+                    val = semantics.interp3(v0, v1, v2, pb0, pb1, pb2)
+                    contrib = jnp.sum(jnp.where(mine, val, 0.0), axis=0)
+                    vary_ref[0, c] = jnp.where(hit, contrib, vary_ref[0, c])
+
+        stream(rec2_hbm, buf2, sem2, vary_sub)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_tiles_x", "n_tiles_y", "tile_h", "tile_w", "n_vary", "interpret",
+    "dma_rows", "sub", "collect_stats"))
+def _fine_call_jit(ids, row_start, rows, rec1, rec2, depth_tiles,
+                   n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary,
+                   interpret, origin=None, dma_rows=DMA_ROWS,
+                   sub=SUB_ROWS, collect_stats=False):
+    a_cap = ids.shape[0]
+    if origin is None:
+        origin = jnp.zeros((2,), jnp.int32)
+    kernel = functools.partial(_fine_kernel, n_tiles_x=n_tiles_x,
+                               tile_h=tile_h, tile_w=tile_w, n_vary=n_vary,
+                               dma_rows=dma_rows, sub=sub)
+
+    if collect_stats:
+        def fine_kernel(ids_r, start_r, rows_r, origin_r, r1, r2, init,
+                        depth_o, winner_o, vary_o, ev_o, b1, s1, b2, s2):
+            kernel(ids_r, start_r, rows_r, origin_r, r1, r2, init,
+                   depth_o, winner_o, vary_o, b1, s1, b2, s2, ev_ref=ev_o)
+    else:
+        fine_kernel = kernel
+
+    out_block = pl.BlockSpec((1, tile_h, tile_w),
+                             lambda i, ids, s, c, o: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vary_block = pl.BlockSpec((1, max(n_vary, 1), tile_h, tile_w),
+                              lambda i, ids, s, c, o: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    ev_block = pl.BlockSpec((1, 2, tile_h, tile_w),
+                            lambda i, ids, s, c, o: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [out_block, out_block, vary_block]
+    out_shape = [
+        jax.ShapeDtypeStruct((a_cap, tile_h, tile_w), jnp.float32),
+        jax.ShapeDtypeStruct((a_cap, tile_h, tile_w), jnp.float32),
+        jax.ShapeDtypeStruct((a_cap, max(n_vary, 1), tile_h, tile_w),
+                             jnp.float32),
+    ]
+    if collect_stats:
+        out_specs.append(ev_block)
+        out_shape.append(
+            jax.ShapeDtypeStruct((a_cap, 2, tile_h, tile_w), jnp.float32))
+    n_rec2 = rec2.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(a_cap,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),     # rec1 stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),     # rec2 stays in HBM
+            pl.BlockSpec((1, tile_h, tile_w),         # frame depth gather
+                         lambda i, ids, s, c, o: (ids[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, REC1_PLANES, dma_rows, TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, n_rec2, dma_rows, TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        fine_kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(ids, row_start, rows, origin.astype(jnp.int32), rec1, rec2,
+      depth_tiles)
+    if collect_stats:
+        return out
+    return list(out) + [None]
+
+
+# ---------------------------------------------------------------------------
+# Pass driver (contract-compatible with raster_sparse.render_pass_tiles)
+# ---------------------------------------------------------------------------
+
+# (F, ntx, nty) -> (pair_cap, row_cap, a_cap)
+_FINE_CAPACITY: dict = {}
+_FINE_PENDING: dict = {}
+
+
+def _quantize_rows(rows: int) -> int:
+    return max(8, _next_pow2(rows + rows // 4))
+
+
+def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
+                     width: int, height: int, winner_offset: int = 0,
+                     tile_h: int = TILE_H, tile_w: int = TILE_W,
+                     strict_capacity: bool = True,
+                     interpret: bool | None = None,
+                     collect_stats: bool = False,
+                     _caps: tuple | None = None):
+    """Strip-parallel render of one (mesh, shader) pass on a
+    tiled-resident frame.  Same contract as
+    raster_sparse.render_pass_tiles (incl. collect_stats)."""
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    uniforms = dict(uniforms)
+    f = attrs["position"].shape[0]
+    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_y = _cdiv(height, tile_h)
+    n_tiles = n_tiles_x * n_tiles_y
+    if f == 0:
+        empty = {"valid": jnp.zeros((0,), bool),
+                 "screen": jnp.zeros((0, 3, 2), jnp.float32),
+                 "ndc_z": jnp.zeros((0, 3), jnp.float32),
+                 "clip_w": jnp.zeros((0, 3), jnp.float32),
+                 "bbox": jnp.zeros((0, 4), jnp.int32)}
+        if collect_stats:
+            zero = jnp.float32(0)
+            return (ft, empty, jnp.asarray(False),
+                    (zero, jnp.float32(jnp.inf), jnp.float32(-jnp.inf)))
+        return ft, empty, jnp.asarray(False)
+
+    key = (f, n_tiles_x, n_tiles_y)
+
+    if not strict_capacity:
+        prev = _FINE_PENDING.get(key)
+        if prev is not None:
+            totals_dev, prev_caps, age = prev
+            ready = getattr(totals_dev, "is_ready", lambda: True)()
+            if ready or age >= 8:
+                _FINE_PENDING.pop(key)
+                pt, rt, pa = (int(x) for x in np.asarray(totals_dev))
+                pc, rc, ac = prev_caps
+                if pt > pc or rt > rc or pa > ac:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "fine overflow (pairs %d/%d, rows %d/%d, "
+                        "tiles %d/%d) detected %d frame(s) late; "
+                        "capacity grown", pt, pc, rt, rc, pa, ac, age + 1)
+                    _FINE_CAPACITY[key] = (
+                        max(pc, _quantize_capacity(pt)),
+                        max(rc, _quantize_rows(rt)),
+                        max(ac, raster_sparse._quantize_active(pa, n_tiles)))
+            else:
+                _FINE_PENDING[key] = (totals_dev, prev_caps, age + 1)
+
+    caps = _caps if _caps is not None else _FINE_CAPACITY.get(key)
+    if caps is None:
+        caps = _probe_caps(attrs, uniforms, shader, width, height,
+                           tile_h, tile_w, n_tiles)
+    _FINE_CAPACITY[key] = caps
+    pair_cap, row_cap, a_cap = caps
+
+    spec = (tuple(shader.varying_spec.items())
+            if shader.writes_color else ())
+    n_vary = sum(c for _, c in spec)
+    (setup, rec1, rec2, ids, kernel_ids, row_start_a, rows_a,
+     pair_total, row_total, n_active) = _pre_fine_jit(
+        attrs, uniforms, shader, width, height, pair_cap, row_cap, a_cap,
+        tile_h, tile_w)
+    depth_c, winner_c, vary_c, ev_c = _fine_call_jit(
+        kernel_ids, row_start_a, rows_a, rec1, rec2, ft.depth,
+        n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
+        collect_stats=collect_stats)
+    new_ft = raster_sparse._post_sparse_jit(
+        ft, ids, kernel_ids, depth_c, winner_c, vary_c, uniforms,
+        jnp.int32(winner_offset), shader, spec)
+    overflowed = ((pair_total > pair_cap) | (row_total > row_cap)
+                  | (n_active > a_cap))
+    events = raster_sparse._reduce_events_jit(
+        ev_c, depth_c, winner_c, ids, n_tiles) if collect_stats else None
+
+    if strict_capacity:
+        pt, rt, act = (int(x) for x in
+                       jax.device_get((pair_total, row_total, n_active)))
+        if pt > pair_cap or rt > row_cap or act > a_cap:
+            grown = (max(pair_cap, _quantize_capacity(pt)),
+                     max(row_cap, _quantize_rows(rt)),
+                     max(a_cap, raster_sparse._quantize_active(act, n_tiles)))
+            _FINE_CAPACITY[key] = grown
+            return render_pass_fine(ft, attrs, shader, uniforms,
+                                    width, height, winner_offset,
+                                    tile_h, tile_w, strict_capacity,
+                                    interpret, collect_stats, _caps=grown)
+    elif key not in _FINE_PENDING:
+        totals_dev = jnp.stack([pair_total, row_total, n_active])
+        try:
+            totals_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        _FINE_PENDING[key] = (totals_dev, caps, 0)
+    if collect_stats:
+        return new_ft, setup, overflowed, events
+    return new_ft, setup, overflowed
+
+
+@functools.partial(jax.jit, static_argnames=("shader", "width", "height",
+                                             "tile_h", "tile_w"))
+def _probe_totals_jit(attrs, uniforms, shader, width, height,
+                      tile_h, tile_w):
+    """First-frame probe: strip pair total (exact, no capacity needed)."""
+    dtype = attrs["position"].dtype
+    clip, _ = shader.vertex(uniforms, attrs, jnp)
+    vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
+    setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
+    *_, pair_total = _tile_spans(setup, STRIP_W, tile_h)
+    return setup, pair_total
+
+
+@functools.partial(jax.jit, static_argnames=("pair_cap", "width", "height",
+                                             "tile_h", "tile_w"))
+def _probe_rows_jit(setup, pair_cap, width, height, tile_h, tile_w):
+    ntx = _cdiv(width, tile_w)
+    nty = _cdiv(height, tile_h)
+    tx0, ty0, span_x, spans, _ = _tile_spans(setup, STRIP_W, tile_h)
+    _, _, counts = _build_bins(tx0, ty0, span_x, spans, pair_cap,
+                               ntx * STRIPS, nty)
+    counts_t = counts.reshape(ntx * nty, STRIPS)
+    rows_t = jnp.max(counts_t, axis=1)
+    return jnp.sum(rows_t), jnp.sum((rows_t > 0).astype(jnp.int32))
+
+
+def _probe_caps(attrs, uniforms, shader, width, height, tile_h, tile_w,
+                n_tiles):
+    """First frame of a (mesh, resolution) key: sync pair/row/active
+    totals once to size the static capacities."""
+    from tinyrenderder_tpu.ops import raster_sparse
+    setup, pair_total = _probe_totals_jit(attrs, uniforms, shader,
+                                          width, height, tile_h, tile_w)
+    pair_cap = _quantize_capacity(int(jax.device_get(pair_total)))
+    row_total, n_active = _probe_rows_jit(setup, pair_cap, width, height,
+                                          tile_h, tile_w)
+    rt, act = (int(x) for x in jax.device_get((row_total, n_active)))
+    return (pair_cap, _quantize_rows(rt),
+            raster_sparse._quantize_active(act, n_tiles))
