@@ -176,3 +176,31 @@ def test_fine_preserves_untouched_tiles(meshes):
                                   np.asarray(ft.color)[keep])
     np.testing.assert_array_equal(np.asarray(ft2.depth)[keep],
                                   np.asarray(ft.depth)[keep])
+
+
+def test_dispatch_forced_modes_agree(meshes):
+    """render_pass_dispatch with FINE_MODE forced to each kernel
+    produces bitwise-identical frames; auto mode on CPU picks coarse."""
+    view, proj = default_view()
+    w, h = 170, 90
+    p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
+    import jax.numpy as jnp
+    attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+    ft = raster_sparse.new_frame_tiles(w, h)
+    old = raster_sparse.FINE_MODE
+    try:
+        raster_sparse.FINE_MODE = "coarse"
+        ft_c, _, _ = raster_sparse.render_pass_dispatch(
+            ft, attrs, p.shader, dict(p.uniforms), w, h)
+        raster_sparse.FINE_MODE = "fine"
+        ft_f, _, _ = raster_sparse.render_pass_dispatch(
+            ft, attrs, p.shader, dict(p.uniforms), w, h)
+        raster_sparse.FINE_MODE = "auto"
+        raster_sparse._FINE_DECISION.clear()
+        ft_a, _, _ = raster_sparse.render_pass_dispatch(
+            ft, attrs, p.shader, dict(p.uniforms), w, h)
+    finally:
+        raster_sparse.FINE_MODE = old
+        raster_sparse._FINE_DECISION.clear()
+    _assert_frames_equal(ft_c, ft_f, w, h)
+    _assert_frames_equal(ft_c, ft_a, w, h)

@@ -4,40 +4,53 @@ The coarse kernel (ops.raster_pallas) evaluates ONE (tile, triangle)
 pair per vector step over a full (TILE_H, 128) tile; tiny triangles use
 a few percent of each step.  This module subdivides every tile into 8
 strips of (TILE_H, 16) and packs EIGHT (strip, triangle) pairs into one
-record row — each pair's fields pre-broadcast across its own 16-lane
-group — so one vector step rasterizes 8 pairs.  A triangle spanning the
-whole tile lands in all 8 strip bins *of the same row budget* (rows per
-tile = max strip bin size), so dense scenes cost the same number of
-steps while tiny-triangle scenes approach 8x (the regime of the
-reference hot loop our_gl.cpp:147-200 on high-poly scenes).
+record row — one pair per 16-lane group — so a vector step rasterizes
+8 pairs.  A triangle spanning the whole tile lands in all 8 strip bins
+within the same row budget (rows per tile = max strip bin size), so
+dense scenes cost the same number of steps while tiny-triangle scenes
+approach 8x (the regime of the reference hot loop our_gl.cpp:147-200 on
+high-poly scenes).
 
-Exactness design (the whole point of this productionization vs the
-round-1 prototype, scripts/experimental_fine_raster.py):
+Exactness design (vs the round-1 prototype,
+scripts/experimental_fine_raster.py):
 
-  * Records are PRE-EXPANDED on the XLA side into plane-major
-    (n_planes, R, 128) arrays — lane group k of plane f already holds
-    pair k's field f in all 16 lanes.  The kernel reads contiguous
-    (sub, 128) plane slices; no in-kernel lane permutes (the prototype
-    measured ~290 ns/row of permute+loop overhead, the reason its
-    tiny-triangle win evaporated).
   * The merge keeps the coarse kernel's SUB-block argmin structure —
     the sub axis is "record rows" instead of "pairs", but the op graph
     (coverage -> affine_z -> where -> min/argmin -> select) is
-    identical, which is what keeps XLA's FMA grouping of affine_z
-    bitwise-aligned across every backend (see raster_pallas.py merge
-    note / commit e35d513).  Within a lane, candidates arrive in bin
-    order (rows ascend = per-strip submission order) and argmin takes
-    the first minimum, reproducing the reference's strict-less
-    first-drawn-wins z-test (our_gl.cpp:165).
+    identical, which keeps XLA's FMA grouping of affine_z bitwise-
+    aligned across every backend (raster_pallas.py merge note / commit
+    e35d513).  Within a lane, candidates arrive in bin order (rows
+    ascend = per-strip submission order) and argmin takes the first
+    minimum, reproducing the reference's strict-less first-drawn-wins
+    z-test (our_gl.cpp:165).  Verified bitwise vs the coarse path on
+    real TPU.
   * Decision math is ops.semantics, shared verbatim.
 
-Streaming: loop 1 reads rec1 (14 planes: coeff 6, ndc z 3, bbox 4,
-id 1); loop 2 reads rec2 (10 + 3V planes: coeff 6, clip w 3, id 1,
-varying corners 3V) — each loop streams only the planes it uses,
-double-buffered HBM->VMEM DMA exactly like the coarse kernel.
+Performance design (round-2 profiling, all on one v5e chip):
+
+  * Records are COMPACT slot-minor rows: 64 columns x 8 slots = 512 f32
+    (4 lane-rows) per record row; column c of the 8 slots occupies lanes
+    [8*(c%16), +8) of lane-row c//16.  The kernel broadcasts each
+    needed column to full 16-lane groups ONCE PER DMA CHUNK with a
+    static-pattern lane gather (take_along_axis with an iota-derived
+    index — a few register ops per plane), then the sub-steps read the
+    expanded planes contiguously from VMEM scratch.  The round-2 v1
+    design pre-expanded planes on the XLA side instead; the (planes, R,
+    128) transpose+broadcast ran at ~60 GB/s and cost more than the
+    whole kernel (52 ms at stress scale) — compact records cut that
+    data movement 16x.
+  * Row slots are filled by SCATTERING sorted pair ids into the
+    interleaved (rows * 8) layout (a 1-word scatter, ~1 ms at 262k)
+    followed by ONE packed row gather of the 64-column per-triangle
+    table.  Per-index gather cost (~10-20 ns on this chip) dominates
+    every pre-stage op, so each datum travels through exactly one
+    gather and one scatter.
+  * Strip binning reuses raster_tiled._build_bins, which packs all
+    per-triangle columns into one gather and replaces integer div/mod
+    (~16 ms at 262k on the VPU) with exact-f32 divmod.
 
 Grid + outputs are the sparse active-tile form (compact blocks
-scattered by tile id) so ops.raster_sparse._post_sparse_jit and the
+scattered by tile id), so ops.raster_sparse._post_sparse_jit and the
 exact-stats reduction are reused unchanged.
 """
 
@@ -56,7 +69,6 @@ from tinyrenderder_tpu.ops import semantics
 from tinyrenderder_tpu.ops.raster import BACKGROUND
 from tinyrenderder_tpu.ops.raster_tiled import (TILE_H, TILE_W, _build_bins,
                                                 _cdiv, _next_pow2,
-                                                _quantize_capacity,
                                                 _tile_spans)
 
 __all__ = ["render_pass_fine", "STRIP_W", "STRIPS"]
@@ -64,29 +76,45 @@ __all__ = ["render_pass_fine", "STRIP_W", "STRIPS"]
 STRIP_W = 16
 STRIPS = TILE_W // STRIP_W            # 8 strips per (TILE_H, 128) tile
 
-# rec1 plane layout (loop 1 / depth resolve)
-REC1_PLANES = 14                      # coeff 6 | z 6..8 | bbox 9..12 | id 13
-# rec2 plane layout (loop 2 / varyings): coeff 6 | w 6..8 | id 9 | vary 10..
-REC2_BASE = 10
+# Record layout: 64 columns x 8 slots, slot-minor (flat pos = 8*c + k).
+#   0..5   screen coeff ax, ay, bx, by, cx, cy
+#   6..8   ndc z0, z1, z2
+#   9..12  bbox min_x, max_x, min_y, max_y
+#   13..15 clip w0, w1, w2
+#   16     triangle id (-1 = empty slot)
+#   17..   varying corners, channel-major (3 per channel)
+NCOL = 64
+REC_ROWS = NCOL * STRIPS // 128       # 4 lane-rows per record row
+MAX_VARY = (NCOL - 17) // 3
+COL_ID = 16
+VARY_COL = 17
 
 DMA_ROWS = 32                         # record rows per HBM->VMEM copy
-SUB_ROWS = 8                          # rows per vector step (=64 pairs)
+SUB_ROWS = 8                          # rows per vector step (= 64 pairs)
+
+LOOP1_COLS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, COL_ID)
+
+
+def _loop2_cols(n_vary):
+    return (0, 1, 2, 3, 4, 5, 13, 14, 15, COL_ID) + tuple(
+        range(VARY_COL, VARY_COL + 3 * n_vary))
 
 
 # ---------------------------------------------------------------------------
-# Record build: strip bins -> pre-expanded plane-major rows
+# Pre-stage: strip bins -> interleaved compact records
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
-    "shader", "width", "height", "pair_cap", "row_cap", "a_cap",
+    "shader", "width", "height", "pair_cap", "row_cap", "rec_cap", "a_cap",
     "tile_h", "tile_w"))
 def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
-                  row_cap, a_cap, tile_h, tile_w):
-    """Fused pre-stage: vertex transform, setup, strip binning, row CSR,
-    record expansion, active-tile compaction — one dispatch.
+                  row_cap, rec_cap, a_cap, tile_h, tile_w):
+    """Fused pre-stage: vertex transform, setup, strip binning, slot
+    interleave, record build, active-tile compaction — one dispatch.
 
-    Returns (setup, rec1, rec2, ids, kernel_ids, row_start_a, rows_a,
-    pair_total, row_total, n_active)."""
+    ``row_cap`` (fine-grained) bounds the computed rows; ``rec_cap``
+    (pow2, >= row_cap) is the kernel-visible record array size so Mosaic
+    recompiles only per octave."""
     dtype = attrs["position"].dtype
     clip, varyings = shader.vertex(uniforms, attrs, jnp)
     vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
@@ -95,41 +123,48 @@ def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
     n_tiles = ntx * nty
-    nsx = ntx * STRIPS                              # strip columns
+    nsx = ntx * STRIPS
+    n_strips = nsx * nty
 
-    # strip-granularity bins; strip id = 8*tile + k (verified: tile tx's
-    # strips are columns tx*8..tx*8+7 of the strip grid)
+    # strip-granularity bins; strip id = 8*tile + k (tile tx's strips are
+    # columns tx*8..tx*8+7 of the strip grid)
     tx0, ty0, span_x, spans, pair_total = _tile_spans(
         setup, STRIP_W, tile_h)
-    sorted_tri, start, counts = _build_bins(
-        tx0, ty0, span_x, spans, pair_cap, nsx, nty)
-    counts_t = counts.reshape(n_tiles, STRIPS)      # (T, 8)
-    strip_start_t = start[:-1].reshape(n_tiles, STRIPS)
-
+    sorted_tri, start, counts, sorted_key = _build_bins(
+        tx0, ty0, span_x, spans, pair_cap, nsx, nty, return_keys=True)
+    counts_t = counts.reshape(n_tiles, STRIPS)
     rows_t = jnp.max(counts_t, axis=1)              # (T,)
     row_start = jnp.cumsum(rows_t) - rows_t         # (T,) exclusive
     row_total = jnp.sum(rows_t)
 
-    # flat row -> (owning tile, row index within tile)
-    row_ids = jnp.arange(row_cap, dtype=jnp.int32)
-    t_of_row = jnp.clip(
-        jnp.searchsorted(row_start, row_ids, side="right").astype(jnp.int32)
-        - 1, 0, n_tiles - 1)
-    i_of_row = row_ids - row_start[t_of_row]
-    live_row = (i_of_row >= 0) & (row_ids < row_total)
+    # interleaved slot fill: sorted pair q of strip s goes to flat slot
+    # (row_start[tile] + rank-in-strip) * 8 + strip-in-tile.  Both
+    # per-strip columns (segment start, owning tile's row_start) travel
+    # through ONE packed small-table gather — per-index cost dominates.
+    q = jnp.arange(pair_cap, dtype=jnp.int32)
+    live_pair = sorted_key < n_strips
+    s_safe = jnp.minimum(sorted_key, n_strips - 1)
+    strip_tbl = jnp.stack(
+        [start[:-1], jnp.repeat(row_start, STRIPS, total_repeat_length=n_strips)],
+        axis=1)                                     # (n_strips, 2)
+    sg = strip_tbl[s_safe]
+    rank = q - sg[:, 0]
+    k_of = s_safe & 7
+    dst = (sg[:, 1] + rank) * STRIPS + k_of
+    dst = jnp.where(live_pair & (dst < row_cap * STRIPS),
+                    dst, row_cap * STRIPS)
+    tri8 = (jnp.full((row_cap * STRIPS,), -1, jnp.int32)
+            .at[dst].set(sorted_tri, mode="drop")
+            .reshape(row_cap, STRIPS))
 
-    # per row and lane group: the strip bin entry (or -1 beyond count)
-    pos = strip_start_t[t_of_row] + i_of_row[:, None]          # (R, 8)
-    live = live_row[:, None] & (i_of_row[:, None] < counts_t[t_of_row])
-    p = sorted_tri.shape[0]
-    tri = jnp.where(live, sorted_tri[jnp.clip(pos, 0, p - 1)], -1)
-
-    # one gather from the combined per-triangle field table
+    # per-triangle column table -> one packed row gather
     if shader.writes_color:
         from tinyrenderder_tpu.ops.raster_tiled import _flatten_varyings
         spec = tuple(shader.varying_spec.items())
         vary_corners = _flatten_varyings(varyings, spec)       # (F, 3, V)
         n_vary = vary_corners.shape[-1]
+        if n_vary > MAX_VARY:
+            raise ValueError(f"{n_vary} varying channels > {MAX_VARY} max")
         vary_cols = (vary_corners.astype(jnp.float32)
                      .transpose(0, 2, 1).reshape(-1, 3 * n_vary))
     else:
@@ -140,30 +175,18 @@ def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
         setup["ndc_z"].astype(jnp.float32),                    # 6..8
         setup["bbox"].astype(jnp.float32),                     # 9..12
         setup["clip_w"].astype(jnp.float32),                   # 13..15
-        vary_cols,                                             # 16..
-    ], axis=1)                                                 # (F, 16+3V)
-    safe = jnp.clip(tri, 0, f - 1)
-    g = jnp.where(live[..., None], tbl[safe], 0.0)             # (R, 8, NP)
-    idp = tri.astype(jnp.float32)                              # (R, 8), -1 pad
-
-    def expand(planes):                                        # (R, 8, P)
-        # -> plane-major (P, R, 128): lane group k lanes [16k, 16k+16)
-        x = planes.transpose(2, 0, 1)[..., None]               # (P, R, 8, 1)
-        x = jnp.broadcast_to(x, x.shape[:3] + (STRIP_W,))
-        return x.reshape(x.shape[0], x.shape[1], TILE_W)
-
-    rec1 = expand(jnp.concatenate(
-        [g[..., 0:13], idp[..., None]], axis=-1))              # (14, R, 128)
-    if n_vary:
-        rec2 = expand(jnp.concatenate(
-            [g[..., 0:6], g[..., 13:16], idp[..., None], g[..., 16:]],
-            axis=-1))                                          # (10+3V, R, 128)
-    else:
-        rec2 = jnp.zeros((1, 1, TILE_W), jnp.float32)
-    # pad rows so fixed-size chunk DMAs stay in bounds
-    rec1 = jnp.pad(rec1, ((0, 0), (0, DMA_ROWS), (0, 0)))
-    if n_vary:
-        rec2 = jnp.pad(rec2, ((0, 0), (0, DMA_ROWS), (0, 0)))
+        jnp.arange(f, dtype=jnp.float32)[:, None],             # 16 id
+        vary_cols,                                             # 17..
+    ], axis=1)
+    tbl = jnp.pad(tbl, ((0, 0), (0, NCOL - tbl.shape[1])))
+    padrow = jnp.zeros((NCOL,), jnp.float32).at[COL_ID].set(-1.0)
+    g = jnp.where((tri8 >= 0)[..., None],
+                  tbl[jnp.maximum(tri8, 0)], padrow)           # (R, 8, 64)
+    rec = (g.transpose(0, 2, 1)                                # slot-minor
+            .reshape(row_cap, REC_ROWS, 128))
+    # kernel-visible array: pow2-padded so Mosaic compiles per octave
+    rec_full = jnp.zeros((rec_cap + DMA_ROWS, REC_ROWS, 128), jnp.float32)
+    rec_full = jax.lax.dynamic_update_slice(rec_full, rec, (0, 0, 0))
 
     # active-tile compaction (tiles with rows > 0), raster_sparse form
     active = rows_t > 0
@@ -173,10 +196,12 @@ def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
     ids = jnp.full((a_cap,), n_tiles, jnp.int32).at[slot].set(
         jnp.arange(n_tiles, dtype=jnp.int32), mode="drop")
     kernel_ids = jnp.minimum(ids, n_tiles - 1)
-    row_start_a = row_start[kernel_ids].astype(jnp.int32)
-    rows_a = jnp.where(ids < n_tiles, rows_t[kernel_ids], 0).astype(jnp.int32)
-    return (setup, rec1, rec2, ids, kernel_ids, row_start_a, rows_a,
-            pair_total, row_total, n_active)
+    row_start_a = jnp.minimum(row_start[kernel_ids],
+                              row_cap).astype(jnp.int32)
+    rows_a = jnp.where(ids < n_tiles, rows_t[kernel_ids], 0)
+    rows_a = jnp.minimum(rows_a, row_cap - row_start_a).astype(jnp.int32)
+    return (setup, rec_full, ids, kernel_ids, row_start_a, rows_a,
+            pair_total, row_total, n_active, n_vary)
 
 
 # ---------------------------------------------------------------------------
@@ -184,8 +209,8 @@ def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
 # ---------------------------------------------------------------------------
 
 def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
-                 rec1_hbm, rec2_hbm, init_ref,
-                 depth_ref, winner_ref, vary_ref, buf1, sem1, buf2, sem2,
+                 rec_hbm, init_ref,
+                 depth_ref, winner_ref, vary_ref, buf, sem, planes_ref,
                  *, n_tiles_x, tile_h, tile_w, n_vary,
                  dma_rows=DMA_ROWS, sub=SUB_ROWS, ev_ref=None):
     i = pl.program_id(0)
@@ -216,35 +241,49 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
 
     n_chunks = pl.cdiv(count, dma_rows)
 
-    def get_dma(rec_hbm, buf, sem, slot, chunk_idx):
+    def get_dma(slot, chunk_idx):
         return pltpu.make_async_copy(
-            rec_hbm.at[:, pl.ds(seg_start + chunk_idx * dma_rows,
-                                dma_rows), :],
+            rec_hbm.at[pl.ds(seg_start + chunk_idx * dma_rows,
+                             dma_rows), :, :],
             buf.at[slot],
             sem.at[slot],
         )
 
-    def stream(rec_hbm, buf, sem, process_sub):
+    # static lane-gather patterns: column c of the 8 slots lives in lanes
+    # [8*(c%16), +8) of lane-row c//16; broadcast slot k's value to lanes
+    # [16k, 16k+16)
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (dma_rows, 128), 1) // 16
+
+    def expand(slot, cols):
+        """Broadcast the given record columns to (len(cols), dma_rows,
+        128) planes in VMEM scratch — once per chunk."""
+        for n, c in enumerate(cols):
+            lane_rows = buf[slot, :, c // 16, :]        # (dma_rows, 128)
+            idx = 8 * (c % 16) + lane16                 # static pattern
+            planes_ref[n] = jnp.take_along_axis(lane_rows, idx, axis=1)
+
+    def stream(cols, process_sub):
         """Double-buffered loop over this tile's record rows."""
         @pl.when(n_chunks > 0)
         def _():
-            get_dma(rec_hbm, buf, sem, 0, 0).start()
+            get_dma(0, 0).start()
 
         def chunk_body(ci, _):
             slot = ci % 2
 
             @pl.when(ci + 1 < n_chunks)
             def _():
-                get_dma(rec_hbm, buf, sem, (ci + 1) % 2, ci + 1).start()
+                get_dma((ci + 1) % 2, ci + 1).start()
 
-            get_dma(rec_hbm, buf, sem, slot, ci).wait()
+            get_dma(slot, ci).wait()
+            expand(slot, cols)
 
             def sub_body(s, _):
                 row0 = ci * dma_rows + s * sub
 
                 @pl.when(row0 < count)
                 def _():
-                    process_sub(slot, s * sub, row0)
+                    process_sub(s * sub, row0)
                 return 0
 
             jax.lax.fori_loop(0, dma_rows // sub, sub_body, 0)
@@ -252,8 +291,8 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-    def planes(buf, slot, r0, j0, n):               # n x (sub, 1, 128)
-        return [buf[slot, j, pl.ds(r0, sub), :][:, None, :]
+    def planes(r0, j0, n):                          # n x (sub, 1, 128)
+        return [planes_ref[j, pl.ds(r0, sub), :][:, None, :]
                 for j in range(j0, j0 + n)]
 
     def live_mask(row0):
@@ -262,17 +301,17 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
         return row_idx < count
 
     # ---- loop 1: depth resolve (argmin structure == coarse kernel) --------
-    def depth_sub(slot, r0, row0):
-        ax, ay, bx, by, cx, cy = planes(buf1, slot, r0, 0, 6)
+    def depth_sub(r0, row0):
+        ax, ay, bx, by, cx, cy = planes(r0, 0, 6)
         b0, b1, b2, _ = semantics.barycentric(ax, ay, bx, by, cx, cy,
                                               px, py, jnp)
         covered = semantics.coverage_mask(b0, b1, b2)
-        z0, z1, z2 = planes(buf1, slot, r0, 6, 3)
+        z0, z1, z2 = planes(r0, 6, 3)
         z = semantics.affine_z(z0, z1, z2, b0, b1, b2)
         covered &= jnp.isfinite(z)
-        x0b, x1b, y0b, y1b = planes(buf1, slot, r0, 9, 4)
+        x0b, x1b, y0b, y1b = planes(r0, 9, 4)
         covered &= (xi >= x0b) & (xi <= x1b) & (yi >= y0b) & (yi <= y1b)
-        ids = planes(buf1, slot, r0, 13, 1)[0]
+        ids = planes(r0, 13, 1)[0]
         covered &= ids >= 0                          # -1 = empty strip slot
         covered &= live_mask(row0)
 
@@ -296,7 +335,7 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
             ev_ref[0, 1] = jnp.maximum(
                 ev_ref[0, 1],
                 jnp.max(jnp.where(events, zc, -jnp.inf), axis=0))
-        # same argmin merge as the coarse kernel (raster_pallas.py:221-236
+        # same argmin merge as the coarse kernel (raster_pallas.py merge
         # note / e35d513): rows ascend in per-strip bin order, argmin's
         # first-minimum rule = first-drawn-wins at exact z ties
         zmin = jnp.min(zc, axis=0)
@@ -309,12 +348,12 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
         depth_ref[0] = jnp.where(better, zmin, depth_ref[0])
         winner_ref[0] = jnp.where(better, win, winner_ref[0])
 
-    stream(rec1_hbm, buf1, sem1, depth_sub)
+    stream(LOOP1_COLS, depth_sub)
 
     # ---- loop 2: varying interpolation for winners ------------------------
     if n_vary:
-        def vary_sub(slot, r0, row0):
-            ids = planes(buf2, slot, r0, 9, 1)[0]
+        def vary_sub(r0, row0):
+            ids = planes(r0, 9, 1)[0]
             mine = ((winner_ref[0][None] == ids)
                     & (ids >= 0)                      # pad != BACKGROUND
                     & live_mask(row0))
@@ -322,26 +361,26 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
 
             @pl.when(hit_any)
             def _():
-                ax, ay, bx, by, cx, cy = planes(buf2, slot, r0, 0, 6)
+                ax, ay, bx, by, cx, cy = planes(r0, 0, 6)
                 b0, b1, b2, _ = semantics.barycentric(
                     ax, ay, bx, by, cx, cy, px, py, jnp)
-                w0, w1, w2 = planes(buf2, slot, r0, 6, 3)
+                w0, w1, w2 = planes(r0, 6, 3)
                 pb0, pb1, pb2 = semantics.perspective_correct_bary(
                     b0, b1, b2, w0, w1, w2, jnp)
                 hit = jnp.any(mine, axis=0)
                 for c in range(n_vary):
-                    v0, v1, v2 = planes(buf2, slot, r0, REC2_BASE + 3 * c, 3)
+                    v0, v1, v2 = planes(r0, 10 + 3 * c, 3)
                     val = semantics.interp3(v0, v1, v2, pb0, pb1, pb2)
                     contrib = jnp.sum(jnp.where(mine, val, 0.0), axis=0)
                     vary_ref[0, c] = jnp.where(hit, contrib, vary_ref[0, c])
 
-        stream(rec2_hbm, buf2, sem2, vary_sub)
+        stream(_loop2_cols(n_vary), vary_sub)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n_tiles_x", "n_tiles_y", "tile_h", "tile_w", "n_vary", "interpret",
     "dma_rows", "sub", "collect_stats"))
-def _fine_call_jit(ids, row_start, rows, rec1, rec2, depth_tiles,
+def _fine_call_jit(ids, row_start, rows, rec, depth_tiles,
                    n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary,
                    interpret, origin=None, dma_rows=DMA_ROWS,
                    sub=SUB_ROWS, collect_stats=False):
@@ -352,11 +391,12 @@ def _fine_call_jit(ids, row_start, rows, rec1, rec2, depth_tiles,
                                tile_h=tile_h, tile_w=tile_w, n_vary=n_vary,
                                dma_rows=dma_rows, sub=sub)
 
+    n_planes = max(len(LOOP1_COLS), len(_loop2_cols(n_vary)))
     if collect_stats:
-        def fine_kernel(ids_r, start_r, rows_r, origin_r, r1, r2, init,
-                        depth_o, winner_o, vary_o, ev_o, b1, s1, b2, s2):
-            kernel(ids_r, start_r, rows_r, origin_r, r1, r2, init,
-                   depth_o, winner_o, vary_o, b1, s1, b2, s2, ev_ref=ev_o)
+        def fine_kernel(ids_r, start_r, rows_r, origin_r, r1, init,
+                        depth_o, winner_o, vary_o, ev_o, b, s, p):
+            kernel(ids_r, start_r, rows_r, origin_r, r1, init,
+                   depth_o, winner_o, vary_o, b, s, p, ev_ref=ev_o)
     else:
         fine_kernel = kernel
 
@@ -380,23 +420,20 @@ def _fine_call_jit(ids, row_start, rows, rec1, rec2, depth_tiles,
         out_specs.append(ev_block)
         out_shape.append(
             jax.ShapeDtypeStruct((a_cap, 2, tile_h, tile_w), jnp.float32))
-    n_rec2 = rec2.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(a_cap,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),     # rec1 stays in HBM
-            pl.BlockSpec(memory_space=pltpu.HBM),     # rec2 stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),     # records stay in HBM
             pl.BlockSpec((1, tile_h, tile_w),         # frame depth gather
                          lambda i, ids, s, c, o: (ids[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, REC1_PLANES, dma_rows, TILE_W), jnp.float32),
+            pltpu.VMEM((2, dma_rows, REC_ROWS, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, n_rec2, dma_rows, TILE_W), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_planes, dma_rows, 128), jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -404,8 +441,7 @@ def _fine_call_jit(ids, row_start, rows, rec1, rec2, depth_tiles,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(ids, row_start, rows, origin.astype(jnp.int32), rec1, rec2,
-      depth_tiles)
+    )(ids, row_start, rows, origin.astype(jnp.int32), rec, depth_tiles)
     if collect_stats:
         return out
     return list(out) + [None]
@@ -420,8 +456,14 @@ _FINE_CAPACITY: dict = {}
 _FINE_PENDING: dict = {}
 
 
-def _quantize_rows(rows: int) -> int:
-    return max(8, _next_pow2(rows + rows // 4))
+def _quantize_soft(n: int) -> int:
+    """25% headroom on an eighth-pow2 grain: pre-stage cost scales with
+    capacity, so the pow2 grain's up-to-2x inflation is worth trading
+    for a few more (cheap, XLA-only) compile variants.  The kernel never
+    sees these sizes (records are padded to _next_pow2 separately)."""
+    want = n + n // 4
+    grain = max(256, _next_pow2(want) // 8)
+    return max(256, _cdiv(want, grain) * grain)
 
 
 def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
@@ -473,8 +515,8 @@ def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
                         "tiles %d/%d) detected %d frame(s) late; "
                         "capacity grown", pt, pc, rt, rc, pa, ac, age + 1)
                     _FINE_CAPACITY[key] = (
-                        max(pc, _quantize_capacity(pt)),
-                        max(rc, _quantize_rows(rt)),
+                        max(pc, _quantize_soft(pt)),
+                        max(rc, _quantize_soft(rt)),
                         max(ac, raster_sparse._quantize_active(pa, n_tiles)))
             else:
                 _FINE_PENDING[key] = (totals_dev, prev_caps, age + 1)
@@ -485,16 +527,17 @@ def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
                            tile_h, tile_w, n_tiles)
     _FINE_CAPACITY[key] = caps
     pair_cap, row_cap, a_cap = caps
+    rec_cap = _next_pow2(row_cap)
 
     spec = (tuple(shader.varying_spec.items())
             if shader.writes_color else ())
     n_vary = sum(c for _, c in spec)
-    (setup, rec1, rec2, ids, kernel_ids, row_start_a, rows_a,
-     pair_total, row_total, n_active) = _pre_fine_jit(
-        attrs, uniforms, shader, width, height, pair_cap, row_cap, a_cap,
-        tile_h, tile_w)
+    (setup, rec, ids, kernel_ids, row_start_a, rows_a,
+     pair_total, row_total, n_active, _) = _pre_fine_jit(
+        attrs, uniforms, shader, width, height, pair_cap, row_cap,
+        rec_cap, a_cap, tile_h, tile_w)
     depth_c, winner_c, vary_c, ev_c = _fine_call_jit(
-        kernel_ids, row_start_a, rows_a, rec1, rec2, ft.depth,
+        kernel_ids, row_start_a, rows_a, rec, ft.depth,
         n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
         collect_stats=collect_stats)
     new_ft = raster_sparse._post_sparse_jit(
@@ -509,8 +552,8 @@ def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
         pt, rt, act = (int(x) for x in
                        jax.device_get((pair_total, row_total, n_active)))
         if pt > pair_cap or rt > row_cap or act > a_cap:
-            grown = (max(pair_cap, _quantize_capacity(pt)),
-                     max(row_cap, _quantize_rows(rt)),
+            grown = (max(pair_cap, _quantize_soft(pt)),
+                     max(row_cap, _quantize_soft(rt)),
                      max(a_cap, raster_sparse._quantize_active(act, n_tiles)))
             _FINE_CAPACITY[key] = grown
             return render_pass_fine(ft, attrs, shader, uniforms,
@@ -562,9 +605,9 @@ def _probe_caps(attrs, uniforms, shader, width, height, tile_h, tile_w,
     from tinyrenderder_tpu.ops import raster_sparse
     setup, pair_total = _probe_totals_jit(attrs, uniforms, shader,
                                           width, height, tile_h, tile_w)
-    pair_cap = _quantize_capacity(int(jax.device_get(pair_total)))
+    pair_cap = _quantize_soft(int(jax.device_get(pair_total)))
     row_total, n_active = _probe_rows_jit(setup, pair_cap, width, height,
                                           tile_h, tile_w)
     rt, act = (int(x) for x in jax.device_get((row_total, n_active)))
-    return (pair_cap, _quantize_rows(rt),
+    return (pair_cap, _quantize_soft(rt),
             raster_sparse._quantize_active(act, n_tiles))

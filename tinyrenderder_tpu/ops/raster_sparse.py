@@ -58,11 +58,28 @@ class FrameTiles(NamedTuple):
     """Framebuffers resident in tiled layout: tile t covers pixel rows
     (t // ntx)*th .. +th and cols (t % ntx)*tw .. +tw.  Ragged-edge
     padding pixels can never be covered (the bbox test is in global
-    pixel coords), so they stay background and slicing untiles exactly."""
+    pixel coords), so they stay background and slicing untiles exactly.
 
-    color: jax.Array     # (T, th, tw, 3) uint8
+    Color is PACKED 0x00BBGGRR int32 (not (..., 3) uint8): one 32-bit
+    plane makes every tile buffer the same (T, th, tw) 32-bit shape, so
+    the single Pallas untile kernel handles all three and the per-pass
+    merge moves one word per pixel."""
+
+    color: jax.Array     # (T, th, tw) i32, packed 0x00BBGGRR
     depth: jax.Array     # (T, th, tw) f32
     winner: jax.Array    # (T, th, tw) i32
+
+
+def _pack_rgb(rgb_u8):
+    """(..., 3) uint8 -> packed 0x00BBGGRR int32."""
+    c = rgb_u8.astype(jnp.int32)
+    return c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+
+
+def _unpack_rgb(packed):
+    """packed int32 -> (..., 3) uint8."""
+    return jnp.stack([packed & 0xFF, (packed >> 8) & 0xFF,
+                      (packed >> 16) & 0xFF], axis=-1).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_h",
@@ -71,7 +88,7 @@ def new_frame_tiles(width: int, height: int, tile_h: int = TILE_H,
                     tile_w: int = TILE_W) -> FrameTiles:
     n = _cdiv(width, tile_w) * _cdiv(height, tile_h)
     return FrameTiles(
-        color=jnp.zeros((n, tile_h, tile_w, 3), jnp.uint8),
+        color=jnp.zeros((n, tile_h, tile_w), jnp.int32),
         depth=jnp.full((n, tile_h, tile_w), jnp.inf, jnp.float32),
         winner=jnp.full((n, tile_h, tile_w), BACKGROUND, jnp.int32),
     )
@@ -106,25 +123,77 @@ def buffers_to_tiles(fb: FrameBuffers, width: int, height: int,
                      tile_h: int = TILE_H, tile_w: int = TILE_W) -> FrameTiles:
     nty, ntx = _cdiv(height, tile_h), _cdiv(width, tile_w)
     return FrameTiles(
-        color=_to_tiles_nd(fb.color, nty, ntx, tile_h, tile_w, 0),
+        color=_to_tiles_nd(_pack_rgb(fb.color), nty, ntx, tile_h, tile_w, 0),
         depth=_to_tiles_nd(fb.depth, nty, ntx, tile_h, tile_w, jnp.inf),
         winner=_to_tiles_nd(fb.winner, nty, ntx, tile_h, tile_w, BACKGROUND),
     )
 
 
+def _untile_kernel(color_ref, depth_ref, winner_ref, oc, od, ow,
+                   *, ntx, tile_h, tile_w):
+    # one grid step = one tile row band: (ntx, th, tw) -> (th, ntx*tw)
+    oc[...] = jnp.swapaxes(color_ref[...], 0, 1).reshape(tile_h,
+                                                         ntx * tile_w)
+    od[...] = jnp.swapaxes(depth_ref[...], 0, 1).reshape(tile_h,
+                                                         ntx * tile_w)
+    ow[...] = jnp.swapaxes(winner_ref[...], 0, 1).reshape(tile_h,
+                                                          ntx * tile_w)
+
+
+@functools.partial(jax.jit, static_argnames=("ntx", "nty", "tile_h",
+                                             "tile_w", "interpret"))
+def _untile_call_jit(color, depth, winner, ntx, nty, tile_h, tile_w,
+                     interpret):
+    """Pallas layout kernel: (T, th, tw) tiles -> (nty*th, ntx*tw).
+
+    XLA lowers the equivalent reshape/transpose at a few GB/s (~2-3 ms
+    per frame at 2048², round-2 profiling); this kernel is pure
+    register moves per tile row band."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    kernel = ft.partial(_untile_kernel, ntx=ntx, tile_h=tile_h,
+                        tile_w=tile_w)
+    in_spec = pl.BlockSpec((ntx, tile_h, tile_w), lambda y: (y, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_h, ntx * tile_w), lambda y: (y, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nty,),
+        in_specs=[in_spec] * 3,
+        out_specs=[out_spec] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((nty * tile_h, ntx * tile_w), jnp.int32),
+            jax.ShapeDtypeStruct((nty * tile_h, ntx * tile_w), jnp.float32),
+            jax.ShapeDtypeStruct((nty * tile_h, ntx * tile_w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(color, depth, winner)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_h",
-                                             "tile_w"))
-def tiles_to_buffers(ft: FrameTiles, width: int, height: int,
-                     tile_h: int = TILE_H, tile_w: int = TILE_W) -> FrameBuffers:
+                                             "tile_w", "interpret"))
+def _tiles_to_buffers_jit(ft: FrameTiles, width: int, height: int,
+                          tile_h: int, tile_w: int,
+                          interpret: bool) -> FrameBuffers:
     nty, ntx = _cdiv(height, tile_h), _cdiv(width, tile_w)
+    color_p, depth, winner = _untile_call_jit(
+        ft.color, ft.depth, ft.winner, ntx, nty, tile_h, tile_w, interpret)
     return FrameBuffers(
-        color=_from_tiles_nd(ft.color, nty, ntx, tile_h, tile_w,
-                             height, width),
-        depth=_from_tiles_nd(ft.depth, nty, ntx, tile_h, tile_w,
-                             height, width),
-        winner=_from_tiles_nd(ft.winner, nty, ntx, tile_h, tile_w,
-                              height, width),
+        color=_unpack_rgb(color_p[:height, :width]),
+        depth=depth[:height, :width],
+        winner=winner[:height, :width],
     )
+
+
+def tiles_to_buffers(ft: FrameTiles, width: int, height: int,
+                     tile_h: int = TILE_H, tile_w: int = TILE_W
+                     ) -> FrameBuffers:
+    interpret = jax.default_backend() != "tpu"
+    return _tiles_to_buffers_jit(ft, width, height, tile_h, tile_w,
+                                 interpret)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -191,8 +260,8 @@ def _post_sparse_jit(ft: FrameTiles, ids, kernel_ids, depth_c, winner_c,
         vary[name] = jnp.moveaxis(vary_c[:, i:i + c], 1, -1)  # (A, th, tw, c)
         i += c
     rgb = shader.fragment(uniforms, vary, jnp)
-    out = finalize_color(rgb, jnp)
-    new_c_c = jnp.where(won[..., None], out, ft.color[kernel_ids])
+    out = _pack_rgb(finalize_color(rgb, jnp))
+    new_c_c = jnp.where(won, out, ft.color[kernel_ids])
     new_color = ft.color.at[ids].set(new_c_c, mode="drop")
     return FrameTiles(color=new_color, depth=new_depth, winner=new_winner)
 
@@ -336,6 +405,71 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
     return new_ft, setup, overflowed
 
 
+# ---------------------------------------------------------------------------
+# fine/coarse auto dispatch
+# ---------------------------------------------------------------------------
+
+FINE_MODE = "auto"            # "auto" | "fine" | "coarse"
+_FINE_DECISION: dict = {}
+
+
+def render_pass_dispatch(ft: FrameTiles, attrs: dict, shader,
+                         uniforms: dict, width: int, height: int, **kw):
+    """Route one pass to the fine (strip-parallel, ops.raster_fine) or
+    coarse sparse kernel.  Same contract as render_pass_tiles.
+
+    The decision is cached per (faces, grid, shader-kind) and made once
+    from the measured row/pair structure: fine's 8-pairs-per-step kernel
+    win must beat its larger pre-stage.  Measured on real TPU (round 2):
+    textured head 800² 1.48x, phong 2048² 1.08x, sponza-stress 1.04x for
+    fine; gouraud (1 varying), depth-only, and huge-triangle scenes tie
+    or lose.  Rule: color pass with >= 2 varying channels, >= 512 faces,
+    strip rows <= 0.45 * coarse pairs, TPU backend."""
+    from tinyrenderder_tpu.ops import raster_fine
+
+    tile_h = kw.get("tile_h", TILE_H)
+    tile_w = kw.get("tile_w", TILE_W)
+    f = attrs["position"].shape[0]
+    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_y = _cdiv(height, tile_h)
+
+    if FINE_MODE == "fine":
+        use_fine = True
+    elif FINE_MODE == "coarse":
+        use_fine = False
+    else:
+        n_vary = (sum(shader.varying_spec.values())
+                  if shader.writes_color else 0)
+        dkey = (f, n_tiles_x, n_tiles_y, shader.writes_color, n_vary)
+        use_fine = _FINE_DECISION.get(dkey)
+        if use_fine is None:
+            if (not shader.writes_color or n_vary < 2 or f < 512
+                    or tile_w != TILE_W
+                    or jax.default_backend() != "tpu"):
+                use_fine = False
+            else:
+                # one-time structure probe (first frame of the key)
+                setup, sp_total = raster_fine._probe_totals_jit(
+                    attrs, dict(uniforms), shader, width, height,
+                    tile_h, tile_w)
+                pair_cap = raster_fine._quantize_soft(
+                    int(jax.device_get(sp_total)))
+                rows_d, act_d = raster_fine._probe_rows_jit(
+                    setup, pair_cap, width, height, tile_h, tile_w)
+                *_, coarse_d = _tile_spans(setup, tile_w, tile_h)
+                rt, act, ct = (int(x) for x in
+                               jax.device_get((rows_d, act_d, coarse_d)))
+                use_fine = rt <= 0.45 * ct
+                if use_fine:      # seed caps: probe pays the sync once
+                    raster_fine._FINE_CAPACITY.setdefault(
+                        (f, n_tiles_x, n_tiles_y),
+                        (pair_cap, raster_fine._quantize_soft(rt),
+                         _quantize_active(act, n_tiles_x * n_tiles_y)))
+            _FINE_DECISION[dkey] = use_fine
+    fn = raster_fine.render_pass_fine if use_fine else render_pass_tiles
+    return fn(ft, attrs, shader, uniforms, width, height, **kw)
+
+
 @jax.jit
 def _reduce_events_jit(ev_c, depth_c, winner_c, ids, n_tiles):
     """Per-pass exact counters from the kernel's event planes: fragment
@@ -395,7 +529,7 @@ def render_frame_tiles(passes, width: int, height: int,
             ft = FrameTiles(color=ft.color, depth=snapshot,
                             winner=ft.winner)
             in_excluded = False
-        ft, setup, ovf = render_pass_tiles(
+        ft, setup, ovf = render_pass_dispatch(
             ft, attrs, shader, uniforms, width, height,
             winner_offset=offset, tile_h=tile_h, tile_w=tile_w,
             strict_capacity=strict_capacity)

@@ -288,7 +288,7 @@ def _render_device_tiles(scene, visible, dtype, stats, timings,
                 color=ft.color, depth=snapshot, winner=ft.winner)
             in_excluded = False
         t0 = time.perf_counter()
-        out = raster_sparse.render_pass_tiles(
+        out = raster_sparse.render_pass_dispatch(
             ft, attrs, p.shader, uniforms, width, height,
             winner_offset=winner_offset, strict_capacity=strict_capacity,
             collect_stats=collect_stats)

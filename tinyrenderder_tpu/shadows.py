@@ -37,8 +37,17 @@ class ShadowSettings:
 def light_camera_for_scene(scene: Scene, light_dir,
                            settings: ShadowSettings | None = None) -> Camera:
     """Place a camera looking down ``light_dir`` (direction light travels
-    *from*, i.e. the shaders' to-light vector) framing the whole scene."""
+    *from*, i.e. the shaders' to-light vector) framing the whole scene.
+    Cached on the scene: the AABB sweep + frustum math is pure host work
+    that repeats identically every frame of a static-light loop."""
     settings = settings or ShadowSettings()
+    ckey = (tuple((id(p.mesh), p.model_matrix.tobytes())
+                  for p in scene.passes),
+            np.asarray(light_dir, np.float64).tobytes(),
+            settings.size, settings.fov_margin, settings.distance_factor)
+    cached = scene.__dict__.get("_shadow_light_cam")
+    if cached is not None and cached[0] == ckey:
+        return cached[1]
     boxes = scene.world_aabbs()
     lo = np.min([b.min for b in boxes], axis=0)
     hi = np.max([b.max for b in boxes], axis=0)
@@ -57,6 +66,7 @@ def light_camera_for_scene(scene: Scene, light_dir,
     cam.set_fov(float(np.clip(fov, 10.0, 120.0)))
     cam.set_aspect(1.0)
     cam.set_clipping(dist - radius * 1.5, dist + radius * 1.5)
+    scene.__dict__["_shadow_light_cam"] = (ckey, cam)
     return cam
 
 
@@ -97,10 +107,17 @@ def render_depth_from_light(scene: Scene, light_cam: Camera,
     a pass-2 uniform, so a host round trip is pure overhead);
     ``strict_capacity=False`` skips the per-pass pair-count host sync
     (~30 ms tunnel RTT — it was half the measured shadow frame)."""
-    depth_scene = Scene(camera=light_cam, width=settings.size,
-                        height=settings.size)
-    depth_scene.add(_merged_world_mesh(scene), np.eye(4), DepthShader(),
-                    name="lightdepth")
+    merged = _merged_world_mesh(scene)
+    ckey = (id(merged), id(light_cam), settings.size)
+    cached = scene.__dict__.get("_shadow_depth_scene")
+    if cached is not None and cached[0] == ckey:
+        depth_scene = cached[1]
+    else:
+        depth_scene = Scene(camera=light_cam, width=settings.size,
+                            height=settings.size)
+        depth_scene.add(merged, np.eye(4), DepthShader(),
+                        name="lightdepth")
+        scene.__dict__["_shadow_depth_scene"] = (ckey, depth_scene)
     result = depth_scene.render(backend=backend, frustum_cull=False,
                                 collect_stats=transfer, transfer=transfer,
                                 strict_capacity=strict_capacity)
@@ -112,9 +129,28 @@ def render_depth_from_light(scene: Scene, light_cam: Camera,
 def shadowed_scene(scene: Scene, light_dir, shadow_map: np.ndarray,
                    light_cam: Camera, settings: ShadowSettings) -> Scene:
     """Pass 2 scene: every PhongShader pass swapped for a
-    ShadowMappedShader carrying its model-space -> light-screen matrix."""
+    ShadowMappedShader carrying its model-space -> light-screen matrix.
+
+    Cached on the source scene: the pass list, shader objects and
+    shadow matrices are static across a static-light loop — only the
+    shadow MAP changes per frame, and it flows through build_uniforms as
+    data (the shader invariant), so a cache hit just swaps the map on
+    the existing shaders.  Rebuilding scene + shader objects per frame
+    cost several host-side ms and defeated the jit/uniform caches."""
     vp_l = math3d.viewport(0, 0, settings.size, settings.size)
     light_vp = vp_l @ light_cam.projection_matrix @ light_cam.view_matrix
+
+    ckey = (tuple((id(p.mesh), p.model_matrix.tobytes(), id(p.shader))
+                  for p in scene.passes),
+            light_vp.tobytes(), id(scene.camera),
+            scene.width, scene.height)
+    cached = scene.__dict__.get("_shadow_lit_scene")
+    if cached is not None and cached[0] == ckey:
+        lit = cached[1]
+        for p in lit.passes:
+            if isinstance(p.shader, ShadowMappedShader):
+                p.shader.shadow_map = shadow_map
+        return lit
 
     out = Scene(camera=scene.camera, width=scene.width, height=scene.height)
     for p in scene.passes:
@@ -128,6 +164,7 @@ def shadowed_scene(scene: Scene, light_dir, shadow_map: np.ndarray,
         out.add(p.mesh, p.model_matrix, sh, name=p.name,
                 material_index=p.material_index,
                 exclude_from_output_depth=p.exclude_from_output_depth)
+    scene.__dict__["_shadow_lit_scene"] = (ckey, out)
     return out
 
 
