@@ -184,8 +184,8 @@ def bench_single_pass(shader_name, width, height, warmup, frames):
 
     def frame():
         ft = raster_sparse.new_frame_tiles(width, height)
-        ft, _, _ = raster_sparse.render_pass_dispatch(
-            ft, attrs, shader, uniforms, width, height,
+        ft, _, _ = raster_sparse.render_frame_fused(
+            [(attrs, shader, uniforms, False)], width, height,
             strict_capacity=False)
         # the frame deliverable is the (H, W) image: untile is in the
         # measured loop (the one per-frame layout conversion)
@@ -238,8 +238,8 @@ def bench_stress(width, height, warmup, frames, grid=3):
 
     def frame():
         ft = raster_sparse.new_frame_tiles(width, height)
-        ft, _, _ = raster_sparse.render_pass_dispatch(
-            ft, attrs, shader, uniforms, width, height,
+        ft, _, _ = raster_sparse.render_frame_fused(
+            [(attrs, shader, uniforms, False)], width, height,
             strict_capacity=False)
         return raster_sparse.tiles_to_buffers(ft, width, height).color
 

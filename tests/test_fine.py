@@ -204,3 +204,32 @@ def test_dispatch_forced_modes_agree(meshes):
         raster_sparse._FINE_DECISION.clear()
     _assert_frames_equal(ft_c, ft_f, w, h)
     _assert_frames_equal(ft_c, ft_a, w, h)
+
+
+def test_fused_frame_matches_loop(meshes):
+    """render_frame_fused (one jitted program for all passes) must be
+    bitwise-identical to the per-pass loop, including the z-snapshot /
+    restore semantics around excluded passes (main.cpp:700,730)."""
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.shaders import EyeShader
+    view, proj = default_view()
+    w, h = 170, 90
+    g = make_pass(meshes["soup"], GouraudShader(), view, proj)
+    ph = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
+    e = make_pass(meshes["sphere"], EyeShader(KEY, RIM), view, proj,
+                  model_matrix=math3d.translation_matrix(0.3, 0.0, 1.2)
+                  @ math3d.scale_matrix(0.4, 0.4, 0.4))
+    passes = []
+    for p, excl in ((g, False), (ph, False), (e, True)):
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        passes.append((attrs, p.shader, dict(p.uniforms), excl))
+
+    ft_l, od_l, ovf_l, _ = raster_sparse.render_frame_tiles(
+        passes, w, h)
+    ft_f, od_f, ovf_f = raster_sparse.render_frame_fused(passes, w, h)
+    assert not bool(ovf_f)
+    _assert_frames_equal(ft_l, ft_f, w, h)
+    np.testing.assert_array_equal(np.asarray(od_l), np.asarray(od_f))
+    # excluded pass depth differs from the full frame depth
+    assert (np.asarray(od_f) != np.asarray(ft_f.depth)).any()

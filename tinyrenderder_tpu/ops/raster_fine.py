@@ -466,6 +466,43 @@ def _quantize_soft(n: int) -> int:
     return max(256, _cdiv(want, grain) * grain)
 
 
+def _resolve_pending(key, n_tiles):
+    """Async-mode bookkeeping: fold a previous frame's (pair, row,
+    active) totals into the capacity cache once their D2H has landed."""
+    from tinyrenderder_tpu.ops import raster_sparse
+    prev = _FINE_PENDING.get(key)
+    if prev is None:
+        return
+    totals_dev, prev_caps, age = prev
+    ready = getattr(totals_dev, "is_ready", lambda: True)()
+    if ready or age >= 8:
+        _FINE_PENDING.pop(key)
+        pt, rt, pa = (int(x) for x in np.asarray(totals_dev))
+        pc, rc, ac = prev_caps
+        if pt > pc or rt > rc or pa > ac:
+            import logging
+            logging.getLogger(__name__).warning(
+                "fine overflow (pairs %d/%d, rows %d/%d, tiles %d/%d) "
+                "detected %d frame(s) late; capacity grown",
+                pt, pc, rt, rc, pa, ac, age + 1)
+            _FINE_CAPACITY[key] = (
+                max(pc, _quantize_soft(pt)),
+                max(rc, _quantize_soft(rt)),
+                max(ac, raster_sparse._quantize_active(pa, n_tiles)))
+    else:
+        _FINE_PENDING[key] = (totals_dev, prev_caps, age + 1)
+
+
+def _resolve_caps(key, attrs, uniforms, shader, width, height,
+                  tile_h, tile_w, n_tiles):
+    caps = _FINE_CAPACITY.get(key)
+    if caps is None:
+        caps = _probe_caps(attrs, uniforms, shader, width, height,
+                           tile_h, tile_w, n_tiles)
+    _FINE_CAPACITY[key] = caps
+    return caps
+
+
 def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
                      width: int, height: int, winner_offset: int = 0,
                      tile_h: int = TILE_H, tile_w: int = TILE_W,
@@ -500,32 +537,14 @@ def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
     key = (f, n_tiles_x, n_tiles_y)
 
     if not strict_capacity:
-        prev = _FINE_PENDING.get(key)
-        if prev is not None:
-            totals_dev, prev_caps, age = prev
-            ready = getattr(totals_dev, "is_ready", lambda: True)()
-            if ready or age >= 8:
-                _FINE_PENDING.pop(key)
-                pt, rt, pa = (int(x) for x in np.asarray(totals_dev))
-                pc, rc, ac = prev_caps
-                if pt > pc or rt > rc or pa > ac:
-                    import logging
-                    logging.getLogger(__name__).warning(
-                        "fine overflow (pairs %d/%d, rows %d/%d, "
-                        "tiles %d/%d) detected %d frame(s) late; "
-                        "capacity grown", pt, pc, rt, rc, pa, ac, age + 1)
-                    _FINE_CAPACITY[key] = (
-                        max(pc, _quantize_soft(pt)),
-                        max(rc, _quantize_soft(rt)),
-                        max(ac, raster_sparse._quantize_active(pa, n_tiles)))
-            else:
-                _FINE_PENDING[key] = (totals_dev, prev_caps, age + 1)
+        _resolve_pending(key, n_tiles)
 
-    caps = _caps if _caps is not None else _FINE_CAPACITY.get(key)
-    if caps is None:
-        caps = _probe_caps(attrs, uniforms, shader, width, height,
-                           tile_h, tile_w, n_tiles)
-    _FINE_CAPACITY[key] = caps
+    if _caps is not None:
+        caps = _caps
+        _FINE_CAPACITY[key] = caps
+    else:
+        caps = _resolve_caps(key, attrs, uniforms, shader, width, height,
+                             tile_h, tile_w, n_tiles)
     pair_cap, row_cap, a_cap = caps
     rec_cap = _next_pow2(row_cap)
 

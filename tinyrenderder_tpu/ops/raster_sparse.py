@@ -285,6 +285,48 @@ def _quantize_active(n_active: int, n_tiles: int) -> int:
     return max(8, min(_cdiv(want, grain) * grain, n_tiles))
 
 
+def _resolve_pending(key, n_tiles):
+    """Async-mode bookkeeping: fold a previous frame's (pair, active)
+    totals into the capacity cache once their D2H has landed."""
+    prev = _SPARSE_PENDING.get(key)
+    if prev is None:
+        return
+    totals_dev, prev_caps, age = prev
+    ready = getattr(totals_dev, "is_ready", lambda: True)()
+    if ready or age >= 8:
+        _SPARSE_PENDING.pop(key)
+        pt, pa = (int(x) for x in np.asarray(totals_dev)[:2])
+        cap, a_cap = prev_caps
+        if pt > cap or pa > a_cap:
+            import logging
+            logging.getLogger(__name__).warning(
+                "sparse overflow (pairs %d/%d, tiles %d/%d) "
+                "detected %d frame(s) late; capacity grown",
+                pt, cap, pa, a_cap, age + 1)
+            _SPARSE_CAPACITY[key] = (
+                max(cap, _quantize_capacity(pt)),
+                max(a_cap, _quantize_active(pa, n_tiles)))
+    else:
+        _SPARSE_PENDING[key] = (totals_dev, prev_caps, age + 1)
+
+
+def _resolve_caps(key, attrs, uniforms, shader, width, height,
+                  tile_h, tile_w, n_tiles):
+    caps = _SPARSE_CAPACITY.get(key)
+    if caps is None:
+        # first frame: one extra sync each for the pair count and the
+        # active-tile count (both needed as static capacities)
+        setup0, _ = _vertex_setup(attrs, uniforms, shader, width, height)
+        *_, total0 = _tile_spans(setup0, tile_w, tile_h)
+        capacity = _quantize_capacity(int(jax.device_get(total0)))
+        n_act0 = _count_active(setup0, capacity, width, height,
+                               tile_h, tile_w)
+        caps = (capacity, _quantize_active(int(jax.device_get(n_act0)),
+                                           n_tiles))
+    _SPARSE_CAPACITY[key] = caps
+    return caps
+
+
 def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
                       width: int, height: int, winner_offset: int = 0,
                       tile_h: int = TILE_H, tile_w: int = TILE_W,
@@ -331,38 +373,14 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
     key = (f, n_tiles_x, n_tiles_y)
 
     if not strict_capacity:
-        prev = _SPARSE_PENDING.get(key)
-        if prev is not None:
-            totals_dev, prev_caps, age = prev
-            ready = getattr(totals_dev, "is_ready", lambda: True)()
-            if ready or age >= 8:
-                _SPARSE_PENDING.pop(key)
-                pt, pa = (int(x) for x in np.asarray(totals_dev))
-                cap, a_cap = prev_caps
-                if pt > cap or pa > a_cap:
-                    import logging
-                    logging.getLogger(__name__).warning(
-                        "sparse overflow (pairs %d/%d, tiles %d/%d) "
-                        "detected %d frame(s) late; capacity grown",
-                        pt, cap, pa, a_cap, age + 1)
-                    _SPARSE_CAPACITY[key] = (
-                        max(cap, _quantize_capacity(pt)),
-                        max(a_cap, _quantize_active(pa, n_tiles)))
-            else:
-                _SPARSE_PENDING[key] = (totals_dev, prev_caps, age + 1)
+        _resolve_pending(key, n_tiles)
 
-    caps = _caps if _caps is not None else _SPARSE_CAPACITY.get(key)
-    if caps is None:
-        # first frame: one extra sync each for the pair count and the
-        # active-tile count (both needed as static capacities)
-        setup0, _ = _vertex_setup(attrs, uniforms, shader, width, height)
-        *_, total0 = _tile_spans(setup0, tile_w, tile_h)
-        capacity = _quantize_capacity(int(jax.device_get(total0)))
-        n_act0 = _count_active(setup0, capacity, width, height,
-                               tile_h, tile_w)
-        caps = (capacity, _quantize_active(int(jax.device_get(n_act0)),
-                                           n_tiles))
-    _SPARSE_CAPACITY[key] = caps
+    if _caps is not None:
+        caps = _caps
+        _SPARSE_CAPACITY[key] = caps
+    else:
+        caps = _resolve_caps(key, attrs, uniforms, shader, width, height,
+                             tile_h, tile_w, n_tiles)
     capacity, a_cap = caps
 
     spec = (tuple(shader.varying_spec.items())
@@ -433,41 +451,54 @@ def render_pass_dispatch(ft: FrameTiles, attrs: dict, shader,
     n_tiles_x = _cdiv(width, tile_w)
     n_tiles_y = _cdiv(height, tile_h)
 
-    if FINE_MODE == "fine":
-        use_fine = True
-    elif FINE_MODE == "coarse":
-        use_fine = False
-    else:
-        n_vary = (sum(shader.varying_spec.values())
-                  if shader.writes_color else 0)
-        dkey = (f, n_tiles_x, n_tiles_y, shader.writes_color, n_vary)
-        use_fine = _FINE_DECISION.get(dkey)
-        if use_fine is None:
-            if (not shader.writes_color or n_vary < 2 or f < 512
-                    or tile_w != TILE_W
-                    or jax.default_backend() != "tpu"):
-                use_fine = False
-            else:
-                # one-time structure probe (first frame of the key)
-                setup, sp_total = raster_fine._probe_totals_jit(
-                    attrs, dict(uniforms), shader, width, height,
-                    tile_h, tile_w)
-                pair_cap = raster_fine._quantize_soft(
-                    int(jax.device_get(sp_total)))
-                rows_d, act_d = raster_fine._probe_rows_jit(
-                    setup, pair_cap, width, height, tile_h, tile_w)
-                *_, coarse_d = _tile_spans(setup, tile_w, tile_h)
-                rt, act, ct = (int(x) for x in
-                               jax.device_get((rows_d, act_d, coarse_d)))
-                use_fine = rt <= 0.45 * ct
-                if use_fine:      # seed caps: probe pays the sync once
-                    raster_fine._FINE_CAPACITY.setdefault(
-                        (f, n_tiles_x, n_tiles_y),
-                        (pair_cap, raster_fine._quantize_soft(rt),
-                         _quantize_active(act, n_tiles_x * n_tiles_y)))
-            _FINE_DECISION[dkey] = use_fine
+    use_fine = _decide_fine(attrs, shader, uniforms, width, height,
+                            tile_h, tile_w)
     fn = raster_fine.render_pass_fine if use_fine else render_pass_tiles
     return fn(ft, attrs, shader, uniforms, width, height, **kw)
+
+
+def _decide_fine(attrs, shader, uniforms, width, height,
+                 tile_h=TILE_H, tile_w=TILE_W) -> bool:
+    """Per-(faces, grid, shader-kind) cached fine/coarse decision; see
+    render_pass_dispatch for the measured rationale."""
+    from tinyrenderder_tpu.ops import raster_fine
+
+    if FINE_MODE == "fine":
+        return True
+    if FINE_MODE == "coarse":
+        return False
+    f = attrs["position"].shape[0]
+    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_y = _cdiv(height, tile_h)
+    n_vary = (sum(shader.varying_spec.values())
+              if shader.writes_color else 0)
+    dkey = (f, n_tiles_x, n_tiles_y, shader.writes_color, n_vary)
+    use_fine = _FINE_DECISION.get(dkey)
+    if use_fine is None:
+        if (not shader.writes_color or n_vary < 2 or f < 512
+                or tile_w != TILE_W
+                or jax.default_backend() != "tpu"):
+            use_fine = False
+        else:
+            # one-time structure probe (first frame of the key)
+            setup, sp_total = raster_fine._probe_totals_jit(
+                attrs, dict(uniforms), shader, width, height,
+                tile_h, tile_w)
+            pair_cap = raster_fine._quantize_soft(
+                int(jax.device_get(sp_total)))
+            rows_d, act_d = raster_fine._probe_rows_jit(
+                setup, pair_cap, width, height, tile_h, tile_w)
+            *_, coarse_d = _tile_spans(setup, tile_w, tile_h)
+            rt, act, ct = (int(x) for x in
+                           jax.device_get((rows_d, act_d, coarse_d)))
+            use_fine = rt <= 0.45 * ct
+            if use_fine:      # seed caps: probe pays the sync once
+                raster_fine._FINE_CAPACITY.setdefault(
+                    (f, n_tiles_x, n_tiles_y),
+                    (pair_cap, raster_fine._quantize_soft(rt),
+                     _quantize_active(act, n_tiles_x * n_tiles_y)))
+        _FINE_DECISION[dkey] = use_fine
+    return use_fine
 
 
 @jax.jit
@@ -501,6 +532,167 @@ def _count_active(setup, capacity, width, height, tile_h, tile_w):
     _, _, counts = _build_bins(tx0, ty0, span_x, spans, capacity,
                                n_tiles_x, n_tiles_y)
     return jnp.sum((counts > 0).astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Fused frame: all passes in ONE jitted program
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "plan", "width", "height", "tile_h", "tile_w", "interpret"))
+def _frame_fused_jit(attrs_t, uniforms_t, plan, width, height,
+                     tile_h, tile_w, interpret):
+    """One XLA program for the whole multi-pass frame.
+
+    ``plan``: static tuple of (shader, use_fine, caps, exclude, offset)
+    per pass.  Folding every pre/kernel/post stage of every pass into a
+    single program removes the ~0.3-1 ms host dispatch cost per stage
+    (a 4-pass frame was paying ~15 ms of host time, round-2 profiling)
+    and lets XLA schedule across pass boundaries.  The z-snapshot /
+    restore around exclude_from_output_depth passes (main.cpp:700,730)
+    is static control flow here."""
+    from tinyrenderder_tpu.ops import raster_fine
+    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_y = _cdiv(height, tile_h)
+    ft = new_frame_tiles(width, height, tile_h, tile_w)
+    snapshot = None
+    in_excluded = False
+    overflow = jnp.asarray(False)
+    totals = []
+    for (shader, use_fine, caps, exclude, offset), attrs, uniforms in zip(
+            plan, attrs_t, uniforms_t):
+        if exclude:
+            if not in_excluded:
+                snapshot = ft.depth                  # main.cpp:700
+                in_excluded = True
+        elif in_excluded:
+            ft = FrameTiles(color=ft.color, depth=snapshot,
+                            winner=ft.winner)        # main.cpp:730
+            in_excluded = False
+        spec = (tuple(shader.varying_spec.items())
+                if shader.writes_color else ())
+        n_vary = sum(c for _, c in spec)
+        if use_fine:
+            pc, rc, ac = caps
+            (setup, rec, ids, kernel_ids, rs, ra, pt, rt, na, _
+             ) = raster_fine._pre_fine_jit(
+                attrs, uniforms, shader, width, height, pc, rc,
+                _next_pow2(rc), ac, tile_h, tile_w)
+            d_c, w_c, v_c, _ = raster_fine._fine_call_jit(
+                kernel_ids, rs, ra, rec, ft.depth,
+                n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
+            ovf = (pt > pc) | (rt > rc) | (na > ac)
+            totals.append(jnp.stack([pt, rt, na]))
+        else:
+            cap, ac = caps
+            (setup, records, ids, kernel_ids, sa, ca, total, na
+             ) = _pre_sparse_jit(attrs, uniforms, shader, width, height,
+                                 cap, ac, tile_h, tile_w)
+            d_c, w_c, v_c, _ = raster_pallas._pallas_call_sparse_jit(
+                kernel_ids, sa, ca, records, ft.depth,
+                n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
+            ovf = (total > cap) | (na > ac)
+            totals.append(jnp.stack([total, na,
+                                     jnp.asarray(-1, total.dtype)]))
+        ft = _post_sparse_jit(ft, ids, kernel_ids, d_c, w_c, v_c,
+                              uniforms, jnp.int32(offset), shader, spec)
+        overflow = overflow | ovf
+    out_depth = snapshot if in_excluded else ft.depth
+    return ft, out_depth, overflow, jnp.stack(totals)
+
+
+def render_frame_fused(passes, width: int, height: int,
+                       tile_h: int = TILE_H, tile_w: int = TILE_W,
+                       strict_capacity: bool = True,
+                       interpret: bool | None = None):
+    """Render a whole multi-pass frame in one fused dispatch.
+
+    ``passes``: list of (attrs, shader, uniforms, exclude_from_output_
+    depth); every pass must have > 0 faces.  Returns (FrameTiles,
+    out_depth_tiles, overflow-device-bool).  Capacity semantics match
+    the per-pass drivers: strict mode fetches all totals once (one
+    host sync per frame instead of one per pass) and re-renders on
+    growth; async mode folds totals in on a later frame."""
+    from tinyrenderder_tpu.ops import raster_fine
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_y = _cdiv(height, tile_h)
+    n_tiles = n_tiles_x * n_tiles_y
+
+    plan = []
+    keys = []
+    attrs_t = []
+    unis_t = []
+    offset = 0
+    for attrs, shader, uniforms, exclude in passes:
+        f = attrs["position"].shape[0]
+        if f == 0:
+            raise ValueError("render_frame_fused requires non-empty passes")
+        uniforms = dict(uniforms)
+        use_fine = _decide_fine(attrs, shader, uniforms, width, height,
+                                tile_h, tile_w)
+        key = (f, n_tiles_x, n_tiles_y)
+        if use_fine:
+            if not strict_capacity:
+                raster_fine._resolve_pending(key, n_tiles)
+            caps = raster_fine._resolve_caps(
+                key, attrs, uniforms, shader, width, height,
+                tile_h, tile_w, n_tiles)
+        else:
+            if not strict_capacity:
+                _resolve_pending(key, n_tiles)
+            caps = _resolve_caps(key, attrs, uniforms, shader, width,
+                                 height, tile_h, tile_w, n_tiles)
+        plan.append((shader, use_fine, caps, bool(exclude), offset))
+        keys.append((key, use_fine))
+        attrs_t.append(attrs)
+        unis_t.append(uniforms)
+        offset += f
+
+    ft, out_depth, overflow, totals = _frame_fused_jit(
+        tuple(attrs_t), tuple(unis_t), tuple(plan), width, height,
+        tile_h, tile_w, interpret)
+
+    if strict_capacity:
+        tot_host = np.asarray(jax.device_get(totals))
+        grown = False
+        for (key, use_fine), (shader, uf, caps, *_), t in zip(
+                keys, plan, tot_host):
+            if use_fine:
+                pc, rc, ac = caps
+                pt, rt, na = (int(x) for x in t)
+                if pt > pc or rt > rc or na > ac:
+                    raster_fine._FINE_CAPACITY[key] = (
+                        max(pc, raster_fine._quantize_soft(pt)),
+                        max(rc, raster_fine._quantize_soft(rt)),
+                        max(ac, _quantize_active(na, n_tiles)))
+                    grown = True
+            else:
+                cap, ac = caps
+                pt, na = int(t[0]), int(t[1])
+                if pt > cap or na > ac:
+                    _SPARSE_CAPACITY[key] = (
+                        max(cap, _quantize_capacity(pt)),
+                        max(ac, _quantize_active(na, n_tiles)))
+                    grown = True
+        if grown:
+            return render_frame_fused(passes, width, height, tile_h,
+                                      tile_w, strict_capacity, interpret)
+    else:
+        for i, ((key, use_fine), (shader, uf, caps, *_)) in enumerate(
+                zip(keys, plan)):
+            pending = (raster_fine._FINE_PENDING if use_fine
+                       else _SPARSE_PENDING)
+            if key not in pending:
+                tslice = totals[i] if use_fine else totals[i, :2]
+                try:
+                    tslice.copy_to_host_async()
+                except AttributeError:
+                    pass
+                pending[key] = (tslice, caps, 0)
+    return ft, out_depth, overflow
 
 
 def render_frame_tiles(passes, width: int, height: int,

@@ -272,6 +272,23 @@ def _render_device_tiles(scene, visible, dtype, stats, timings,
     from tinyrenderder_tpu.ops import raster, raster_sparse
 
     width, height = scene.width, scene.height
+
+    if not collect_stats and visible and all(
+            p.mesh.nfaces > 0 for p in visible):
+        # fast path: the whole multi-pass frame in one fused dispatch
+        # (per-stage dispatches cost ~15 ms host time on a 4-pass frame)
+        passes_l = []
+        for p in visible:
+            attrs, uniforms = _pass_inputs(scene, p, dtype, device=True)
+            passes_l.append((attrs, p.shader, uniforms,
+                             p.exclude_from_output_depth))
+        ft, out_depth_t, overflow = raster_sparse.render_frame_fused(
+            passes_l, width, height, strict_capacity=strict_capacity)
+        in_excluded = visible[-1].exclude_from_output_depth
+        return _finish_device_tiles(scene, ft, out_depth_t, in_excluded,
+                                    overflow, stats, timings,
+                                    collect_stats, transfer)
+
     ft = raster_sparse.new_frame_tiles(width, height)
     snapshot = None
     in_excluded = False
@@ -311,8 +328,21 @@ def _render_device_tiles(scene, visible, dtype, stats, timings,
                 stats.merge_z(min_z, max_z)
         winner_offset += p.mesh.nfaces
 
-    fb = raster_sparse.tiles_to_buffers(ft, width, height)
     out_depth_t = snapshot if in_excluded else ft.depth
+    return _finish_device_tiles(scene, ft, out_depth_t, in_excluded,
+                                overflow, stats, timings, collect_stats,
+                                transfer)
+
+
+def _finish_device_tiles(scene, ft, out_depth_t, in_excluded, overflow,
+                         stats, timings, collect_stats,
+                         transfer) -> RenderResult:
+    import jax
+
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    width, height = scene.width, scene.height
+    fb = raster_sparse.tiles_to_buffers(ft, width, height)
     if in_excluded:
         out_fb = raster_sparse.tiles_to_buffers(
             raster_sparse.FrameTiles(ft.color, out_depth_t, ft.winner),
