@@ -232,6 +232,16 @@ def test_async_capacity_grows_after_overflow(meshes):
         use_pallas=True, strict_capacity=False, _capacity=16)
     assert raster_sparse._SPARSE_CAPACITY[key][0] == 16
 
+    # wait for the overflow count's D2H (the production loop spaces
+    # frames ms apart; under test-suite load the copy can lag, which
+    # made this assertion flaky)
+    import time
+    for _ in range(500):
+        pend = raster_sparse._SPARSE_PENDING.get(key)
+        if pend is None or getattr(pend[0], "is_ready", lambda: True)():
+            break
+        time.sleep(0.01)
+
     # frame 2: the pending count resolves, capacity grows, output exact
     fb2, _ = raster_tiled.render_pass_tiled(
         raster.new_framebuffers(w, h), attrs, p.shader, p.uniforms,

@@ -284,3 +284,24 @@ def test_frame_tiles_multipass_eye_semantics(meshes):
     od, fd = np.asarray(out_depth), np.asarray(fb.depth)
     assert np.isfinite(od).sum() <= np.isfinite(fd).sum()
     assert (od != fd).any()            # eye depth excluded from output
+
+
+def test_collect_stats_does_not_change_frame(meshes):
+    """The exact-counter machinery must never perturb the frame: depth,
+    winner and color are bitwise-identical with and without
+    collect_stats (the ev prefix chain runs in a separate launch so the
+    merge's FMA grouping is untouched, e35d513)."""
+    import jax.numpy as jnp
+    view, proj = default_view()
+    w, h = 170, 90
+    p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
+    attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+    ft = raster_sparse.new_frame_tiles(w, h)
+    a = raster_sparse.render_pass_tiles(
+        ft, attrs, p.shader, dict(p.uniforms), w, h, collect_stats=False)
+    b = raster_sparse.render_pass_tiles(
+        ft, attrs, p.shader, dict(p.uniforms), w, h, collect_stats=True)
+    for field in ("depth", "winner", "color"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a[0], field)),
+            np.asarray(getattr(b[0], field)))

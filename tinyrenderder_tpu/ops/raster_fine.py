@@ -69,7 +69,7 @@ from tinyrenderder_tpu.ops import semantics
 from tinyrenderder_tpu.ops.raster import BACKGROUND
 from tinyrenderder_tpu.ops.raster_tiled import (TILE_H, TILE_W, _build_bins,
                                                 _cdiv, _next_pow2,
-                                                _tile_spans)
+                                                _quantize_soft, _tile_spans)
 
 __all__ = ["render_pass_fine", "STRIP_W", "STRIPS"]
 
@@ -456,16 +456,6 @@ _FINE_CAPACITY: dict = {}
 _FINE_PENDING: dict = {}
 
 
-def _quantize_soft(n: int) -> int:
-    """25% headroom on an eighth-pow2 grain: pre-stage cost scales with
-    capacity, so the pow2 grain's up-to-2x inflation is worth trading
-    for a few more (cheap, XLA-only) compile variants.  The kernel never
-    sees these sizes (records are padded to _next_pow2 separately)."""
-    want = n + n // 4
-    grain = max(256, _next_pow2(want) // 8)
-    return max(256, _cdiv(want, grain) * grain)
-
-
 def _resolve_pending(key, n_tiles):
     """Async-mode bookkeeping: fold a previous frame's (pair, row,
     active) totals into the capacity cache once their D2H has landed."""
@@ -555,17 +545,24 @@ def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
      pair_total, row_total, n_active, _) = _pre_fine_jit(
         attrs, uniforms, shader, width, height, pair_cap, row_cap,
         rec_cap, a_cap, tile_h, tile_w)
-    depth_c, winner_c, vary_c, ev_c = _fine_call_jit(
+    depth_c, winner_c, vary_c, _ = _fine_call_jit(
         kernel_ids, row_start_a, rows_a, rec, ft.depth,
-        n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
-        collect_stats=collect_stats)
+        n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
     new_ft = raster_sparse._post_sparse_jit(
         ft, ids, kernel_ids, depth_c, winner_c, vary_c, uniforms,
         jnp.int32(winner_offset), shader, spec)
     overflowed = ((pair_total > pair_cap) | (row_total > row_cap)
                   | (n_active > a_cap))
-    events = raster_sparse._reduce_events_jit(
-        ev_c, depth_c, winner_c, ids, n_tiles) if collect_stats else None
+    events = None
+    if collect_stats:
+        # separate depth-only launch for the exact counters — the ev
+        # chain must never perturb the frame kernel (see raster_sparse)
+        d_ev, w_ev, _, ev_c = _fine_call_jit(
+            kernel_ids, row_start_a, rows_a, rec, ft.depth,
+            n_tiles_x, n_tiles_y, tile_h, tile_w, 0, interpret,
+            collect_stats=True)
+        events = raster_sparse._reduce_events_jit(
+            ev_c, d_ev, w_ev, ids, n_tiles)
 
     if strict_capacity:
         pt, rt, act = (int(x) for x in

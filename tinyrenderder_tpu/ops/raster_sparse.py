@@ -46,8 +46,7 @@ from tinyrenderder_tpu.ops import raster, raster_pallas, semantics
 from tinyrenderder_tpu.ops.raster import BACKGROUND, FrameBuffers
 from tinyrenderder_tpu.ops.raster_tiled import (TILE_H, TILE_W, _build_bins,
                                                 _cdiv, _next_pow2,
-                                                _quantize_capacity,
-                                                _tile_spans)
+                                                _quantize_soft, _tile_spans)
 from tinyrenderder_tpu.shaders import finalize_color
 
 __all__ = ["FrameTiles", "new_frame_tiles", "tiles_to_buffers",
@@ -173,6 +172,34 @@ def _untile_call_jit(color, depth, winner, ntx, nty, tile_h, tile_w,
     )(color, depth, winner)
 
 
+def _untile_one_kernel(x_ref, out_ref, *, ntx, tile_h, tile_w):
+    out_ref[...] = jnp.swapaxes(x_ref[...], 0, 1).reshape(tile_h,
+                                                          ntx * tile_w)
+
+
+@functools.partial(jax.jit, static_argnames=("ntx", "nty", "tile_h",
+                                             "tile_w", "interpret"))
+def _untile_one_jit(x, ntx, nty, tile_h, tile_w, interpret):
+    """Single-plane tile -> (nty*th, ntx*tw) layout kernel."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    kernel = ft.partial(_untile_one_kernel, ntx=ntx, tile_h=tile_h,
+                        tile_w=tile_w)
+    return pl.pallas_call(
+        kernel,
+        grid=(nty,),
+        in_specs=[pl.BlockSpec((ntx, tile_h, tile_w), lambda y: (y, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile_h, ntx * tile_w), lambda y: (y, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nty * tile_h, ntx * tile_w),
+                                       x.dtype),
+        interpret=interpret,
+    )(x)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_h",
                                              "tile_w", "interpret"))
 def _tiles_to_buffers_jit(ft: FrameTiles, width: int, height: int,
@@ -197,11 +224,16 @@ def tiles_to_buffers(ft: FrameTiles, width: int, height: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "shader", "width", "height", "capacity", "a_cap", "tile_h", "tile_w"))
+    "shader", "width", "height", "capacity", "rec_cap", "a_cap",
+    "tile_h", "tile_w"))
 def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
-                    a_cap, tile_h, tile_w):
+                    a_cap, tile_h, tile_w, rec_cap=None):
     """Fused pre-kernel stage: vertex transform, setup, binning, pair
-    records, and active-tile compaction — one dispatch."""
+    records, and active-tile compaction — one dispatch.
+
+    ``capacity`` (soft-grained) sizes all the XLA-side work; ``rec_cap``
+    (pow2, >= capacity) is the kernel-visible record array size so
+    Mosaic recompiles only per octave."""
     dtype = attrs["position"].dtype
     clip, varyings = shader.vertex(uniforms, attrs, jnp)
     vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
@@ -224,6 +256,10 @@ def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
     else:
         vary_corners = None
     records = raster_pallas.build_pair_records(setup, sorted_tri, vary_corners)
+    if rec_cap is not None and rec_cap > capacity:
+        full = jnp.zeros((rec_cap + records.shape[0] - capacity,
+                          records.shape[1]), records.dtype)
+        records = jax.lax.dynamic_update_slice(full, records, (0, 0))
 
     # active-tile compaction: ids[j] = j-th non-empty tile (ascending),
     # padding entries = n_tiles sentinel (out-of-bounds -> scatter-dropped)
@@ -304,7 +340,7 @@ def _resolve_pending(key, n_tiles):
                 "detected %d frame(s) late; capacity grown",
                 pt, cap, pa, a_cap, age + 1)
             _SPARSE_CAPACITY[key] = (
-                max(cap, _quantize_capacity(pt)),
+                max(cap, _quantize_soft(pt)),
                 max(a_cap, _quantize_active(pa, n_tiles)))
     else:
         _SPARSE_PENDING[key] = (totals_dev, prev_caps, age + 1)
@@ -318,7 +354,7 @@ def _resolve_caps(key, attrs, uniforms, shader, width, height,
         # active-tile count (both needed as static capacities)
         setup0, _ = _vertex_setup(attrs, uniforms, shader, width, height)
         *_, total0 = _tile_spans(setup0, tile_w, tile_h)
-        capacity = _quantize_capacity(int(jax.device_get(total0)))
+        capacity = _quantize_soft(int(jax.device_get(total0)))
         n_act0 = _count_active(setup0, capacity, width, height,
                                tile_h, tile_w)
         caps = (capacity, _quantize_active(int(jax.device_get(n_act0)),
@@ -388,23 +424,33 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
     n_vary = sum(c for _, c in spec)
     (setup, records, ids, kernel_ids, start_a, counts_a, total,
      n_active) = _pre_sparse_jit(attrs, uniforms, shader, width, height,
-                                 capacity, a_cap, tile_h, tile_w)
-    depth_c, winner_c, vary_c, ev_c = raster_pallas._pallas_call_sparse_jit(
+                                 capacity, a_cap, tile_h, tile_w,
+                                 rec_cap=_next_pow2(capacity))
+    depth_c, winner_c, vary_c, _ = raster_pallas._pallas_call_sparse_jit(
         kernel_ids, start_a, counts_a, records, ft.depth,
-        n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
-        collect_stats=collect_stats)
+        n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
     new_ft = _post_sparse_jit(ft, ids, kernel_ids, depth_c, winner_c,
                               vary_c, uniforms, jnp.int32(winner_offset),
                               shader, spec)
     overflowed = (total > capacity) | (n_active > a_cap)
-    events = _reduce_events_jit(ev_c, depth_c, winner_c,
-                                ids, n_tiles) if collect_stats else None
+    events = None
+    if collect_stats:
+        # SEPARATE depth-only launch for the exact event counters: the
+        # ev prefix-min chain perturbs the merge's FMA grouping by 1 ulp
+        # (e35d513), so it must never touch the frame's kernel.  Event
+        # counts stay reference-exact because tie structure only needs
+        # internal consistency, not absolute z equality.
+        d_ev, w_ev, _, ev_c = raster_pallas._pallas_call_sparse_jit(
+            kernel_ids, start_a, counts_a, records, ft.depth,
+            n_tiles_x, n_tiles_y, tile_h, tile_w, 0, interpret,
+            collect_stats=True)
+        events = _reduce_events_jit(ev_c, d_ev, w_ev, ids, n_tiles)
 
     if strict_capacity:
         tot, act = (int(x) for x in
                     jax.device_get((total, n_active)))
         if tot > capacity or act > a_cap:
-            grown = (max(capacity, _quantize_capacity(tot)),
+            grown = (max(capacity, _quantize_soft(tot)),
                      max(a_cap, _quantize_active(act, n_tiles)))
             _SPARSE_CAPACITY[key] = grown
             return render_pass_tiles(ft, attrs, shader, uniforms,
@@ -438,11 +484,11 @@ def render_pass_dispatch(ft: FrameTiles, attrs: dict, shader,
 
     The decision is cached per (faces, grid, shader-kind) and made once
     from the measured row/pair structure: fine's 8-pairs-per-step kernel
-    win must beat its larger pre-stage.  Measured on real TPU (round 2):
-    textured head 800² 1.48x, phong 2048² 1.08x, sponza-stress 1.04x for
-    fine; gouraud (1 varying), depth-only, and huge-triangle scenes tie
-    or lose.  Rule: color pass with >= 2 varying channels, >= 512 faces,
-    strip rows <= 0.45 * coarse pairs, TPU backend."""
+    win must beat its larger pre-stage.  Measured on real TPU under the
+    fused frame (round 2): gouraud 800² 1.55x, textured 800² 1.59x,
+    phong 2048² 1.16x for fine; depth-only and huge-triangle scenes tie
+    or lose.  Rule: color pass, >= 512 faces, strip rows <= 0.45 *
+    coarse pairs, TPU backend."""
     from tinyrenderder_tpu.ops import raster_fine
 
     tile_h = kw.get("tile_h", TILE_H)
@@ -475,7 +521,7 @@ def _decide_fine(attrs, shader, uniforms, width, height,
     dkey = (f, n_tiles_x, n_tiles_y, shader.writes_color, n_vary)
     use_fine = _FINE_DECISION.get(dkey)
     if use_fine is None:
-        if (not shader.writes_color or n_vary < 2 or f < 512
+        if (not shader.writes_color or f < 512
                 or tile_w != TILE_W
                 or jax.default_backend() != "tpu"):
             use_fine = False
@@ -587,7 +633,8 @@ def _frame_fused_jit(attrs_t, uniforms_t, plan, width, height,
             cap, ac = caps
             (setup, records, ids, kernel_ids, sa, ca, total, na
              ) = _pre_sparse_jit(attrs, uniforms, shader, width, height,
-                                 cap, ac, tile_h, tile_w)
+                                 cap, ac, tile_h, tile_w,
+                                 rec_cap=_next_pow2(cap))
             d_c, w_c, v_c, _ = raster_pallas._pallas_call_sparse_jit(
                 kernel_ids, sa, ca, records, ft.depth,
                 n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
@@ -674,7 +721,7 @@ def render_frame_fused(passes, width: int, height: int,
                 pt, na = int(t[0]), int(t[1])
                 if pt > cap or na > ac:
                     _SPARSE_CAPACITY[key] = (
-                        max(cap, _quantize_capacity(pt)),
+                        max(cap, _quantize_soft(pt)),
                         max(ac, _quantize_active(na, n_tiles)))
                     grown = True
         if grown:

@@ -238,6 +238,17 @@ def bin_triangles_csr(setup, width: int, height: int,
                 total_pairs=total, capacity=capacity)
 
 
+def _quantize_soft(n: int) -> int:
+    """25% headroom on an eighth-pow2 grain: pre-stage cost scales with
+    capacity, so the pow2 grain's up-to-2x inflation is worth trading
+    for a few more (cheap, XLA-only) compile variants.  Pallas kernels
+    never see these sizes — record arrays are padded to _next_pow2
+    separately so Mosaic still compiles per octave."""
+    want = n + n // 4
+    grain = max(256, _next_pow2(want) // 8)
+    return max(256, _cdiv(want, grain) * grain)
+
+
 def _quantize_capacity(total: int) -> int:
     """Static pair capacity: 25% headroom rounded to a power of two
     (pow2 quantization bounds the number of distinct compiled programs

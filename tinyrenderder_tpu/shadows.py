@@ -168,6 +168,183 @@ def shadowed_scene(scene: Scene, light_dir, shadow_map: np.ndarray,
     return out
 
 
+import functools as _ft
+
+
+def _shadow_fused_jit_factory():
+    import jax
+
+    from tinyrenderder_tpu.ops import raster_sparse as rs
+
+    @_ft.partial(jax.jit, static_argnames=(
+        "dplan", "plan", "size", "width", "height", "interpret",
+        "smap_keys"))
+    def _shadow_fused_jit(d_attrs, d_unis, attrs_t, unis_t, dplan, plan,
+                          size, width, height, interpret, smap_keys):
+        """Both shadow passes in ONE program: light-view depth resolve,
+        single-plane untile, then the shaded passes consuming that map
+        as a uniform — no host boundary between the passes."""
+        ft_d, od_d, ovf_d, tot_d = rs._frame_fused_jit(
+            (d_attrs,), (d_unis,), dplan, size, size,
+            rs.TILE_H, rs.TILE_W, interpret)
+        ntx = -(-size // rs.TILE_W)
+        nty = -(-size // rs.TILE_H)
+        depth_hw = rs._untile_one_jit(od_d, ntx, nty, rs.TILE_H,
+                                      rs.TILE_W, interpret)[:size, :size]
+        new_unis = []
+        for i, u in enumerate(unis_t):
+            if i in smap_keys:
+                u = dict(u)
+                u["shadow_map"] = depth_hw
+            new_unis.append(u)
+        ft, od, ovf, tot = rs._frame_fused_jit(
+            attrs_t, tuple(new_unis), plan, width, height,
+            rs.TILE_H, rs.TILE_W, interpret)
+        return ft, od, ovf_d | ovf, tot_d, tot, depth_hw
+
+    return _shadow_fused_jit
+
+
+_SHADOW_FUSED_JIT = None
+
+
+def _render_with_shadows_fused(scene: Scene, light_dir, light_cam,
+                               settings: ShadowSettings,
+                               strict_capacity: bool, transfer: bool):
+    """Fast path: the whole two-pass shadow frame as one fused program.
+    Only for the tiled backend without per-pass stats; capacity
+    bookkeeping mirrors raster_sparse.render_frame_fused."""
+    global _SHADOW_FUSED_JIT
+    import jax
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.ops import raster_fine
+    from tinyrenderder_tpu.ops import raster_sparse as rs
+    from tinyrenderder_tpu.scene import (_finish_device_tiles,
+                                         _pass_inputs)
+    from tinyrenderder_tpu.utils.stats import RenderStats
+
+    if _SHADOW_FUSED_JIT is None:
+        _SHADOW_FUSED_JIT = _shadow_fused_jit_factory()
+    interpret = jax.default_backend() != "tpu"
+    S = settings.size
+
+    # light-view depth pass inputs (cached scene + merged mesh)
+    merged = _merged_world_mesh(scene)
+    ckey = (id(merged), id(light_cam), S)
+    cached = scene.__dict__.get("_shadow_depth_scene")
+    if cached is not None and cached[0] == ckey:
+        depth_scene = cached[1]
+    else:
+        depth_scene = Scene(camera=light_cam, width=S, height=S)
+        depth_scene.add(merged, np.eye(4), DepthShader(),
+                        name="lightdepth")
+        scene.__dict__["_shadow_depth_scene"] = (ckey, depth_scene)
+    dp = depth_scene.passes[0]
+    d_attrs, d_unis = _pass_inputs(depth_scene, dp, np.float32,
+                                   device=True)
+
+    # pass-2 scene with a placeholder map (replaced inside the jit)
+    placeholder = scene.__dict__.get("_shadow_map_placeholder")
+    if placeholder is None or placeholder.shape != (S, S):
+        placeholder = jnp.zeros((S, S), jnp.float32)
+        scene.__dict__["_shadow_map_placeholder"] = placeholder
+    lit = shadowed_scene(scene, light_dir, placeholder, light_cam,
+                         settings)
+    p2 = []
+    for p in lit.passes:
+        attrs, uniforms = _pass_inputs(lit, p, np.float32, device=True)
+        p2.append((attrs, p.shader, uniforms,
+                   p.exclude_from_output_depth))
+    smap_keys = tuple(i for i, p in enumerate(lit.passes)
+                      if isinstance(p.shader, ShadowMappedShader))
+
+    def _plan_for(passes, width, height):
+        ntx = -(-width // rs.TILE_W)
+        nty = -(-height // rs.TILE_H)
+        n_tiles = ntx * nty
+        plan, keys = [], []
+        offset = 0
+        for attrs, shader, uniforms, exclude in passes:
+            f = attrs["position"].shape[0]
+            uniforms = dict(uniforms)
+            use_fine = rs._decide_fine(attrs, shader, uniforms,
+                                       width, height)
+            key = (f, ntx, nty)
+            if use_fine:
+                if not strict_capacity:
+                    raster_fine._resolve_pending(key, n_tiles)
+                caps = raster_fine._resolve_caps(
+                    key, attrs, uniforms, shader, width, height,
+                    rs.TILE_H, rs.TILE_W, n_tiles)
+            else:
+                if not strict_capacity:
+                    rs._resolve_pending(key, n_tiles)
+                caps = rs._resolve_caps(key, attrs, uniforms, shader,
+                                        width, height, rs.TILE_H,
+                                        rs.TILE_W, n_tiles)
+            plan.append((shader, use_fine, caps, bool(exclude), offset))
+            keys.append((key, use_fine, n_tiles))
+            offset += f
+        return tuple(plan), keys
+
+    for _attempt in range(4):
+        dplan, dkeys = _plan_for(
+            [(d_attrs, dp.shader, d_unis, False)], S, S)
+        plan, keys = _plan_for(p2, lit.width, lit.height)
+        ft, od, ovf, tot_d, tot, depth_hw = _SHADOW_FUSED_JIT(
+            d_attrs, d_unis,
+            tuple(x[0] for x in p2), tuple(dict(x[2]) for x in p2),
+            dplan, plan, S, lit.width, lit.height, interpret, smap_keys)
+
+        def _book(keys, plans, totals):
+            grown = False
+            tot_host = (np.asarray(jax.device_get(totals))
+                        if strict_capacity else None)
+            for i, ((key, use_fine, n_tiles), (sh, uf, caps, *_)) in                     enumerate(zip(keys, plans)):
+                if strict_capacity:
+                    t = tot_host[i]
+                    if use_fine:
+                        pc, rc, ac = caps
+                        pt, rt, na = (int(x) for x in t)
+                        if pt > pc or rt > rc or na > ac:
+                            raster_fine._FINE_CAPACITY[key] = (
+                                max(pc, raster_fine._quantize_soft(pt)),
+                                max(rc, raster_fine._quantize_soft(rt)),
+                                max(ac, rs._quantize_active(na, n_tiles)))
+                            grown = True
+                    else:
+                        cap, ac = caps
+                        pt, na = int(t[0]), int(t[1])
+                        if pt > cap or na > ac:
+                            rs._SPARSE_CAPACITY[key] = (
+                                max(cap, rs._quantize_soft(pt)),
+                                max(ac, rs._quantize_active(na, n_tiles)))
+                            grown = True
+                else:
+                    pending = (raster_fine._FINE_PENDING if use_fine
+                               else rs._SPARSE_PENDING)
+                    if key not in pending:
+                        tslice = totals[i] if use_fine else totals[i, :2]
+                        try:
+                            tslice.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                        pending[key] = (tslice, caps, 0)
+            return grown
+
+        grown = _book(dkeys, list(dplan), tot_d)
+        grown = _book(keys, list(plan), tot) or grown
+        if not (strict_capacity and grown):
+            break
+
+    in_excluded = lit.passes[-1].exclude_from_output_depth
+    result = _finish_device_tiles(lit, ft, od, in_excluded, ovf,
+                                  RenderStats(), {}, False, transfer)
+    shadow_map = np.asarray(depth_hw) if transfer else depth_hw
+    return result, shadow_map
+
+
 def render_with_shadows(scene: Scene, light_dir,
                         settings: ShadowSettings | None = None,
                         backend: str = "xla", frustum_cull: bool = True,
@@ -177,6 +354,11 @@ def render_with_shadows(scene: Scene, light_dir,
     """Full two-pass shadowed render.  Returns (result, shadow_map)."""
     settings = settings or ShadowSettings()
     light_cam = light_camera_for_scene(scene, light_dir, settings)
+    if (backend == "tiled" and not collect_stats
+            and all(p.mesh.nfaces > 0 for p in scene.passes)):
+        return _render_with_shadows_fused(scene, light_dir, light_cam,
+                                          settings, strict_capacity,
+                                          transfer)
     shadow_map = render_depth_from_light(scene, light_cam, settings, backend,
                                          transfer=transfer,
                                          strict_capacity=strict_capacity)
