@@ -128,3 +128,52 @@ def test_sparse_matches_dense_kernel_on_tpu(meshes):
                                   np.asarray(w_d)[act[live]])
     np.testing.assert_array_equal(np.asarray(v_s)[live],
                                   np.asarray(v_d)[act[live]])
+
+
+def test_fine_kernel_matches_coarse_on_tpu(meshes):
+    """Real Mosaic fine (strip-parallel) kernel vs the coarse sparse
+    kernel on this chip: depth, winner AND packed color bitwise — the
+    argmin-structure design of raster_fine must hold in real lowering,
+    not just interpret mode."""
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.ops import raster_fine
+    view, proj = default_view()
+    w, h = 256, 128
+    for p in _passes(meshes, view, proj):
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        ft0 = raster_sparse.new_frame_tiles(w, h)
+        ft_c, _, _ = raster_sparse.render_pass_tiles(
+            ft0, attrs, p.shader, dict(p.uniforms), w, h)
+        ft_f, _, _ = raster_fine.render_pass_fine(
+            ft0, attrs, p.shader, dict(p.uniforms), w, h)
+        for field in ("depth", "winner", "color"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ft_c, field)),
+                np.asarray(getattr(ft_f, field)))
+
+
+def test_fused_frame_matches_loop_on_tpu(meshes):
+    """The fused whole-frame program vs the per-pass loop with real
+    kernels: bitwise frames including excluded-pass depth semantics."""
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.shaders import EyeShader
+    view, proj = default_view()
+    w, h = 256, 128
+    g = make_pass(meshes["soup"], GouraudShader(), view, proj)
+    ph = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
+    e = make_pass(meshes["sphere"], EyeShader(KEY, RIM), view, proj,
+                  model_matrix=math3d.translation_matrix(0.3, 0.0, 1.2)
+                  @ math3d.scale_matrix(0.4, 0.4, 0.4))
+    passes = []
+    for p, excl in ((g, False), (ph, False), (e, True)):
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        passes.append((attrs, p.shader, dict(p.uniforms), excl))
+    ft_l, od_l, _, _ = raster_sparse.render_frame_tiles(passes, w, h)
+    ft_f, od_f, _ = raster_sparse.render_frame_fused(passes, w, h)
+    for field in ("depth", "winner", "color"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ft_l, field)),
+            np.asarray(getattr(ft_f, field)))
+    np.testing.assert_array_equal(np.asarray(od_l), np.asarray(od_f))
