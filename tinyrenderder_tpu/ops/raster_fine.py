@@ -253,6 +253,7 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
     # [8*(c%16), +8) of lane-row c//16; broadcast slot k's value to lanes
     # [16k, 16k+16)
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (dma_rows, 128), 1) // 16
+    lane16_sub = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1) // 16
 
     def expand(slot, cols):
         """Broadcast the given record columns to (len(cols), dma_rows,
@@ -262,8 +263,18 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
             idx = 8 * (c % 16) + lane16                 # static pattern
             planes_ref[n] = jnp.take_along_axis(lane_rows, idx, axis=1)
 
-    def stream(cols, process_sub):
-        """Double-buffered loop over this tile's record rows."""
+    def extract(slot, r0, c):
+        """One column's (sub, 1, 128) plane straight from the compact
+        chunk buffer — the per-sub-step (lazy) form of ``expand``."""
+        lane_rows = buf[slot, pl.ds(r0, sub), c // 16, :]
+        idx = 8 * (c % 16) + lane16_sub
+        return jnp.take_along_axis(lane_rows, idx, axis=1)[:, None, :]
+
+    def stream(cols, process_sub, lazy=False):
+        """Double-buffered loop over this tile's record rows.  With
+        ``lazy`` the columns are not pre-expanded per chunk: process_sub
+        receives the buffer slot and extracts what it needs (so a
+        winner-less sub-block skips almost all expansion work)."""
         @pl.when(n_chunks > 0)
         def _():
             get_dma(0, 0).start()
@@ -276,14 +287,15 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
                 get_dma((ci + 1) % 2, ci + 1).start()
 
             get_dma(slot, ci).wait()
-            expand(slot, cols)
+            if not lazy:
+                expand(slot, cols)
 
             def sub_body(s, _):
                 row0 = ci * dma_rows + s * sub
 
                 @pl.when(row0 < count)
                 def _():
-                    process_sub(s * sub, row0)
+                    process_sub(slot, s * sub, row0)
                 return 0
 
             jax.lax.fori_loop(0, dma_rows // sub, sub_body, 0)
@@ -301,7 +313,7 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
         return row_idx < count
 
     # ---- loop 1: depth resolve (argmin structure == coarse kernel) --------
-    def depth_sub(r0, row0):
+    def depth_sub(slot, r0, row0):
         ax, ay, bx, by, cx, cy = planes(r0, 0, 6)
         b0, b1, b2, _ = semantics.barycentric(ax, ay, bx, by, cx, cy,
                                               px, py, jnp)
@@ -352,8 +364,11 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
 
     # ---- loop 2: varying interpolation for winners ------------------------
     if n_vary:
-        def vary_sub(r0, row0):
-            ids = planes(r0, 9, 1)[0]
+        def vary_sub(slot, r0, row0):
+            # lazy: only the id column is extracted unconditionally; a
+            # winner-less sub-block (most of them on high-overdraw
+            # scenes) skips the other 9 + 3V column expansions entirely
+            ids = extract(slot, r0, COL_ID)
             mine = ((winner_ref[0][None] == ids)
                     & (ids >= 0)                      # pad != BACKGROUND
                     & live_mask(row0))
@@ -361,20 +376,22 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
 
             @pl.when(hit_any)
             def _():
-                ax, ay, bx, by, cx, cy = planes(r0, 0, 6)
+                ax, ay, bx, by, cx, cy = (extract(slot, r0, c)
+                                          for c in range(6))
                 b0, b1, b2, _ = semantics.barycentric(
                     ax, ay, bx, by, cx, cy, px, py, jnp)
-                w0, w1, w2 = planes(r0, 6, 3)
+                w0, w1, w2 = (extract(slot, r0, c) for c in (13, 14, 15))
                 pb0, pb1, pb2 = semantics.perspective_correct_bary(
                     b0, b1, b2, w0, w1, w2, jnp)
                 hit = jnp.any(mine, axis=0)
                 for c in range(n_vary):
-                    v0, v1, v2 = planes(r0, 10 + 3 * c, 3)
+                    v0, v1, v2 = (extract(slot, r0, VARY_COL + 3 * c + j)
+                                  for j in range(3))
                     val = semantics.interp3(v0, v1, v2, pb0, pb1, pb2)
                     contrib = jnp.sum(jnp.where(mine, val, 0.0), axis=0)
                     vary_ref[0, c] = jnp.where(hit, contrib, vary_ref[0, c])
 
-        stream(_loop2_cols(n_vary), vary_sub)
+        stream((), vary_sub, lazy=True)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -391,7 +408,7 @@ def _fine_call_jit(ids, row_start, rows, rec, depth_tiles,
                                tile_h=tile_h, tile_w=tile_w, n_vary=n_vary,
                                dma_rows=dma_rows, sub=sub)
 
-    n_planes = max(len(LOOP1_COLS), len(_loop2_cols(n_vary)))
+    n_planes = len(LOOP1_COLS)        # loop 2 extracts lazily from buf
     if collect_stats:
         def fine_kernel(ids_r, start_r, rows_r, origin_r, r1, init,
                         depth_o, winner_o, vary_o, ev_o, b, s, p):

@@ -341,13 +341,17 @@ def _finish_device_tiles(scene, ft, out_depth_t, in_excluded, overflow,
 
     from tinyrenderder_tpu.ops import raster_sparse
 
+    import jax as _jax
+
     width, height = scene.width, scene.height
     fb = raster_sparse.tiles_to_buffers(ft, width, height)
     if in_excluded:
-        out_fb = raster_sparse.tiles_to_buffers(
-            raster_sparse.FrameTiles(ft.color, out_depth_t, ft.winner),
-            width, height)
-        out_depth_hw = out_fb.depth
+        ntx = -(-width // raster_sparse.TILE_W)
+        nty = -(-height // raster_sparse.TILE_H)
+        out_depth_hw = raster_sparse._untile_one_jit(
+            out_depth_t, ntx, nty, raster_sparse.TILE_H,
+            raster_sparse.TILE_W,
+            _jax.default_backend() != "tpu")[:height, :width]
     else:
         out_depth_hw = fb.depth
     if transfer:
