@@ -231,3 +231,104 @@ def test_sharded_eye_pass_depth_snapshot(meshes):
     d_ao = np.abs(ao_a.astype(int) - ao_b.astype(int))
     assert d_ao.max() <= 2
     assert (d_ao > 0).mean() < 0.01
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough virtual devices")
+    return dist.make_mesh(8)
+
+
+def test_geometry_sharded_matches_unsharded(meshes, mesh8):
+    """Triangle-parallel SPMD (faces sharded, pmin/psum merge over the
+    mesh axis): depth, winner AND color bitwise vs the single-device
+    scan path — the collectives analogue of SURVEY §2's checklist."""
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.ops import raster
+    view, proj = default_view()
+    w, h = 170, 90
+    p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
+    attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+    fb0 = raster.new_framebuffers(w, h)
+    fb_ref, _ = raster.render_pass_xla(fb0, attrs, p.shader,
+                                       dict(p.uniforms))
+    fb_geo = dist.render_pass_geometry_sharded(
+        mesh8, fb0, attrs, p.shader, dict(p.uniforms))
+    np.testing.assert_array_equal(np.asarray(fb_ref.depth),
+                                  np.asarray(fb_geo.depth))
+    np.testing.assert_array_equal(np.asarray(fb_ref.winner),
+                                  np.asarray(fb_geo.winner))
+    np.testing.assert_array_equal(np.asarray(fb_ref.color),
+                                  np.asarray(fb_geo.color))
+
+
+def test_geometry_sharded_frame_with_excluded_pass(meshes, mesh8):
+    """Multi-pass geometry-parallel frame incl. the z-snapshot/restore
+    semantics (main.cpp:700,730) vs the single-device loop."""
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu import math3d
+    from tinyrenderder_tpu.ops import raster
+    from tinyrenderder_tpu.shaders import EyeShader
+    view, proj = default_view()
+    w, h = 170, 90
+    g = make_pass(meshes["soup"], GouraudShader(), view, proj)
+    e = make_pass(meshes["sphere"], EyeShader(KEY, RIM), view, proj,
+                  model_matrix=math3d.translation_matrix(0.3, 0.0, 1.2)
+                  @ math3d.scale_matrix(0.4, 0.4, 0.4))
+    ph = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
+    passes = []
+    for p, excl in ((g, False), (ph, False), (e, True)):
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        passes.append((attrs, p.shader, dict(p.uniforms), excl))
+
+    fb_geo, od_geo = dist.render_frame_geometry_sharded(mesh8, passes, w, h)
+
+    fb = raster.new_framebuffers(w, h)
+    snapshot = None
+    offset = 0
+    for attrs, shader, uniforms, excl in passes:
+        if excl and snapshot is None:
+            snapshot = fb.depth
+        elif not excl and snapshot is not None:
+            fb = raster.FrameBuffers(color=fb.color, depth=snapshot,
+                                     winner=fb.winner)
+            snapshot = None
+        fb, _ = raster.render_pass_xla(fb, attrs, shader, uniforms,
+                                       winner_offset=offset)
+        offset += attrs["position"].shape[0]
+    out_depth = snapshot if snapshot is not None else fb.depth
+
+    np.testing.assert_array_equal(np.asarray(fb.depth),
+                                  np.asarray(fb_geo.depth))
+    np.testing.assert_array_equal(np.asarray(fb.winner),
+                                  np.asarray(fb_geo.winner))
+    np.testing.assert_array_equal(np.asarray(fb.color),
+                                  np.asarray(fb_geo.color))
+    np.testing.assert_array_equal(np.asarray(out_depth),
+                                  np.asarray(od_geo))
+
+
+def test_scene_backend_sharded_geometry(meshes):
+    """Scene.render(backend='sharded-geometry') matches the xla backend
+    (coverage/winner bitwise via color equality on this scene)."""
+    from tinyrenderder_tpu import math3d
+    from tinyrenderder_tpu.camera import Camera
+    from tinyrenderder_tpu.scene import Scene
+
+    cam = Camera()
+    cam.set_eye(math3d.vec3(0, 0.5, 3))
+    cam.set_target(math3d.vec3(0, 0, 0))
+    cam.set_fov(60.0)
+    cam.set_aspect(96 / 64)
+    cam.set_clipping(0.1, 50.0)
+    sc = Scene(camera=cam, width=96, height=64)
+    sc.add(meshes["head"], np.eye(4), PhongShader(KEY, FILL, RIM),
+           name="head")
+    r_x = sc.render(backend="xla")
+    r_g = sc.render(backend="sharded-geometry")
+    np.testing.assert_array_equal(r_x.color, r_g.color)
+    np.testing.assert_array_equal(np.asarray(r_x.full_depth),
+                                  np.asarray(r_g.full_depth))

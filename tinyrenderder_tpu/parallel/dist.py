@@ -34,6 +34,7 @@ from tinyrenderder_tpu.ops import raster, semantics
 from tinyrenderder_tpu.ops.raster import FrameBuffers
 
 __all__ = ["make_mesh", "render_pass_sharded", "render_frame_sharded",
+           "render_pass_geometry_sharded", "render_frame_geometry_sharded",
            "new_sharded_framebuffers", "AXIS"]
 
 AXIS = "rows"
@@ -198,6 +199,127 @@ def render_frame_sharded(mesh: Mesh, passes, width: int, height: int,
         out_depth = snapshot_depth if in_excluded else fb.depth
         return fb, out_depth
     return fb
+
+
+
+# ---------------------------------------------------------------------------
+# Geometry (triangle) parallelism: the collectives-based SPMD analogue
+# ---------------------------------------------------------------------------
+
+def _geometry_pass_fn(mesh: Mesh, shader, width: int, height: int,
+                      chunk: int, f_shard: int):
+    """SPMD triangle parallelism (SURVEY.md §2 parallelism checklist):
+    the face arrays are sharded over the mesh in contiguous submission-
+    order blocks, every device rasterizes its block over the FULL frame,
+    and the per-device results merge with XLA collectives over ICI:
+
+      * depth: ``lax.pmin`` — all-reduce-min of the per-device z-buffers.
+      * winner: min global triangle id among devices achieving the
+        merged z (the reference's strict-less first-drawn-wins tie rule
+        our_gl.cpp:165 IS min-id-at-min-z, since submission order is id
+        order).
+      * color: each device shades only pixels its triangle won; an
+        exactly-one-contributor ``lax.psum`` assembles the frame.
+
+    Complements the zero-collective pixel-ownership sharding
+    (_sharded_pass_fn): that path scales per-pixel work, this one scales
+    per-triangle work for high-poly/small-frame regimes — together they
+    are the renderer's data/tensor-parallel pair.  Bitwise-identical to
+    the single-device scan path (tests/test_parallel.py)."""
+    vp = math3d.viewport(0, 0, width, height)
+    BIG = jnp.int32(1 << 30)
+
+    def shard_body(fb: FrameBuffers, attrs_shard, uniforms, winner_offset):
+        base = jax.lax.axis_index(AXIS) * f_shard
+        dtype = attrs_shard["position"].dtype
+        clip, varyings = shader.vertex(uniforms, attrs_shard, jnp)
+        setup = semantics.triangle_setup_planes(
+            clip, jnp.asarray(vp, dtype=dtype), width, height, jnp)
+        init_winner = jax.lax.pcast(
+            jnp.full((height, width), raster.BACKGROUND, jnp.int32),
+            AXIS, to="varying")
+        init_depth = jax.lax.pcast(fb.depth, AXIS, to="varying")
+        depth_l, winner_l = raster.depth_resolve_xla(
+            setup, height, width, chunk=chunk, init_depth=init_depth,
+            init_winner=init_winner)
+        # ---- ICI merge ----
+        zmin = jax.lax.pmin(depth_l, AXIS)
+        cand = jnp.where((winner_l >= 0) & (depth_l == zmin),
+                         winner_l + base, BIG)
+        gwin = jax.lax.pmin(cand, AXIS)
+        drawn = gwin < BIG
+        new_winner = jnp.where(drawn, gwin + winner_offset, fb.winner)
+        if shader.writes_color:
+            mine = drawn & (cand == gwin)      # this device owns the pixel
+            color_l = raster.shade_winners(
+                fb.color, jnp.where(mine, winner_l, raster.BACKGROUND),
+                setup, varyings, shader, uniforms, height, width)
+            col = jax.lax.psum(
+                jnp.where(mine[..., None], color_l.astype(jnp.int32), 0),
+                AXIS).astype(jnp.uint8)
+            any_mine = jax.lax.psum(mine.astype(jnp.int32), AXIS) > 0
+            color = jnp.where(any_mine[..., None], col, fb.color)
+        else:
+            color = fb.color
+        return FrameBuffers(color=color, depth=zmin, winner=new_winner)
+
+    attrs_spec = P(AXIS)                        # faces sharded, axis 0
+    fb_spec = FrameBuffers(color=P(), depth=P(), winner=P())
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(fb_spec, attrs_spec, P(), P()),
+        out_specs=fb_spec)
+    return jax.jit(mapped)
+
+
+def render_pass_geometry_sharded(mesh: Mesh, fb: FrameBuffers, attrs: dict,
+                                 shader, uniforms: dict,
+                                 winner_offset: int = 0,
+                                 chunk: int = 8) -> FrameBuffers:
+    """One pass with triangles sharded over the mesh (see
+    _geometry_pass_fn).  The framebuffer is replicated; face arrays are
+    padded to a device multiple with degenerate (w=0, auto-rejected)
+    triangles so contiguous blocks preserve submission order."""
+    n = mesh.devices.size
+    f = attrs["position"].shape[0]
+    f_shard = -(-max(f, 1) // n)
+    pad = f_shard * n - f
+    if pad:
+        attrs = {k: jnp.concatenate(
+            [jnp.asarray(v),
+             jnp.zeros((pad,) + tuple(v.shape[1:]), v.dtype)], axis=0)
+            for k, v in attrs.items()}
+    fn = _geometry_pass_fn(mesh, shader, width=fb.width, height=fb.height,
+                           chunk=chunk, f_shard=f_shard)
+    return fn(fb, attrs, uniforms, jnp.int32(winner_offset))
+
+
+def render_frame_geometry_sharded(mesh: Mesh, passes, width: int,
+                                  height: int, chunk: int = 8):
+    """Multi-pass frame with geometry parallelism (incl. the z-snapshot
+    semantics around excluded passes, main.cpp:700,730).  Returns
+    (fb, output_depth)."""
+    fb = raster.new_framebuffers(width, height)
+    offset = 0
+    snapshot_depth = None
+    in_excluded = False
+    for item in passes:
+        attrs, shader, uniforms, *rest = item
+        exclude = bool(rest[0]) if rest else False
+        if exclude:
+            if not in_excluded:
+                snapshot_depth = fb.depth
+                in_excluded = True
+        elif in_excluded:
+            fb = FrameBuffers(color=fb.color, depth=snapshot_depth,
+                              winner=fb.winner)
+            in_excluded = False
+        fb = render_pass_geometry_sharded(mesh, fb, attrs, shader,
+                                          uniforms, winner_offset=offset,
+                                          chunk=chunk)
+        offset += attrs["position"].shape[0]
+    out_depth = snapshot_depth if in_excluded else fb.depth
+    return fb, out_depth
 
 
 # ---------------------------------------------------------------------------

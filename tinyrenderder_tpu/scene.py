@@ -178,13 +178,20 @@ def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
     if backend == "sharded":
         return _render_sharded(scene, visible, dtype, stats, timings,
                                transfer, collect_stats)
+    if backend == "sharded-geometry":
+        return _render_sharded(scene, visible, dtype, stats, timings,
+                               transfer, collect_stats, geometry=True)
     raise ValueError(f"unknown backend: {backend}")
 
 
 def _render_sharded(scene, visible, dtype, stats, timings,
-                    transfer=True, collect_stats=True) -> RenderResult:
+                    transfer=True, collect_stats=True,
+                    geometry=False) -> RenderResult:
     """Framebuffer row-sharded across every available device (the
     multi-chip production path; on one device it degenerates to tiled).
+    ``geometry=True`` shards triangles instead of pixels and merges with
+    pmin/psum collectives (backend "sharded-geometry" — the high-poly/
+    small-frame scaling axis).
 
     Same semantics as the single-device backends, including the
     z-snapshot/restore around exclude_from_output_depth passes
@@ -198,8 +205,13 @@ def _render_sharded(scene, visible, dtype, stats, timings,
         attrs, uniforms = _pass_inputs(scene, p, dtype, device=True)
         passes.append((attrs, p.shader, uniforms, p.exclude_from_output_depth))
     t0 = time.perf_counter()
-    fb, out_depth = dist.render_frame_sharded(
-        mesh, passes, scene.width, scene.height, return_output_depth=True)
+    if geometry:
+        fb, out_depth = dist.render_frame_geometry_sharded(
+            mesh, passes, scene.width, scene.height)
+    else:
+        fb, out_depth = dist.render_frame_sharded(
+            mesh, passes, scene.width, scene.height,
+            return_output_depth=True)
     if collect_stats:
         fb.color.block_until_ready()
         timings["frame"] = time.perf_counter() - t0
