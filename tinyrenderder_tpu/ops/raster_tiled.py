@@ -239,13 +239,16 @@ def bin_triangles_csr(setup, width: int, height: int,
 
 
 def _quantize_soft(n: int) -> int:
-    """25% headroom on an eighth-pow2 grain: pre-stage cost scales with
-    capacity, so the pow2 grain's up-to-2x inflation is worth trading
-    for a few more (cheap, XLA-only) compile variants.  Pallas kernels
-    never see these sizes — record arrays are padded to _next_pow2
-    separately so Mosaic still compiles per octave."""
-    want = n + n // 4
-    grain = max(256, _next_pow2(want) // 8)
+    """12.5% headroom on a sixteenth-pow2 grain: every pre-stage op
+    (sort, gathers, scatter, records) scales with capacity, so the pow2
+    grain's up-to-2x inflation is worth trading for more (cheap,
+    XLA-only) compile variants — measured ~25% of stress-scene pre time.
+    Pallas kernels never see these sizes — record arrays are padded to
+    _next_pow2 separately so Mosaic still compiles per octave.  Growth
+    on overflow lands on the next grain step, so drifting scenes step at
+    most 16 times per octave."""
+    want = n + n // 8
+    grain = max(256, _next_pow2(want) // 16)
     return max(256, _cdiv(want, grain) * grain)
 
 
