@@ -117,8 +117,11 @@ def run(argv=None) -> int:
                         help="head model path override (reference argv[1])")
     parser.add_argument("--width", type=int, default=WIDTH)
     parser.add_argument("--height", type=int, default=HEIGHT)
-    parser.add_argument("--backend", default="xla",
-                        choices=["xla", "tiled", "oracle", "sharded"])
+    parser.add_argument("--backend", default=None,
+                        choices=["xla", "tiled", "oracle", "sharded",
+                                 "sharded-geometry"],
+                        help="default: tiled (the production sparse/"
+                             "Pallas pipeline) on TPU, xla elsewhere")
     parser.add_argument("--outdir", default=".")
     parser.add_argument("--no-cull", action="store_true",
                         help="disable per-model frustum culling")
@@ -133,6 +136,10 @@ def run(argv=None) -> int:
                         help="dump a jax.profiler trace to <outdir>/trace")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
+    if args.backend is None:
+        import jax
+        args.backend = ("tiled" if jax.default_backend() == "tpu"
+                        else "xla")
 
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
@@ -183,7 +190,7 @@ def run(argv=None) -> int:
             os.path.join(outdir, "phong.tga"))
         log.info("Saved: phong.tga")
 
-    if args.backend in ("xla", "tiled", "sharded") and not args.no_ssao:
+    if args.backend != "oracle" and not args.no_ssao:
         # one fused device dispatch for z-viz + SSAO + composite
         zimg_d, ao_d, final_d = post.postprocess_device(
             result.color, np.asarray(result.depth, dtype=np.float32))
