@@ -233,3 +233,32 @@ def test_fused_frame_matches_loop(meshes):
     np.testing.assert_array_equal(np.asarray(od_l), np.asarray(od_f))
     # excluded pass depth differs from the full frame depth
     assert (np.asarray(od_f) != np.asarray(ft_f.depth)).any()
+
+
+def test_dispatch_rejects_over_limit_varyings(meshes):
+    """A shader with more varying channels than the fine record layout
+    holds must route to the coarse kernel, not raise."""
+    import jax.numpy as jnp
+
+    class WideShader(PhongShader):
+        name = "wide"
+        varying_spec = {"uv": 2, "position_eye": 3, "normal_eye": 3,
+                        "extra": 3 * raster_fine.MAX_VARY}
+
+        def vertex(self, u, attrs, xp):
+            clip, vary = super().vertex(u, attrs, xp)
+            vary["extra"] = xp.concatenate(
+                [attrs["position"]] * raster_fine.MAX_VARY, axis=-1)
+            return clip, vary
+
+        def fragment(self, u, vary, xp):
+            rgb = super().fragment(
+                u, {k: vary[k] for k in
+                    ("uv", "position_eye", "normal_eye")}, xp)
+            return rgb + 0.0 * vary["extra"][..., :3]
+
+    view, proj = default_view()
+    p = make_pass(meshes["head"], WideShader(KEY, FILL, RIM), view, proj)
+    attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+    assert not raster_sparse._decide_fine(
+        attrs, p.shader, dict(p.uniforms), 170, 90)

@@ -522,6 +522,7 @@ def _decide_fine(attrs, shader, uniforms, width, height,
     use_fine = _FINE_DECISION.get(dkey)
     if use_fine is None:
         if (not shader.writes_color or f < 512
+                or n_vary > raster_fine.MAX_VARY
                 or tile_w != TILE_W
                 or jax.default_backend() != "tpu"):
             use_fine = False
