@@ -1,5 +1,12 @@
-"""Strip-parallel depth resolve — production form of the validated
-prototype (scripts/experimental_fine_raster.py).
+"""Strip-parallel depth resolve (round-1 form) — SUPERSEDED by
+ops/raster_fine.py, the round-2 production strip kernel (compact
+slot-minor records, in-kernel static lane broadcast, bitwise winner
+parity, auto-dispatched).  This module is kept as the round-1 design
+record and for its opt-in depth-only path (raster_tiled.USE_STRIP_DEPTH,
+default off); new work should target raster_fine.
+
+Original description — production form of the validated prototype
+(scripts/experimental_fine_raster.py).
 
 Each (8, 128) framebuffer tile is split into 8 strips of (8, 16); one
 streamed record row carries EIGHT (strip, triangle) pairs interleaved in
