@@ -23,15 +23,18 @@ processed in submission order and the intra-chunk prefix respects slot
 order.  Validated against the production sort-based chain.
 
 STATUS (round 2, real v5e): CORRECTNESS PROVEN — strips and ranks exact
-vs the sort-based reference on clustered synthetic data; 1.88 ms for
-60k triangles (240k slots, 469 chunks ≈ 4 us/chunk).  Scaled to the
-stress scene (246k triangles -> ~1.9k chunks) that projects to ~7.5 ms
-vs ~10 ms for the XLA chain it would replace — NET only ~2-3 ms,
-because S_CAP=4 slot padding makes ~70% of slots dead (avg span 1.2)
-and the (N, N) intra-chunk prefix + per-chunk overhead dominate.
-Round-3 integration needs one of: in-kernel slot compaction, a
-two-wave S_CAP=1/2 split (order-preserving), or sub-chunked prefix
-blocks to cut the N^2 term before this beats the sort.
+vs the sort-based reference on clustered synthetic data; 1.55-1.88 ms
+for 60k triangles (240k slots), and NEARLY FLAT in CHUNK (64/128/256
+all ~1.6 ms), so the (N, N) intra-chunk prefix is NOT the bottleneck —
+the kernel is overhead/bandwidth-bound.  Scaled to the stress scene
+(246k triangles) that projects to ~6.5 ms vs ~10 ms for the XLA chain
+it would replace: NET ~3.5 ms (stress ~33 -> ~29.5 ms, ~+4 Mpix/s).
+S_CAP=4 slot padding (~70% dead slots at avg span 1.2) is the
+remaining waste; an order-preserving fix was not found in round 2
+(virtual-triangle splitting rebuilds the expansion chain it replaces).
+Round-3 integration checklist: wire kernel outputs into
+_pre_fine_jit's dst computation, keep the strict/async capacity
+machinery, parity-gate bitwise vs the sort path.
 
 Usage: python scripts/experimental_rank_kernel.py [interpret]
 """
