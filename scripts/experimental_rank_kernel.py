@@ -28,13 +28,17 @@ for 60k triangles (240k slots), and NEARLY FLAT in CHUNK (64/128/256
 all ~1.6 ms), so the (N, N) intra-chunk prefix is NOT the bottleneck —
 the kernel is overhead/bandwidth-bound.  Scaled to the stress scene
 (246k triangles) that projects to ~6.5 ms vs ~10 ms for the XLA chain
-it would replace: NET ~3.5 ms (stress ~33 -> ~29.5 ms, ~+4 Mpix/s).
-S_CAP=4 slot padding (~70% dead slots at avg span 1.2) is the
-remaining waste; an order-preserving fix was not found in round 2
-(virtual-triangle splitting rebuilds the expansion chain it replaces).
-Round-3 integration checklist: wire kernel outputs into
-_pre_fine_jit's dst computation, keep the strict/async capacity
-machinery, parity-gate bitwise vs the sort path.
+it would replace.  CAVEAT discovered while planning integration: the
+downstream dst computation (row_start lookup + scatter) currently runs
+on the 245k-pair stream; kernel outputs are SLOT-indexed (f*S_CAP =
+984k, ~70% dead at avg span 1.2), so the dst gather would inflate 4x
+(~+7 ms) unless dst is also computed in-kernel (a second pass with a
+factorized row_start lookup — ~+3 ms).  As-is the full replacement is
+roughly a WASH; the net win only materializes after the dead-slot
+padding is solved, and no order-preserving compaction was found in
+round 2 (virtual-triangle splitting rebuilds the very expansion chain
+it replaces).  Round 3 should treat this as a validated mechanism
+looking for a better slot layout, not a ready drop-in.
 
 Usage: python scripts/experimental_rank_kernel.py [interpret]
 """
