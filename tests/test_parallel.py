@@ -332,3 +332,122 @@ def test_scene_backend_sharded_geometry(meshes):
     np.testing.assert_array_equal(r_x.color, r_g.color)
     np.testing.assert_array_equal(np.asarray(r_x.full_depth),
                                   np.asarray(r_g.full_depth))
+
+
+# ---------------------------------------------------------------------------
+# PRODUCTION sharded path: the fused sparse/fine frame under shard_map
+# (round-3 verdict item #1 — the fast path and the scaled path are the
+# same path)
+# ---------------------------------------------------------------------------
+
+def _fused_passes(meshes, view, proj):
+    ps = [
+        make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj),
+        make_pass(meshes["plane"], TexturedShader(), view, proj),
+        make_pass(meshes["soup"], GouraudShader(), view, proj),
+    ]
+    import jax.numpy as jnp
+    return [({k: jnp.asarray(v) for k, v in p.attrs.items()},
+             p.shader, p.uniforms, i == 1)      # middle pass excluded
+            for i, p in enumerate(ps)]
+
+
+@pytest.mark.parametrize("kernel", ["coarse", "fine"])
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_fused_sharded_bitwise_vs_single(meshes, n_devices, kernel):
+    """render_frame_fused_sharded (the production sparse/fine pipeline
+    over row bands) is BITWISE identical to the single-device fused
+    frame — color, depth, winner, and excluded-pass output depth —
+    for both the coarse and the fine kernel."""
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough virtual devices")
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    w, h = 128, 16 * 8 * 2          # two tile rows per band at n=8
+    view, proj = default_view()
+    passes = _fused_passes(meshes, view, proj)
+    saved = raster_sparse.FINE_MODE
+    raster_sparse.FINE_MODE = kernel
+    raster_sparse._FINE_DECISION.clear()
+    try:
+        ft1, od1, _ = raster_sparse.render_frame_fused(passes, w, h)
+        fb1 = raster_sparse.tiles_to_buffers(ft1, w, h)
+        mesh = dist.make_mesh(n_devices)
+        ft2, od2, _ = dist.render_frame_fused_sharded(mesh, passes, w, h)
+        fb2 = dist.tiles_to_buffers_sharded(mesh, ft2, w, h)
+        od2_hw = dist.untile_one_sharded(mesh, od2, w, h)
+    finally:
+        raster_sparse.FINE_MODE = saved
+        raster_sparse._FINE_DECISION.clear()
+
+    assert (np.asarray(fb1.winner) == np.asarray(fb2.winner)).all()
+    assert np.array_equal(np.asarray(fb1.depth), np.asarray(fb2.depth),
+                          equal_nan=True)
+    assert (np.asarray(fb1.color) == np.asarray(fb2.color)).all()
+    assert np.array_equal(np.asarray(od1), np.asarray(od2),
+                          equal_nan=True)
+    assert od2_hw.shape == (h, w)
+    # really distributed: one band shard per device
+    shards = {s.device for s in ft2.color.addressable_shards}
+    assert len(shards) == n_devices
+
+
+def test_fused_sharded_async_capacity(meshes):
+    """Async mode: no strict sync, capacities refine to band-local sizes
+    next frame, output stays bitwise-exact across frames."""
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    w, h = 128, 16 * 8
+    view, proj = default_view()
+    passes = _fused_passes(meshes, view, proj)
+    mesh = dist.make_mesh(8)
+    ref_ft, _, _ = raster_sparse.render_frame_fused(passes, w, h)
+    ref = np.asarray(raster_sparse.tiles_to_buffers(ref_ft, w, h).color)
+    for _ in range(3):
+        ft, _, ovf = dist.render_frame_fused_sharded(
+            mesh, passes, w, h, strict_capacity=False)
+        got = np.asarray(dist.tiles_to_buffers_sharded(
+            mesh, ft, w, h).color)
+        assert (got == ref).all()
+        assert not np.asarray(ovf).any()
+    # the refinement shrank at least one pass's caps from the
+    # full-screen seed to band-local sizes
+    skeys = [k for k in dist._SHARD_FUSED_CAPS if k[3] == 8]
+    assert skeys and any(k in dist._SHARD_FUSED_REFINED for k in skeys)
+
+
+def test_scene_backend_sharded_fused_route(meshes):
+    """Scene.render(backend='sharded') with a tile-aligned height routes
+    through the production fused path and matches the tiled backend
+    bitwise (both run the same sparse/fine pipeline)."""
+    from tinyrenderder_tpu import math3d, scene as scene_mod
+    from tinyrenderder_tpu.camera import Camera
+    from tinyrenderder_tpu.scene import Scene
+
+    cam = Camera()
+    cam.set_eye(math3d.vec3(0, 0.5, 3))
+    cam.set_target(math3d.vec3(0, 0, 0))
+    cam.set_fov(60.0)
+    cam.set_aspect(1.0)
+    cam.set_clipping(0.1, 50.0)
+
+    def build():
+        s = Scene(camera=cam, width=128, height=128)
+        s.add(meshes["head"], math3d.identity4(),
+              PhongShader(KEY, FILL, RIM), name="head")
+        s.add(meshes["plane"], math3d.identity4(), TexturedShader(),
+              name="plane")
+        return s
+
+    saved = scene_mod.FORCE_TILES_LOOP
+    scene_mod.FORCE_TILES_LOOP = True     # tiled backend off-TPU
+    try:
+        a = build().render(backend="tiled", frustum_cull=False,
+                           collect_stats=False)
+    finally:
+        scene_mod.FORCE_TILES_LOOP = saved
+    b = build().render(backend="sharded", frustum_cull=False,
+                       collect_stats=False)
+    assert (np.asarray(a.color) == np.asarray(b.color)).all()
+    assert np.array_equal(np.asarray(a.full_depth),
+                          np.asarray(b.full_depth), equal_nan=True)

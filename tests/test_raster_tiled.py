@@ -249,40 +249,3 @@ def test_async_capacity_grows_after_overflow(meshes):
     assert raster_sparse._SPARSE_CAPACITY[key][0] > 16
     assert (np.asarray(fb2.color) == np.asarray(fb_ref.color)).all()
     assert (np.asarray(fb2.winner) == np.asarray(fb_ref.winner)).all()
-
-
-def test_strip_depth_resolve_matches_tiled(meshes):
-    """The strip-parallel depth kernel (interpret mode) vs the tiled
-    resolve: identical coverage, depth within ulps; winners may differ
-    only at shared-edge z ties (see raster_strips exactness contract)."""
-    import jax.numpy as jnp
-
-    from tinyrenderder_tpu.ops import raster, raster_strips, raster_tiled
-
-    view, proj = default_view()
-    w, h = 97, 61
-    fb = raster.new_framebuffers(w, h)
-    for p in _passes(meshes, view, proj):
-        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
-        setup, _ = raster_tiled._vertex_setup_jit(
-            attrs, dict(p.uniforms), p.shader, w, h)
-        bins = raster_tiled.bin_triangles_csr(setup, w, h)
-        d1, w1 = raster_tiled.depth_resolve_tiled(setup, bins, fb.depth, h, w)
-        d2, w2 = raster_strips.depth_resolve_strips(
-            setup, fb.depth, h, w, interpret=True)
-        d1n, d2n = np.asarray(d1), np.asarray(d2)
-        assert (np.isfinite(d1n) == np.isfinite(d2n)).all()
-        both = np.isfinite(d1n)
-        if both.any():
-            ulps = np.abs(d1n[both].view(np.int32).astype(np.int64)
-                          - d2n[both].view(np.int32).astype(np.int64))
-            assert ulps.max() <= 4
-        # winner flips are only allowed where depths are a near-tie
-        diff = (np.asarray(w1) != np.asarray(w2)) & both
-        if diff.any():
-            tie_ulps = np.abs(
-                d1n[diff].view(np.int32).astype(np.int64)
-                - d2n[diff].view(np.int32).astype(np.int64))
-            assert tie_ulps.max() <= 2, "non-tie winner mismatch"
-            assert diff.sum() <= 0.01 * both.sum()
-        fb = raster.FrameBuffers(color=fb.color, depth=d1, winner=fb.winner)

@@ -89,11 +89,15 @@ def test_stats_against_oracle():
     assert r_o.stats.triangles_rasterized == r_x.stats.triangles_rasterized
     assert (r_o.stats.min_x, r_o.stats.min_y, r_o.stats.max_x, r_o.stats.max_y) == \
            (r_x.stats.min_x, r_x.stats.min_y, r_x.stats.max_x, r_x.stats.max_y)
-    # winner-pixel count == final covered pixels
-    assert r_x.stats.fragments_drawn == np.isfinite(r_x.full_depth).sum()
+    # the scan backend's counters are EXACT (overdraw-inclusive z-pass
+    # events via raster.pass_events_xla — round-3 verdict item #4)
+    assert r_x.stats.fragments_exact
+    assert r_x.stats.fragments_drawn == r_o.stats.fragments_drawn
+    assert r_x.stats.fragments_drawn >= np.isfinite(r_x.full_depth).sum()
     assert np.isclose(r_o.stats.min_z, r_x.stats.min_z, atol=1e-5)
+    assert np.isclose(r_o.stats.max_z, r_x.stats.max_z, atol=1e-5)
     desc = r_x.stats.describe()
-    assert "triangles=" in desc and "winners only" in desc
+    assert "triangles=" in desc and "winners only" not in desc
 
 
 def test_cli_end_to_end(tmp_path):

@@ -159,6 +159,99 @@ def depth_resolve_xla(setup: dict, height: int, width: int, chunk: int = 8,
     return depth, winner
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "chunk"))
+def pass_events_xla(setup: dict, init_depth, height: int, width: int,
+                    chunk: int = 8):
+    """EXACT per-pass event counters for the scan path, matching the
+    reference's our_gl.cpp:194-200 semantics and the Pallas kernels'
+    event planes (raster_pallas._tile_kernel ev_ref): ``frags`` counts
+    z-pass EVENTS in submission order (overdraw included — a pixel drawn
+    then overdrawn counts twice), ``max_z`` is the max z over events,
+    ``min_z`` the min over pixels this pass finally won (events at a
+    pixel strictly decrease, so the min event = resolved depth).
+
+    Runs as a SEPARATE scan from depth_resolve_xla for the same reason
+    the kernels use a separate stats launch: fusing the event prefix-min
+    into the frame's resolve could perturb XLA's FMA grouping of
+    affine_z by 1 ulp (e35d513).  Returns (depth, winner, frags, min_z,
+    max_z); depth/winner equal depth_resolve_xla's on every backend
+    tested, but callers should keep using the frame path's outputs for
+    the frame.
+    """
+    f = setup["valid"].shape[0]
+    dtype = setup["screen"].dtype
+    if f == 0:
+        return (init_depth,
+                jnp.full((height, width), BACKGROUND, jnp.int32),
+                jnp.float32(0), jnp.float32(jnp.inf),
+                jnp.float32(-jnp.inf))
+
+    ids = jnp.arange(f, dtype=jnp.int32)
+    nchunk = -(-f // chunk)
+    ids_c = _pad_to_multiple(ids, chunk).reshape(nchunk, chunk)
+    valid_c = _pad_to_multiple(setup["valid"], chunk).reshape(nchunk, chunk)
+    screen_c = _pad_to_multiple(setup["screen"].astype(dtype),
+                                chunk).reshape(nchunk, chunk, 3, 2)
+    z_c = _pad_to_multiple(setup["ndc_z"].astype(dtype),
+                           chunk).reshape(nchunk, chunk, 3)
+    bbox_c = _pad_to_multiple(setup["bbox"], chunk).reshape(nchunk, chunk, 4)
+
+    xi = jnp.arange(width, dtype=jnp.int32)[None, None, :]
+    yi = jnp.arange(height, dtype=jnp.int32)[None, :, None]
+    half = jnp.asarray(0.5, dtype=dtype)
+    px = xi.astype(dtype) + half
+    py = yi.astype(dtype) + half
+
+    def step(carry, data):
+        zbuf, idbuf, frags, max_z = carry
+        c_ids, c_valid, c_screen, c_z, c_bbox = data
+
+        def tcoord(k, a):
+            return c_screen[:, k, a][:, None, None]
+
+        b0, b1, b2, _ = semantics.barycentric(
+            tcoord(0, 0), tcoord(0, 1), tcoord(1, 0), tcoord(1, 1),
+            tcoord(2, 0), tcoord(2, 1), px, py, jnp)
+        covered = semantics.coverage_mask(b0, b1, b2)
+        z = semantics.affine_z(c_z[:, 0, None, None], c_z[:, 1, None, None],
+                               c_z[:, 2, None, None], b0, b1, b2)
+        covered &= jnp.isfinite(z)
+        covered &= ((xi >= c_bbox[:, 0, None, None])
+                    & (xi <= c_bbox[:, 1, None, None])
+                    & (yi >= c_bbox[:, 2, None, None])
+                    & (yi <= c_bbox[:, 3, None, None]))
+        covered &= c_valid[:, None, None]
+        zc = jnp.where(covered, z, jnp.inf)
+
+        # exact sequential z-test events within the chunk: event k fires
+        # iff zc[k] < min(carry depth, zc[0..k-1])
+        incl = jax.lax.cummin(zc, axis=0)
+        excl = jnp.concatenate(
+            [jnp.full((1, height, width), jnp.inf, zc.dtype), incl[:-1]],
+            axis=0)
+        thresh = jnp.minimum(excl, zbuf[None])
+        events = zc < thresh
+        frags = frags + jnp.sum(events.astype(jnp.float32))
+        max_z = jnp.maximum(
+            max_z, jnp.max(jnp.where(events, zc, -jnp.inf)))
+
+        best = jnp.argmin(zc, axis=0)
+        zmin = jnp.take_along_axis(zc, best[None], axis=0)[0]
+        win_id = c_ids[best]
+        better = zmin < zbuf
+        zbuf = jnp.where(better, zmin, zbuf)
+        idbuf = jnp.where(better, win_id, idbuf)
+        return (zbuf, idbuf, frags, max_z), None
+
+    init_winner = jnp.full((height, width), BACKGROUND, jnp.int32)
+    (depth, winner, frags, max_z), _ = jax.lax.scan(
+        step, (init_depth.astype(dtype), init_winner,
+               jnp.float32(0), jnp.float32(-jnp.inf)),
+        (ids_c, valid_c, screen_c, z_c, bbox_c))
+    min_z = jnp.min(jnp.where(winner >= 0, depth, jnp.inf))
+    return depth, winner, frags, min_z, max_z
+
+
 def shade_winners(fb_color, winner_local, setup, varyings,
                   shader, uniforms, height: int, width: int, x0=0, y0=0):
     """Phase B: evaluate the fragment shader once per winning pixel.

@@ -106,30 +106,37 @@ def _loop2_cols(n_vary):
 
 @functools.partial(jax.jit, static_argnames=(
     "shader", "width", "height", "pair_cap", "row_cap", "rec_cap", "a_cap",
-    "tile_h", "tile_w"))
+    "tile_h", "tile_w", "nty_band"))
 def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
-                  row_cap, rec_cap, a_cap, tile_h, tile_w):
+                  row_cap, rec_cap, a_cap, tile_h, tile_w, ty_lo=None,
+                  nty_band=None):
     """Fused pre-stage: vertex transform, setup, strip binning, slot
     interleave, record build, active-tile compaction — one dispatch.
 
     ``row_cap`` (fine-grained) bounds the computed rows; ``rec_cap``
     (pow2, >= row_cap) is the kernel-visible record array size so Mosaic
-    recompiles only per octave."""
+    recompiles only per octave.
+
+    ``ty_lo`` (traced tile-row offset) + ``nty_band`` (static tile-row
+    count) restrict strip binning to a horizontal screen band for the
+    sharded production path (parallel/dist.py); tile/strip ids are then
+    band-local (pair with an ``origin`` on the kernel call)."""
     dtype = attrs["position"].dtype
     clip, varyings = shader.vertex(uniforms, attrs, jnp)
     vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
     setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
     f = max(setup["valid"].shape[0], 1)
     ntx = _cdiv(width, tile_w)
-    nty = _cdiv(height, tile_h)
+    nty = nty_band if nty_band is not None else _cdiv(height, tile_h)
     n_tiles = ntx * nty
     nsx = ntx * STRIPS
     n_strips = nsx * nty
+    ty_hi = None if ty_lo is None else ty_lo + (nty - 1)
 
     # strip-granularity bins; strip id = 8*tile + k (tile tx's strips are
     # columns tx*8..tx*8+7 of the strip grid)
     tx0, ty0, span_x, spans, pair_total = _tile_spans(
-        setup, STRIP_W, tile_h)
+        setup, STRIP_W, tile_h, ty_lo, ty_hi)
     sorted_tri, start, counts, sorted_key = _build_bins(
         tx0, ty0, span_x, spans, pair_cap, nsx, nty, return_keys=True)
     counts_t = counts.reshape(n_tiles, STRIPS)

@@ -225,23 +225,32 @@ def tiles_to_buffers(ft: FrameTiles, width: int, height: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "shader", "width", "height", "capacity", "rec_cap", "a_cap",
-    "tile_h", "tile_w"))
+    "tile_h", "tile_w", "nty_band"))
 def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
-                    a_cap, tile_h, tile_w, rec_cap=None):
+                    a_cap, tile_h, tile_w, rec_cap=None, ty_lo=None,
+                    nty_band=None):
     """Fused pre-kernel stage: vertex transform, setup, binning, pair
     records, and active-tile compaction — one dispatch.
 
     ``capacity`` (soft-grained) sizes all the XLA-side work; ``rec_cap``
     (pow2, >= capacity) is the kernel-visible record array size so
-    Mosaic recompiles only per octave."""
+    Mosaic recompiles only per octave.
+
+    ``ty_lo`` (traced tile-row offset) + ``nty_band`` (static tile-row
+    count) restrict binning to a horizontal band of the screen — the
+    sharded production path (parallel/dist.py) runs this per device with
+    its own band; tile ids and the active-tile compaction are then
+    band-local (pair with an ``origin`` on the kernel call)."""
     dtype = attrs["position"].dtype
     clip, varyings = shader.vertex(uniforms, attrs, jnp)
     vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
     setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
     n_tiles_x = _cdiv(width, tile_w)
-    n_tiles_y = _cdiv(height, tile_h)
+    n_tiles_y = nty_band if nty_band is not None else _cdiv(height, tile_h)
     n_tiles = n_tiles_x * n_tiles_y
-    tx0, ty0, span_x, spans, total = _tile_spans(setup, tile_w, tile_h)
+    ty_hi = None if ty_lo is None else ty_lo + (n_tiles_y - 1)
+    tx0, ty0, span_x, spans, total = _tile_spans(setup, tile_w, tile_h,
+                                                 ty_lo, ty_hi)
     sorted_tri, start, counts = _build_bins(
         tx0, ty0, span_x, spans, capacity, n_tiles_x, n_tiles_y)
 
@@ -533,6 +542,13 @@ def _decide_fine(attrs, shader, uniforms, width, height,
                 tile_h, tile_w)
             pair_cap = raster_fine._quantize_soft(
                 int(jax.device_get(sp_total)))
+            if pair_cap >= (1 << 21):
+                # strip-granularity pair counts past the exact-f32
+                # divmod range would force _build_bins onto the slow
+                # integer fallback; scenes this large are coarse
+                # territory regardless (advisor round-2 item)
+                _FINE_DECISION[dkey] = False
+                return False
             rows_d, act_d = raster_fine._probe_rows_jit(
                 setup, pair_cap, width, height, tile_h, tile_w)
             *_, coarse_d = _tile_spans(setup, tile_w, tile_h)
@@ -585,23 +601,25 @@ def _count_active(setup, capacity, width, height, tile_h, tile_w):
 # Fused frame: all passes in ONE jitted program
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=(
-    "plan", "width", "height", "tile_h", "tile_w", "interpret"))
-def _frame_fused_jit(attrs_t, uniforms_t, plan, width, height,
-                     tile_h, tile_w, interpret):
-    """One XLA program for the whole multi-pass frame.
-
-    ``plan``: static tuple of (shader, use_fine, caps, exclude, offset)
-    per pass.  Folding every pre/kernel/post stage of every pass into a
-    single program removes the ~0.3-1 ms host dispatch cost per stage
-    (a 4-pass frame was paying ~15 ms of host time, round-2 profiling)
-    and lets XLA schedule across pass boundaries.  The z-snapshot /
-    restore around exclude_from_output_depth passes (main.cpp:700,730)
-    is static control flow here."""
+def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
+                      tile_h, tile_w, interpret, ty_lo=None,
+                      nty_band=None, origin=None):
+    """Trace the whole multi-pass frame as one program (see
+    _frame_fused_jit).  With ``ty_lo``/``nty_band``/``origin`` the frame
+    is a horizontal band of the screen: binning is band-clipped, the
+    FrameTiles cover only the band's tiles, and the kernels rasterize at
+    global pixel coordinates via ``origin`` — this is the body the
+    sharded production path (parallel/dist.py) runs per device inside
+    shard_map, making the fast path and the scaled path the same path."""
     from tinyrenderder_tpu.ops import raster_fine
     n_tiles_x = _cdiv(width, tile_w)
-    n_tiles_y = _cdiv(height, tile_h)
-    ft = new_frame_tiles(width, height, tile_h, tile_w)
+    n_tiles_y = nty_band if nty_band is not None else _cdiv(height, tile_h)
+    n = n_tiles_x * n_tiles_y
+    ft = FrameTiles(
+        color=jnp.zeros((n, tile_h, tile_w), jnp.int32),
+        depth=jnp.full((n, tile_h, tile_w), jnp.inf, jnp.float32),
+        winner=jnp.full((n, tile_h, tile_w), BACKGROUND, jnp.int32),
+    )
     snapshot = None
     in_excluded = False
     overflow = jnp.asarray(False)
@@ -624,10 +642,12 @@ def _frame_fused_jit(attrs_t, uniforms_t, plan, width, height,
             (setup, rec, ids, kernel_ids, rs, ra, pt, rt, na, _
              ) = raster_fine._pre_fine_jit(
                 attrs, uniforms, shader, width, height, pc, rc,
-                _next_pow2(rc), ac, tile_h, tile_w)
+                _next_pow2(rc), ac, tile_h, tile_w,
+                ty_lo=ty_lo, nty_band=nty_band)
             d_c, w_c, v_c, _ = raster_fine._fine_call_jit(
                 kernel_ids, rs, ra, rec, ft.depth,
-                n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
+                n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
+                origin=origin)
             ovf = (pt > pc) | (rt > rc) | (na > ac)
             totals.append(jnp.stack([pt, rt, na]))
         else:
@@ -635,10 +655,12 @@ def _frame_fused_jit(attrs_t, uniforms_t, plan, width, height,
             (setup, records, ids, kernel_ids, sa, ca, total, na
              ) = _pre_sparse_jit(attrs, uniforms, shader, width, height,
                                  cap, ac, tile_h, tile_w,
-                                 rec_cap=_next_pow2(cap))
+                                 rec_cap=_next_pow2(cap),
+                                 ty_lo=ty_lo, nty_band=nty_band)
             d_c, w_c, v_c, _ = raster_pallas._pallas_call_sparse_jit(
                 kernel_ids, sa, ca, records, ft.depth,
-                n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
+                n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
+                origin=origin)
             ovf = (total > cap) | (na > ac)
             totals.append(jnp.stack([total, na,
                                      jnp.asarray(-1, total.dtype)]))
@@ -647,6 +669,23 @@ def _frame_fused_jit(attrs_t, uniforms_t, plan, width, height,
         overflow = overflow | ovf
     out_depth = snapshot if in_excluded else ft.depth
     return ft, out_depth, overflow, jnp.stack(totals)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "plan", "width", "height", "tile_h", "tile_w", "interpret"))
+def _frame_fused_jit(attrs_t, uniforms_t, plan, width, height,
+                     tile_h, tile_w, interpret):
+    """One XLA program for the whole multi-pass frame.
+
+    ``plan``: static tuple of (shader, use_fine, caps, exclude, offset)
+    per pass.  Folding every pre/kernel/post stage of every pass into a
+    single program removes the ~0.3-1 ms host dispatch cost per stage
+    (a 4-pass frame was paying ~15 ms of host time, round-2 profiling)
+    and lets XLA schedule across pass boundaries.  The z-snapshot /
+    restore around exclude_from_output_depth passes (main.cpp:700,730)
+    is static control flow here."""
+    return _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
+                             tile_h, tile_w, interpret)
 
 
 def render_frame_fused(passes, width: int, height: int,

@@ -154,8 +154,6 @@ def _build_bins(tx0, ty0, span_x, spans, pair_capacity: int,
     f = spans.shape[0]
     n_tiles = n_tiles_x * n_tiles_y
     p = pair_capacity
-    if p >= (1 << 21):
-        raise ValueError("pair capacity >= 2^21 breaks exact f32 divmod")
 
     offs = jnp.cumsum(spans) - spans          # exclusive prefix sum (F,)
     has = spans > 0
@@ -176,7 +174,16 @@ def _build_bins(tx0, ty0, span_x, spans, pair_capacity: int,
     k = pair_pos - pg[:, 0]                   # index within the run
     in_run = (tri >= 0) & (k < pg[:, 1])
 
-    ky, kx = _exact_divmod_i32(k, pg[:, 2])
+    if p < (1 << 21):
+        ky, kx = _exact_divmod_i32(k, pg[:, 2])
+    else:
+        # k can exceed the exact-f32 divmod range (2^21); fall back to
+        # true integer div/mod — ~30x slower on the VPU but correct at
+        # any capacity (scenes this large route coarse anyway, see
+        # raster_sparse._decide_fine)
+        kc = jnp.maximum(k, 0)
+        ky = kc // pg[:, 2]
+        kx = kc - ky * pg[:, 2]
     tile_x = pg[:, 3] + kx
     tile_y = pg[:, 4] + ky
     tile_id = tile_y * n_tiles_x + tile_x
@@ -206,11 +213,6 @@ _PENDING_TOTALS: dict = {}
 
 # diagnostic: disable all overflow bookkeeping in non-strict mode
 _DISABLE_OVERFLOW_CHECKS = False
-
-# opt-in: route depth-only passes through the strip-parallel kernel
-# (ops/raster_strips.py) — wins on strip-balanced small-triangle scenes,
-# loses on mixed scenes; default off pending round-2 record streaming
-USE_STRIP_DEPTH = False
 
 
 def bin_triangles_csr(setup, width: int, height: int,
@@ -548,23 +550,6 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
         use_pallas = jax.default_backend() == "tpu"
 
     if use_pallas:
-        if not shader.writes_color and USE_STRIP_DEPTH:
-            # depth-only pass via the strip-parallel kernel
-            # (ops/raster_strips.py).  Opt-in: measured faster only on
-            # strip-balanced small-triangle scenes; the record build +
-            # per-row permutes lose on mixed scenes (see ROADMAP.md).
-            from tinyrenderder_tpu.ops import raster_strips
-            setup, _ = _vertex_setup_jit(attrs, uniforms, shader,
-                                         width, height)
-            depth, winner_local = raster_strips.depth_resolve_strips(
-                setup, fb.depth, height, width,
-                strict_capacity=strict_capacity)
-            won = winner_local >= 0
-            new_winner = jnp.where(won, winner_local + winner_offset,
-                                   fb.winner)
-            return FrameBuffers(color=fb.color, depth=depth,
-                                winner=new_winner), setup
-
         # sparse active-tile pipeline (ops.raster_sparse): compacted
         # kernel grid + tiled-resident merge; this wrapper keeps the
         # (H, W) FrameBuffers contract by tiling/untiling per pass —

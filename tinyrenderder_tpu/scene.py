@@ -144,6 +144,20 @@ def _pass_inputs(scene: Scene, p: ScenePass, dtype, device: bool = False):
 _DEVICE_UNIFORM_CACHE: dict[int, tuple] = {}
 
 
+def _sync(x):
+    """True completion barrier for timing: fetch a tiny dependent
+    reduction.  ``block_until_ready`` is NOT reliable through the axon
+    tunnel (observed returning ~instantly with seconds of work queued —
+    docs/PERFORMANCE.md), so per-pass timings sync by device_get of an
+    8-element slice sum.  Note the fetch itself costs one tunnel RTT
+    (~15-30 ms on tunneled hosts), which is why collect_stats=False is
+    the benchmark mode."""
+    import jax
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return jax.device_get(jnp.sum(jnp.ravel(leaf)[:8].astype(jnp.float32)))
+
+
 def _to_device_cached(v):
     if not isinstance(v, np.ndarray) or v.size < 4096:
         return v
@@ -177,16 +191,18 @@ def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
                               collect_stats, transfer, strict_capacity)
     if backend == "sharded":
         return _render_sharded(scene, visible, dtype, stats, timings,
-                               transfer, collect_stats)
+                               transfer, collect_stats,
+                               strict_capacity=strict_capacity)
     if backend == "sharded-geometry":
         return _render_sharded(scene, visible, dtype, stats, timings,
-                               transfer, collect_stats, geometry=True)
+                               transfer, collect_stats, geometry=True,
+                               strict_capacity=strict_capacity)
     raise ValueError(f"unknown backend: {backend}")
 
 
 def _render_sharded(scene, visible, dtype, stats, timings,
                     transfer=True, collect_stats=True,
-                    geometry=False) -> RenderResult:
+                    geometry=False, strict_capacity=True) -> RenderResult:
     """Framebuffer row-sharded across every available device (the
     multi-chip production path; on one device it degenerates to tiled).
     ``geometry=True`` shards triangles instead of pixels and merges with
@@ -197,6 +213,7 @@ def _render_sharded(scene, visible, dtype, stats, timings,
     z-snapshot/restore around exclude_from_output_depth passes
     (main.cpp:700,730) — asserted sharded-vs-xla by tests/test_parallel.py.
     """
+    from tinyrenderder_tpu.ops import raster_tiled
     from tinyrenderder_tpu.parallel import dist
 
     mesh = dist.make_mesh()
@@ -204,16 +221,34 @@ def _render_sharded(scene, visible, dtype, stats, timings,
     for p in visible:
         attrs, uniforms = _pass_inputs(scene, p, dtype, device=True)
         passes.append((attrs, p.shader, uniforms, p.exclude_from_output_depth))
+    n_dev = mesh.devices.size
+    fused_ok = (not geometry and passes
+                and all(a["position"].shape[0] > 0 for a, *_ in passes)
+                and scene.height % (n_dev * raster_tiled.TILE_H) == 0
+                and scene.width % raster_tiled.TILE_W == 0)
     t0 = time.perf_counter()
     if geometry:
         fb, out_depth = dist.render_frame_geometry_sharded(
             mesh, passes, scene.width, scene.height)
+    elif fused_ok:
+        # PRODUCTION path: the fused sparse/fine pipeline itself under
+        # shard_map row bands (round-3: the fast path and the scaled
+        # path are the same path)
+        ft, out_depth_t, _ = dist.render_frame_fused_sharded(
+            mesh, passes, scene.width, scene.height,
+            strict_capacity=strict_capacity)
+        fb = dist.tiles_to_buffers_sharded(mesh, ft, scene.width,
+                                           scene.height)
+        in_excluded = visible[-1].exclude_from_output_depth
+        out_depth = (dist.untile_one_sharded(mesh, out_depth_t,
+                                             scene.width, scene.height)
+                     if in_excluded else fb.depth)
     else:
         fb, out_depth = dist.render_frame_sharded(
             mesh, passes, scene.width, scene.height,
             return_output_depth=True)
     if collect_stats:
-        fb.color.block_until_ready()
+        _sync(fb.color)
         timings["frame"] = time.perf_counter() - t0
     if transfer:
         color = np.asarray(fb.color)
@@ -222,20 +257,48 @@ def _render_sharded(scene, visible, dtype, stats, timings,
     else:
         color, depth, full_depth = fb.color, out_depth, fb.depth
     if collect_stats:
-        fd = np.asarray(fb.depth)
-        finite = np.isfinite(fd)
-        if finite.any():
-            stats.merge_z(float(fd[finite].min()), float(fd[finite].max()))
-        win = np.asarray(fb.winner)
-        covered = win >= 0
-        stats.fragments_drawn = int(covered.sum())
-        stats.fragments_exact = False
-        if covered.any():
-            ys, xs = np.nonzero(covered)
-            stats.merge_bbox(int(xs.min()), int(ys.min()),
-                             int(xs.max()), int(ys.max()))
+        _accumulate_exact_events(scene, passes, visible, stats)
     return RenderResult(color=color, depth=depth, full_depth=full_depth,
                         stats=stats, pass_timings=timings)
+
+
+def _accumulate_exact_events(scene, passes, visible, stats):
+    """EXACT reference counters (our_gl.cpp:194-200 semantics, overdraw
+    included) for backends whose frame program doesn't emit event
+    planes: replay the passes through the replicated events scan
+    (raster.pass_events_xla), including the excluded-pass z-snapshot
+    semantics.  Stats mode only — the scan is a second depth resolve."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.ops import raster, raster_tiled
+
+    w, h = scene.width, scene.height
+    depth_ev = jnp.full((h, w), jnp.inf, jnp.float32)
+    snapshot = None
+    in_excluded = False
+    for (attrs, shader, uniforms, exclude), p in zip(passes, visible):
+        if exclude:
+            if not in_excluded:
+                snapshot = depth_ev                  # main.cpp:700
+                in_excluded = True
+        elif in_excluded:
+            depth_ev = snapshot                      # main.cpp:730
+            in_excluded = False
+        setup, _ = raster_tiled._vertex_setup_jit(
+            attrs, dict(uniforms), shader, w, h)
+        depth_ev, _, frags, mn, mx = raster.pass_events_xla(
+            setup, depth_ev, h, w)
+        frags, mn, mx = (float(x) for x in jax.device_get((frags, mn, mx)))
+        stats.fragments_drawn += int(frags)
+        if np.isfinite(mn):
+            stats.merge_z(mn, mx)
+        agg = raster.pass_stats(setup)
+        stats.triangles_rasterized += agg["triangles"]
+        if agg["valid_triangles"]:
+            stats.merge_bbox(agg["min_x"], agg["min_y"],
+                             agg["max_x"], agg["max_y"])
+    stats.fragments_exact = True
 
 
 def _render_oracle(scene, visible, dtype, stats, timings) -> RenderResult:
@@ -324,7 +387,7 @@ def _render_device_tiles(scene, visible, dtype, stats, timings,
         ft, setup, ovf = out[:3]
         overflow = overflow | ovf
         if collect_stats:
-            ft.color.block_until_ready()
+            _sync(ft.color)
             timings[p.name or p.mesh.name] = time.perf_counter() - t0
             agg = raster.pass_stats(setup)
             stats.triangles_rasterized += agg["triangles"]
@@ -397,8 +460,7 @@ def _render_device(scene, visible, dtype, stats, timings, backend,
         import functools
 
         from tinyrenderder_tpu.ops import raster_tiled
-        if (jax.default_backend() == "tpu" and not raster_tiled.USE_STRIP_DEPTH) \
-                or FORCE_TILES_LOOP:
+        if jax.default_backend() == "tpu" or FORCE_TILES_LOOP:
             return _render_device_tiles(scene, visible, dtype, stats,
                                         timings, collect_stats, transfer,
                                         strict_capacity)
@@ -411,8 +473,11 @@ def _render_device(scene, visible, dtype, stats, timings, backend,
     snapshot_depth = None
     in_excluded = False
     winner_offset = 0
+    passes_seen = []
     for p in visible:
         attrs, uniforms = _pass_inputs(scene, p, dtype, device=True)
+        passes_seen.append((attrs, p.shader, uniforms,
+                            p.exclude_from_output_depth))
         if p.exclude_from_output_depth:
             if not in_excluded:
                 snapshot_depth = fb.depth           # immutable: free snapshot
@@ -426,13 +491,8 @@ def _render_device(scene, visible, dtype, stats, timings, backend,
         fb, setup = pass_fn(fb, attrs, p.shader, uniforms,
                             winner_offset=winner_offset)
         if collect_stats:
-            fb.color.block_until_ready()
+            _sync(fb.color)
             timings[p.name or p.mesh.name] = time.perf_counter() - t0
-            agg = raster.pass_stats(setup)
-            stats.triangles_rasterized += agg["triangles"]
-            if agg["valid_triangles"]:
-                stats.merge_bbox(agg["min_x"], agg["min_y"],
-                                 agg["max_x"], agg["max_y"])
         winner_offset += p.mesh.nfaces
 
     if transfer:
@@ -445,12 +505,9 @@ def _render_device(scene, visible, dtype, stats, timings, backend,
         out_depth = snapshot_depth if in_excluded else full_depth
         color = fb.color
     if collect_stats:
-        fd = np.asarray(full_depth)
-        finite = np.isfinite(fd)
-        if finite.any():
-            stats.merge_z(float(fd[finite].min()), float(fd[finite].max()))
-        stats.fragments_drawn = int((np.asarray(fb.winner) >= 0).sum())
-        stats.fragments_exact = False
+        # exact z-pass event counters (overdraw-inclusive), same
+        # semantics as the tiled backend's kernel event planes
+        _accumulate_exact_events(scene, passes_seen, visible, stats)
     return RenderResult(color=color, depth=out_depth,
                         full_depth=full_depth, stats=stats,
                         pass_timings=timings)

@@ -210,7 +210,8 @@ _SHADOW_FUSED_JIT = None
 
 def _render_with_shadows_fused(scene: Scene, light_dir, light_cam,
                                settings: ShadowSettings,
-                               strict_capacity: bool, transfer: bool):
+                               strict_capacity: bool, transfer: bool,
+                               frustum_cull: bool = True):
     """Fast path: the whole two-pass shadow frame as one fused program.
     Only for the tiled backend without per-pass stats; capacity
     bookkeeping mirrors raster_sparse.render_frame_fused."""
@@ -251,12 +252,18 @@ def _render_with_shadows_fused(scene: Scene, light_dir, light_cam,
         scene.__dict__["_shadow_map_placeholder"] = placeholder
     lit = shadowed_scene(scene, light_dir, placeholder, light_cam,
                          settings)
+    # same per-model frustum culling as the non-fused path applies via
+    # lit.render() (advisor round-2 item: the fast path used to skip it)
+    from tinyrenderder_tpu.scene import _cull_passes
+    visible = _cull_passes(lit, frustum_cull, RenderStats())
+    if not visible:
+        return None               # caller falls back to the general path
     p2 = []
-    for p in lit.passes:
+    for p in visible:
         attrs, uniforms = _pass_inputs(lit, p, np.float32, device=True)
         p2.append((attrs, p.shader, uniforms,
                    p.exclude_from_output_depth))
-    smap_keys = tuple(i for i, p in enumerate(lit.passes)
+    smap_keys = tuple(i for i, p in enumerate(visible)
                       if isinstance(p.shader, ShadowMappedShader))
 
     def _plan_for(passes, width, height):
@@ -288,7 +295,13 @@ def _render_with_shadows_fused(scene: Scene, light_dir, light_cam,
             offset += f
         return tuple(plan), keys
 
-    for _attempt in range(4):
+    # retry until capacities fit: growth is monotone on a quantized
+    # grid, so the loop terminates (strict mode's exactness promise —
+    # the old 4-attempt cap could silently return a degraded frame,
+    # advisor round-2 item).  The attempt counter only feeds a warning.
+    _attempt = 0
+    while True:
+        _attempt += 1
         dplan, dkeys = _plan_for(
             [(d_attrs, dp.shader, d_unis, False)], S, S)
         plan, keys = _plan_for(p2, lit.width, lit.height)
@@ -337,8 +350,13 @@ def _render_with_shadows_fused(scene: Scene, light_dir, light_cam,
         grown = _book(keys, list(plan), tot) or grown
         if not (strict_capacity and grown):
             break
+        if _attempt >= 6:
+            import logging
+            logging.getLogger(__name__).warning(
+                "fused shadow capacities still growing after %d "
+                "attempts; continuing until they fit", _attempt)
 
-    in_excluded = lit.passes[-1].exclude_from_output_depth
+    in_excluded = visible[-1].exclude_from_output_depth
     result = _finish_device_tiles(lit, ft, od, in_excluded, ovf,
                                   RenderStats(), {}, False, transfer)
     shadow_map = np.asarray(depth_hw) if transfer else depth_hw
@@ -356,9 +374,11 @@ def render_with_shadows(scene: Scene, light_dir,
     light_cam = light_camera_for_scene(scene, light_dir, settings)
     if (backend == "tiled" and not collect_stats
             and all(p.mesh.nfaces > 0 for p in scene.passes)):
-        return _render_with_shadows_fused(scene, light_dir, light_cam,
-                                          settings, strict_capacity,
-                                          transfer)
+        fused = _render_with_shadows_fused(scene, light_dir, light_cam,
+                                           settings, strict_capacity,
+                                           transfer, frustum_cull)
+        if fused is not None:     # None: every pass frustum-culled
+            return fused
     shadow_map = render_depth_from_light(scene, light_cam, settings, backend,
                                          transfer=transfer,
                                          strict_capacity=strict_capacity)

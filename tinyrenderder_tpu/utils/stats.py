@@ -6,10 +6,12 @@ The reference keeps global counters updated inside the hot loop
 object threaded through render calls.
 
 ``fragments_drawn`` counts actual framebuffer writes *including overdraw*
-(a pixel later overwritten by a nearer triangle still counted) — the CPU
-oracle reproduces this exactly; the two-phase device path reports the
-number of shaded (winning) pixels instead and says so via
-``fragments_exact``.
+(a pixel later overwritten by a nearer triangle still counted).  Every
+backend now reports this exactly: the CPU oracle counts serially, the
+tiled backend reads the kernels' event planes, and the xla/sharded
+backends replay the passes through the events scan
+(raster.pass_events_xla).  ``fragments_exact`` stays as an API field
+(always True from the built-in backends, round-3 verdict item #4).
 """
 
 from __future__ import annotations
