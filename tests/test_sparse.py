@@ -52,7 +52,7 @@ def test_sparse_matches_xla_tiled(meshes):
     color."""
     import jax.numpy as jnp
     view, proj = default_view()
-    w, h = 170, 90                     # ragged edges + empty border tiles
+    w, h = 160, 42                     # ragged edges + empty border tiles
     for p in _passes(meshes, view, proj):
         attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
         fb0 = raster.new_framebuffers(w, h)
@@ -77,7 +77,7 @@ def test_sparse_matches_dense_kernel_bitwise(meshes):
     perturb any kernel math."""
     import jax.numpy as jnp
     view, proj = default_view()
-    w, h = 170, 90
+    w, h = 160, 42
     th, tw = raster_tiled.TILE_H, raster_tiled.TILE_W
     ntx, nty = -(-w // tw), -(-h // th)
     n_tiles = ntx * nty
@@ -173,9 +173,9 @@ def test_exact_stats_match_oracle(meshes):
     cam.set_eye(math3d.vec3(0, 0.5, 3))
     cam.set_target(math3d.vec3(0, 0, 0))
     cam.set_fov(60.0)
-    cam.set_aspect(170 / 90)
+    cam.set_aspect(160 / 42)
     cam.set_clipping(0.1, 50.0)
-    sc = Scene(camera=cam, width=170, height=90)
+    sc = Scene(camera=cam, width=160, height=42)
     # overlapping passes -> guaranteed overdraw
     sc.add(meshes["soup"], np.eye(4), GouraudShader(), name="soup")
     sc.add(meshes["head"], np.eye(4), PhongShader(KEY, FILL, RIM),
@@ -208,9 +208,9 @@ def test_scene_tiles_loop_matches_xla(meshes):
     cam.set_eye(math3d.vec3(0, 0.5, 3))
     cam.set_target(math3d.vec3(0, 0, 0))
     cam.set_fov(60.0)
-    cam.set_aspect(170 / 90)
+    cam.set_aspect(160 / 42)
     cam.set_clipping(0.1, 50.0)
-    sc = Scene(camera=cam, width=170, height=90)
+    sc = Scene(camera=cam, width=160, height=42)
     sc.add(meshes["head"], np.eye(4), PhongShader(KEY, FILL, RIM),
            name="head")
     eye_m = (math3d.translation_matrix(0.3, 0.0, 1.2)
@@ -239,7 +239,7 @@ def test_frame_tiles_multipass_eye_semantics(meshes):
     (main.cpp:700,730) — vs the FrameBuffers-based reference loop."""
     import jax.numpy as jnp
     view, proj = default_view()
-    w, h = 170, 90
+    w, h = 160, 42
     g = make_pass(meshes["soup"], GouraudShader(), view, proj)
     # eye sphere pulled toward the camera so its depth writes are the
     # nearest surface somewhere (-> output depth visibly excludes them)
@@ -293,7 +293,7 @@ def test_collect_stats_does_not_change_frame(meshes):
     merge's FMA grouping is untouched, e35d513)."""
     import jax.numpy as jnp
     view, proj = default_view()
-    w, h = 170, 90
+    w, h = 160, 42
     p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
     attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
     ft = raster_sparse.new_frame_tiles(w, h)

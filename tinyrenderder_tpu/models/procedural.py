@@ -147,6 +147,35 @@ def head_wall(grid: int = 3, n_lat: int = 96, n_lon: int = 144,
     return mesh.finalize()
 
 
+def mixed_interior(grid: int = 3, n_lat: int = 96, n_lon: int = 144,
+                   room: float = 14.0, name: str = "mixed_interior") -> Mesh:
+    """Sponza-regime stand-in: a few dozen GIANT inward-facing room
+    triangles (walls/floor/ceiling spanning most of the screen) plus a
+    grid of ~250k tiny head triangles, merged into ONE mesh.
+
+    The reference's default scene mixes exactly these regimes (Sponza
+    interior walls + african_head props, main.cpp:483-513); uniform-tiny
+    scenes like head_wall flatter the fine kernel, so this is the bench
+    config that stresses the fine/coarse dispatch decision and the
+    all-strip fallback for huge triangles in the same frame
+    (round-3 verdict item #5)."""
+    wall = head_wall(grid=grid, n_lat=n_lat, n_lon=n_lon)
+    out = cube(size=room, name="roombox")
+    # inward-facing: flip winding so backface culling keeps the
+    # interior; regenerate normals from the new winding
+    box = Mesh(positions=out.positions,
+               faces=out.faces[:, ::-1].copy(),
+               uvs=out.uvs, name="roombox").finalize()
+    n0 = wall.nverts
+    mesh = Mesh(positions=np.concatenate([wall.positions, box.positions]),
+                faces=np.concatenate([wall.faces, box.faces + n0]),
+                uvs=np.concatenate([wall.uvs, box.uvs * 6.0]),
+                normals=np.concatenate([wall.normals, box.normals]),
+                name=name)
+    mesh.materials = [default_head_material(128)]
+    return mesh.finalize()
+
+
 # ---------------------------------------------------------------------------
 # Procedural textures (RGB uint8, rows top-first)
 # ---------------------------------------------------------------------------

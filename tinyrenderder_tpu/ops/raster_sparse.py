@@ -479,89 +479,160 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
 
 
 # ---------------------------------------------------------------------------
-# fine/coarse auto dispatch
+# coarse/fine/fine2 auto dispatch + shared capacity bookkeeping
 # ---------------------------------------------------------------------------
 
-FINE_MODE = "auto"            # "auto" | "fine" | "coarse"
+FINE_MODE = "auto"            # "auto" | "fine" | "fine2" | "coarse"
 _FINE_DECISION: dict = {}
+
+#: grouped rows must undercut per-tile rows by this factor before the
+#: fine2 layout's extra regroup overhead pays for the saved kernel steps
+#: (measured round 3, one v5e: ratio 0.74 -> fine wins by ~9%, ratio
+#: 0.57 -> fine2 wins by ~44%; breakeven ~0.70)
+FINE2_RATIO = 0.68
 
 
 def render_pass_dispatch(ft: FrameTiles, attrs: dict, shader,
                          uniforms: dict, width: int, height: int, **kw):
-    """Route one pass to the fine (strip-parallel, ops.raster_fine) or
-    coarse sparse kernel.  Same contract as render_pass_tiles.
+    """Route one pass to the coarse sparse kernel, the per-tile fine
+    strip kernel (ops.raster_fine), or the grouped-strip fine2 kernel
+    (ops.raster_fine2).  Same contract as render_pass_tiles.
 
     The decision is cached per (faces, grid, shader-kind) and made once
-    from the measured row/pair structure: fine's 8-pairs-per-step kernel
-    win must beat its larger pre-stage.  Measured on real TPU under the
-    fused frame (round 2): gouraud 800² 1.55x, textured 800² 1.59x,
-    phong 2048² 1.16x for fine; depth-only and huge-triangle scenes tie
-    or lose.  Rule: color pass, >= 512 faces, strip rows <= 0.45 *
-    coarse pairs, TPU backend."""
-    from tinyrenderder_tpu.ops import raster_fine
+    from the measured row/pair structure: a fine kernel's
+    8-pairs-per-step win must beat its larger pre-stage, and fine2's
+    cross-tile grouping must undercut fine's per-tile rows by
+    FINE2_RATIO before its regroup overhead pays.  Measured on real TPU
+    (rounds 2-3): gouraud 800² 1.55x fine, phong 2048² 1.16x fine,
+    246k-triangle stress 1.44x fine2-over-fine; depth-only and
+    huge-triangle scenes stay coarse."""
+    from tinyrenderder_tpu.ops import raster_fine, raster_fine2
 
-    tile_h = kw.get("tile_h", TILE_H)
-    tile_w = kw.get("tile_w", TILE_W)
-    f = attrs["position"].shape[0]
-    n_tiles_x = _cdiv(width, tile_w)
-    n_tiles_y = _cdiv(height, tile_h)
-
-    use_fine = _decide_fine(attrs, shader, uniforms, width, height,
-                            tile_h, tile_w)
-    fn = raster_fine.render_pass_fine if use_fine else render_pass_tiles
+    mode = _decide_mode(attrs, shader, uniforms, width, height,
+                        kw.get("tile_h", TILE_H), kw.get("tile_w", TILE_W))
+    fn = {"coarse": render_pass_tiles,
+          "fine": raster_fine.render_pass_fine,
+          "fine2": raster_fine2.render_pass_fine2}[mode]
     return fn(ft, attrs, shader, uniforms, width, height, **kw)
 
 
-def _decide_fine(attrs, shader, uniforms, width, height,
-                 tile_h=TILE_H, tile_w=TILE_W) -> bool:
-    """Per-(faces, grid, shader-kind) cached fine/coarse decision; see
+def _decide_mode(attrs, shader, uniforms, width, height,
+                 tile_h=TILE_H, tile_w=TILE_W) -> str:
+    """Per-(faces, grid, shader-kind) cached kernel-mode decision; see
     render_pass_dispatch for the measured rationale."""
-    from tinyrenderder_tpu.ops import raster_fine
+    from tinyrenderder_tpu.ops import raster_fine, raster_fine2
 
-    if FINE_MODE == "fine":
-        return True
-    if FINE_MODE == "coarse":
-        return False
+    if FINE_MODE in ("fine", "fine2", "coarse"):
+        return FINE_MODE
     f = attrs["position"].shape[0]
     n_tiles_x = _cdiv(width, tile_w)
     n_tiles_y = _cdiv(height, tile_h)
     n_vary = (sum(shader.varying_spec.values())
               if shader.writes_color else 0)
     dkey = (f, n_tiles_x, n_tiles_y, shader.writes_color, n_vary)
-    use_fine = _FINE_DECISION.get(dkey)
-    if use_fine is None:
+    mode = _FINE_DECISION.get(dkey)
+    if mode is None:
         if (not shader.writes_color or f < 512
                 or n_vary > raster_fine.MAX_VARY
                 or tile_w != TILE_W
                 or jax.default_backend() != "tpu"):
-            use_fine = False
+            mode = "coarse"
         else:
             # one-time structure probe (first frame of the key)
             setup, sp_total = raster_fine._probe_totals_jit(
                 attrs, dict(uniforms), shader, width, height,
                 tile_h, tile_w)
-            pair_cap = raster_fine._quantize_soft(
-                int(jax.device_get(sp_total)))
+            sp_int = int(jax.device_get(sp_total))
+            pair_cap = raster_fine._quantize_soft(sp_int)
             if pair_cap >= (1 << 21):
                 # strip-granularity pair counts past the exact-f32
                 # divmod range would force _build_bins onto the slow
                 # integer fallback; scenes this large are coarse
                 # territory regardless (advisor round-2 item)
-                _FINE_DECISION[dkey] = False
-                return False
-            rows_d, act_d = raster_fine._probe_rows_jit(
+                _FINE_DECISION[dkey] = "coarse"
+                return "coarse"
+            probe = raster_fine2._probe_both_jit(
                 setup, pair_cap, width, height, tile_h, tile_w)
             *_, coarse_d = _tile_spans(setup, tile_w, tile_h)
-            rt, act, ct = (int(x) for x in
-                           jax.device_get((rows_d, act_d, coarse_d)))
-            use_fine = rt <= 0.45 * ct
-            if use_fine:      # seed caps: probe pays the sync once
-                raster_fine._FINE_CAPACITY.setdefault(
-                    (f, n_tiles_x, n_tiles_y),
-                    (pair_cap, raster_fine._quantize_soft(rt),
-                     _quantize_active(act, n_tiles_x * n_tiles_y)))
-        _FINE_DECISION[dkey] = use_fine
-    return use_fine
+            r1, r2, ng, act, ct = (int(x) for x in
+                                   jax.device_get((*probe, coarse_d)))
+            n_tiles = n_tiles_x * n_tiles_y
+            key = (f, n_tiles_x, n_tiles_y)
+            if r2 <= FINE2_RATIO * r1:
+                mode = "fine2" if r2 <= 0.45 * ct else "coarse"
+                if mode == "fine2":   # seed caps: probe paid the sync
+                    raster_fine2._FINE2_CAPACITY.setdefault(
+                        key, (raster_fine2._quantize_tight(sp_int),
+                              raster_fine2._quantize_tight(r2),
+                              _quantize_active(ng, n_tiles),
+                              _quantize_active(act, n_tiles)))
+            else:
+                mode = "fine" if r1 <= 0.45 * ct else "coarse"
+                if mode == "fine":
+                    raster_fine._FINE_CAPACITY.setdefault(
+                        key, (pair_cap, _quantize_soft(r1),
+                              _quantize_active(act, n_tiles)))
+        _FINE_DECISION[dkey] = mode
+    return mode
+
+
+# ---- mode-generic capacity bookkeeping (shared by the fused frame,
+# the fused shadow program, and the sharded fused path) ----------------------
+
+def _mode_stores(mode):
+    """(capacity dict, pending dict, totals width) for a kernel mode."""
+    from tinyrenderder_tpu.ops import raster_fine, raster_fine2
+    return {
+        "coarse": (_SPARSE_CAPACITY, _SPARSE_PENDING, 2),
+        "fine": (raster_fine._FINE_CAPACITY, raster_fine._FINE_PENDING, 3),
+        "fine2": (raster_fine2._FINE2_CAPACITY, raster_fine2._FINE2_PENDING,
+                  4),
+    }[mode]
+
+
+def _caps_from_totals(mode, t, n_tiles):
+    """Quantize a totals vector into a fresh capacity tuple."""
+    t = [int(x) for x in t]
+    if mode == "coarse":
+        return (_quantize_soft(t[0]), _quantize_active(t[1], n_tiles))
+    if mode == "fine":
+        return (_quantize_soft(t[0]), _quantize_soft(t[1]),
+                _quantize_active(t[2], n_tiles))
+    from tinyrenderder_tpu.ops.raster_fine2 import _quantize_tight
+    return (_quantize_tight(t[0]), _quantize_tight(t[1]),
+            _quantize_active(t[2], n_tiles), _quantize_active(t[3], n_tiles))
+
+
+def _caps_fit(mode, caps, t):
+    width = _mode_stores(mode)[2]
+    return all(int(x) <= c for x, c in zip(t[:width], caps))
+
+
+def _grow_caps(mode, caps, t, n_tiles):
+    return tuple(max(a, b) for a, b in
+                 zip(caps, _caps_from_totals(mode, t, n_tiles)))
+
+
+def _resolve_caps_mode(mode, key, attrs, uniforms, shader, width, height,
+                       tile_h, tile_w, n_tiles):
+    from tinyrenderder_tpu.ops import raster_fine, raster_fine2
+    if mode == "fine":
+        return raster_fine._resolve_caps(key, attrs, uniforms, shader,
+                                         width, height, tile_h, tile_w,
+                                         n_tiles)
+    if mode == "fine2":
+        return raster_fine2._resolve_caps(key, attrs, uniforms, shader,
+                                          width, height, tile_h, tile_w,
+                                          n_tiles)
+    return _resolve_caps(key, attrs, uniforms, shader, width, height,
+                         tile_h, tile_w, n_tiles)
+
+
+def _resolve_pending_mode(mode, key, n_tiles):
+    from tinyrenderder_tpu.ops import raster_fine, raster_fine2
+    {"coarse": _resolve_pending,
+     "fine": raster_fine._resolve_pending,
+     "fine2": raster_fine2._resolve_pending}[mode](key, n_tiles)
 
 
 @jax.jit
@@ -624,7 +695,8 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
     in_excluded = False
     overflow = jnp.asarray(False)
     totals = []
-    for (shader, use_fine, caps, exclude, offset), attrs, uniforms in zip(
+    neg1 = jnp.asarray(-1, jnp.int32)
+    for (shader, mode, caps, exclude, offset), attrs, uniforms in zip(
             plan, attrs_t, uniforms_t):
         if exclude:
             if not in_excluded:
@@ -637,7 +709,7 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
         spec = (tuple(shader.varying_spec.items())
                 if shader.writes_color else ())
         n_vary = sum(c for _, c in spec)
-        if use_fine:
+        if mode == "fine":
             pc, rc, ac = caps
             (setup, rec, ids, kernel_ids, rs, ra, pt, rt, na, _
              ) = raster_fine._pre_fine_jit(
@@ -649,7 +721,25 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                 n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
                 origin=origin)
             ovf = (pt > pc) | (rt > rc) | (na > ac)
-            totals.append(jnp.stack([pt, rt, na]))
+            totals.append(jnp.stack([pt, rt, na, neg1]))
+            ft = _post_sparse_jit(ft, ids, kernel_ids, d_c, w_c, v_c,
+                                  uniforms, jnp.int32(offset), shader, spec)
+        elif mode == "fine2":
+            from tinyrenderder_tpu.ops import raster_fine2
+            pc, rc, gc, ac = caps
+            (setup, rec, ids, kernel_ids, src, live, sg, rg, x0y0,
+             tid_of, pt, rt, ng, na, _) = raster_fine2._pre_fine2_jit(
+                attrs, uniforms, shader, width, height, pc, rc,
+                _next_pow2(rc), gc, ac, tile_h, tile_w,
+                ty_lo=ty_lo, nty_band=nty_band)
+            d_g, w_g, v_g, _ = raster_fine2._fine2_call_jit(
+                sg, rg, rec, x0y0, tile_h, n_vary, interpret,
+                origin=origin)
+            ovf = (pt > pc) | (rt > rc) | (ng > gc) | (na > ac)
+            totals.append(jnp.stack([pt, rt, ng, na]))
+            ft = raster_fine2._post_fine2_jit(
+                ft, ids, kernel_ids, src, live, d_g, w_g, v_g, uniforms,
+                jnp.int32(offset), shader, spec, tile_h)
         else:
             cap, ac = caps
             (setup, records, ids, kernel_ids, sa, ca, total, na
@@ -662,10 +752,9 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                 n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
                 origin=origin)
             ovf = (total > cap) | (na > ac)
-            totals.append(jnp.stack([total, na,
-                                     jnp.asarray(-1, total.dtype)]))
-        ft = _post_sparse_jit(ft, ids, kernel_ids, d_c, w_c, v_c,
-                              uniforms, jnp.int32(offset), shader, spec)
+            totals.append(jnp.stack([total, na, neg1, neg1]))
+            ft = _post_sparse_jit(ft, ids, kernel_ids, d_c, w_c, v_c,
+                                  uniforms, jnp.int32(offset), shader, spec)
         overflow = overflow | ovf
     out_depth = snapshot if in_excluded else ft.depth
     return ft, out_depth, overflow, jnp.stack(totals)
@@ -700,8 +789,6 @@ def render_frame_fused(passes, width: int, height: int,
     the per-pass drivers: strict mode fetches all totals once (one
     host sync per frame instead of one per pass) and re-renders on
     growth; async mode folds totals in on a later frame."""
-    from tinyrenderder_tpu.ops import raster_fine
-
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_tiles_x = _cdiv(width, tile_w)
@@ -718,22 +805,15 @@ def render_frame_fused(passes, width: int, height: int,
         if f == 0:
             raise ValueError("render_frame_fused requires non-empty passes")
         uniforms = dict(uniforms)
-        use_fine = _decide_fine(attrs, shader, uniforms, width, height,
-                                tile_h, tile_w)
+        mode = _decide_mode(attrs, shader, uniforms, width, height,
+                            tile_h, tile_w)
         key = (f, n_tiles_x, n_tiles_y)
-        if use_fine:
-            if not strict_capacity:
-                raster_fine._resolve_pending(key, n_tiles)
-            caps = raster_fine._resolve_caps(
-                key, attrs, uniforms, shader, width, height,
-                tile_h, tile_w, n_tiles)
-        else:
-            if not strict_capacity:
-                _resolve_pending(key, n_tiles)
-            caps = _resolve_caps(key, attrs, uniforms, shader, width,
-                                 height, tile_h, tile_w, n_tiles)
-        plan.append((shader, use_fine, caps, bool(exclude), offset))
-        keys.append((key, use_fine))
+        if not strict_capacity:
+            _resolve_pending_mode(mode, key, n_tiles)
+        caps = _resolve_caps_mode(mode, key, attrs, uniforms, shader,
+                                  width, height, tile_h, tile_w, n_tiles)
+        plan.append((shader, mode, caps, bool(exclude), offset))
+        keys.append((key, mode))
         attrs_t.append(attrs)
         unis_t.append(uniforms)
         offset += f
@@ -745,35 +825,21 @@ def render_frame_fused(passes, width: int, height: int,
     if strict_capacity:
         tot_host = np.asarray(jax.device_get(totals))
         grown = False
-        for (key, use_fine), (shader, uf, caps, *_), t in zip(
+        for (key, mode), (shader, md, caps, *_), t in zip(
                 keys, plan, tot_host):
-            if use_fine:
-                pc, rc, ac = caps
-                pt, rt, na = (int(x) for x in t)
-                if pt > pc or rt > rc or na > ac:
-                    raster_fine._FINE_CAPACITY[key] = (
-                        max(pc, raster_fine._quantize_soft(pt)),
-                        max(rc, raster_fine._quantize_soft(rt)),
-                        max(ac, _quantize_active(na, n_tiles)))
-                    grown = True
-            else:
-                cap, ac = caps
-                pt, na = int(t[0]), int(t[1])
-                if pt > cap or na > ac:
-                    _SPARSE_CAPACITY[key] = (
-                        max(cap, _quantize_soft(pt)),
-                        max(ac, _quantize_active(na, n_tiles)))
-                    grown = True
+            if not _caps_fit(mode, caps, t):
+                _mode_stores(mode)[0][key] = _grow_caps(mode, caps, t,
+                                                        n_tiles)
+                grown = True
         if grown:
             return render_frame_fused(passes, width, height, tile_h,
                                       tile_w, strict_capacity, interpret)
     else:
-        for i, ((key, use_fine), (shader, uf, caps, *_)) in enumerate(
+        for i, ((key, mode), (shader, md, caps, *_)) in enumerate(
                 zip(keys, plan)):
-            pending = (raster_fine._FINE_PENDING if use_fine
-                       else _SPARSE_PENDING)
+            pending = _mode_stores(mode)[1]
             if key not in pending:
-                tslice = totals[i] if use_fine else totals[i, :2]
+                tslice = totals[i, :_mode_stores(mode)[2]]
                 try:
                     tslice.copy_to_host_async()
                 except AttributeError:

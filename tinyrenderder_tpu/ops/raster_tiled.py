@@ -180,7 +180,7 @@ def _build_bins(tx0, ty0, span_x, spans, pair_capacity: int,
         # k can exceed the exact-f32 divmod range (2^21); fall back to
         # true integer div/mod — ~30x slower on the VPU but correct at
         # any capacity (scenes this large route coarse anyway, see
-        # raster_sparse._decide_fine)
+        # raster_sparse._decide_mode)
         kc = jnp.maximum(k, 0)
         ky = kc // pg[:, 2]
         kx = kc - ky * pg[:, 2]

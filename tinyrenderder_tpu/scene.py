@@ -228,8 +228,31 @@ def _render_sharded(scene, visible, dtype, stats, timings,
                 and scene.width % raster_tiled.TILE_W == 0)
     t0 = time.perf_counter()
     if geometry:
-        fb, out_depth = dist.render_frame_geometry_sharded(
-            mesh, passes, scene.width, scene.height)
+        if (scene.width % raster_tiled.TILE_W == 0
+                and scene.height % raster_tiled.TILE_H == 0
+                and all(a["position"].shape[0] > 0 for a, *_ in passes)):
+            # production path: faces sharded through the binned/Pallas
+            # pipeline, pmin/psum merge on tiles (round-3 verdict #7)
+            ft, out_depth_t = dist.render_frame_geometry_tiles(
+                mesh, passes, scene.width, scene.height)
+            from tinyrenderder_tpu.ops import raster_sparse
+            fb = raster_sparse.tiles_to_buffers(ft, scene.width,
+                                                scene.height)
+            in_excluded = visible[-1].exclude_from_output_depth
+            if in_excluded:
+                ntx = scene.width // raster_tiled.TILE_W
+                nty = scene.height // raster_tiled.TILE_H
+                import jax as _jax
+                out_depth = raster_sparse._untile_one_jit(
+                    out_depth_t, ntx, nty, raster_tiled.TILE_H,
+                    raster_tiled.TILE_W,
+                    _jax.default_backend() != "tpu"
+                )[:scene.height, :scene.width]
+            else:
+                out_depth = fb.depth
+        else:
+            fb, out_depth = dist.render_frame_geometry_sharded(
+                mesh, passes, scene.width, scene.height)
     elif fused_ok:
         # PRODUCTION path: the fused sparse/fine pipeline itself under
         # shard_map row bands (round-3: the fast path and the scaled

@@ -275,23 +275,15 @@ def _render_with_shadows_fused(scene: Scene, light_dir, light_cam,
         for attrs, shader, uniforms, exclude in passes:
             f = attrs["position"].shape[0]
             uniforms = dict(uniforms)
-            use_fine = rs._decide_fine(attrs, shader, uniforms,
-                                       width, height)
+            mode = rs._decide_mode(attrs, shader, uniforms, width, height)
             key = (f, ntx, nty)
-            if use_fine:
-                if not strict_capacity:
-                    raster_fine._resolve_pending(key, n_tiles)
-                caps = raster_fine._resolve_caps(
-                    key, attrs, uniforms, shader, width, height,
-                    rs.TILE_H, rs.TILE_W, n_tiles)
-            else:
-                if not strict_capacity:
-                    rs._resolve_pending(key, n_tiles)
-                caps = rs._resolve_caps(key, attrs, uniforms, shader,
-                                        width, height, rs.TILE_H,
-                                        rs.TILE_W, n_tiles)
-            plan.append((shader, use_fine, caps, bool(exclude), offset))
-            keys.append((key, use_fine, n_tiles))
+            if not strict_capacity:
+                rs._resolve_pending_mode(mode, key, n_tiles)
+            caps = rs._resolve_caps_mode(mode, key, attrs, uniforms,
+                                         shader, width, height,
+                                         rs.TILE_H, rs.TILE_W, n_tiles)
+            plan.append((shader, mode, caps, bool(exclude), offset))
+            keys.append((key, mode, n_tiles))
             offset += f
         return tuple(plan), keys
 
@@ -314,31 +306,17 @@ def _render_with_shadows_fused(scene: Scene, light_dir, light_cam,
             grown = False
             tot_host = (np.asarray(jax.device_get(totals))
                         if strict_capacity else None)
-            for i, ((key, use_fine, n_tiles), (sh, uf, caps, *_)) in                     enumerate(zip(keys, plans)):
+            for i, ((key, mode, n_tiles), (sh, md, caps, *_)) in \
+                    enumerate(zip(keys, plans)):
                 if strict_capacity:
-                    t = tot_host[i]
-                    if use_fine:
-                        pc, rc, ac = caps
-                        pt, rt, na = (int(x) for x in t)
-                        if pt > pc or rt > rc or na > ac:
-                            raster_fine._FINE_CAPACITY[key] = (
-                                max(pc, raster_fine._quantize_soft(pt)),
-                                max(rc, raster_fine._quantize_soft(rt)),
-                                max(ac, rs._quantize_active(na, n_tiles)))
-                            grown = True
-                    else:
-                        cap, ac = caps
-                        pt, na = int(t[0]), int(t[1])
-                        if pt > cap or na > ac:
-                            rs._SPARSE_CAPACITY[key] = (
-                                max(cap, rs._quantize_soft(pt)),
-                                max(ac, rs._quantize_active(na, n_tiles)))
-                            grown = True
+                    if not rs._caps_fit(mode, caps, tot_host[i]):
+                        rs._mode_stores(mode)[0][key] = rs._grow_caps(
+                            mode, caps, tot_host[i], n_tiles)
+                        grown = True
                 else:
-                    pending = (raster_fine._FINE_PENDING if use_fine
-                               else rs._SPARSE_PENDING)
+                    pending = rs._mode_stores(mode)[1]
                     if key not in pending:
-                        tslice = totals[i] if use_fine else totals[i, :2]
+                        tslice = totals[i, :rs._mode_stores(mode)[2]]
                         try:
                             tslice.copy_to_host_async()
                         except AttributeError:
