@@ -27,10 +27,14 @@ __all__ = ["ModelManager", "load_mesh"]
 def load_mesh(path: str, load_textures: bool = True) -> Mesh:
     """Format-dispatched load (the Assimp-style single entry point the
     reference gets from ReadFile, model.cpp:91-99): .ply -> PLY loader,
-    anything else -> OBJ."""
-    if os.path.splitext(path)[1].lower() == ".ply":
+    .stl -> STL loader, anything else -> OBJ."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".ply":
         from tinyrenderder_tpu.models.ply import load_ply
         return load_ply(path, load_textures=load_textures)
+    if ext == ".stl":
+        from tinyrenderder_tpu.models.stl import load_stl
+        return load_stl(path, load_textures=load_textures)
     return load_obj(path, load_textures=load_textures)
 
 
