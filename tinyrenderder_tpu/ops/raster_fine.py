@@ -69,7 +69,8 @@ from tinyrenderder_tpu.ops import semantics
 from tinyrenderder_tpu.ops.raster import BACKGROUND
 from tinyrenderder_tpu.ops.raster_tiled import (TILE_H, TILE_W, _build_bins,
                                                 _cdiv, _next_pow2,
-                                                _quantize_soft, _tile_spans)
+                                                _quantize_soft,
+                                                _quantize_tight, _tile_spans)
 
 __all__ = ["render_pass_fine", "STRIP_W", "STRIPS"]
 
@@ -500,8 +501,8 @@ def _resolve_pending(key, n_tiles):
                 "detected %d frame(s) late; capacity grown",
                 pt, pc, rt, rc, pa, ac, age + 1)
             _FINE_CAPACITY[key] = (
-                max(pc, _quantize_soft(pt)),
-                max(rc, _quantize_soft(rt)),
+                max(pc, _quantize_tight(pt)),
+                max(rc, _quantize_tight(rt)),
                 max(ac, raster_sparse._quantize_active(pa, n_tiles)))
     else:
         _FINE_PENDING[key] = (totals_dev, prev_caps, age + 1)
@@ -592,8 +593,8 @@ def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
         pt, rt, act = (int(x) for x in
                        jax.device_get((pair_total, row_total, n_active)))
         if pt > pair_cap or rt > row_cap or act > a_cap:
-            grown = (max(pair_cap, _quantize_soft(pt)),
-                     max(row_cap, _quantize_soft(rt)),
+            grown = (max(pair_cap, _quantize_tight(pt)),
+                     max(row_cap, _quantize_tight(rt)),
                      max(a_cap, raster_sparse._quantize_active(act, n_tiles)))
             _FINE_CAPACITY[key] = grown
             return render_pass_fine(ft, attrs, shader, uniforms,
@@ -645,9 +646,9 @@ def _probe_caps(attrs, uniforms, shader, width, height, tile_h, tile_w,
     from tinyrenderder_tpu.ops import raster_sparse
     setup, pair_total = _probe_totals_jit(attrs, uniforms, shader,
                                           width, height, tile_h, tile_w)
-    pair_cap = _quantize_soft(int(jax.device_get(pair_total)))
+    pair_cap = _quantize_tight(int(jax.device_get(pair_total)))
     row_total, n_active = _probe_rows_jit(setup, pair_cap, width, height,
                                           tile_h, tile_w)
     rt, act = (int(x) for x in jax.device_get((row_total, n_active)))
-    return (pair_cap, _quantize_soft(rt),
+    return (pair_cap, _quantize_tight(rt),
             raster_sparse._quantize_active(act, n_tiles))

@@ -72,7 +72,8 @@ from tinyrenderder_tpu.ops.raster_fine import (COL_ID, DMA_ROWS, LOOP1_COLS,
                                                VARY_COL)
 from tinyrenderder_tpu.ops.raster_tiled import (TILE_H, TILE_W, _build_bins,
                                                 _cdiv, _next_pow2,
-                                                _quantize_soft, _tile_spans)
+                                                _quantize_soft,
+                                                _quantize_tight, _tile_spans)
 
 __all__ = ["render_pass_fine2"]
 
@@ -551,19 +552,6 @@ def _init_strips_jit(ft_depth, tid_of, g_cap, tile_h):
 # (F, ntx, nty) -> (pair_cap, row_cap, g_cap, a_cap)
 _FINE2_CAPACITY: dict = {}
 _FINE2_PENDING: dict = {}
-
-
-def _quantize_tight(n: int) -> int:
-    """Pair/row capacity quantizer for fine2: 6.25% headroom on a
-    1/32-pow2 grain (vs _quantize_soft's 12.5% on 1/16).  Every
-    pair-space op (sort, gathers, scatter) and the record gather scale
-    with these caps, and on the stress scene the tighter grain shaves
-    ~1 ms of pure padding work; the cost is at most 2x the compile
-    variants (still XLA-only — the Mosaic-visible record array stays
-    pow2-padded)."""
-    want = n + n // 16
-    grain = max(256, _next_pow2(want) // 32)
-    return max(256, _cdiv(want, grain) * grain)
 
 
 def _quantize_groups(n_groups: int, n_tiles: int) -> int:

@@ -319,14 +319,17 @@ _SPARSE_PENDING: dict = {}
 
 
 def _quantize_active(n_active: int, n_tiles: int) -> int:
-    """Active-tile capacity: 25% headroom rounded UP to an eighth of the
-    (pow2-rounded) tile count.  Pow2 rounding like the pair capacity
+    """Active-tile capacity: 12.5% headroom rounded UP to a sixteenth of
+    the (pow2-rounded) tile count.  Pow2 rounding like the pair capacity
     would jump straight to n_tiles once coverage passes ~40% (e.g. 965
     active of 2048 -> 2048) and the compaction would never engage; an
-    n_tiles/8 grain keeps at most 8 compiled grid variants per
-    resolution while preserving the win at mid coverage."""
-    grain = max(8, _next_pow2(n_tiles) // 8)
-    want = n_active + n_active // 4
+    n_tiles/16 grain keeps at most 16 compiled grid variants per
+    resolution.  Every a_cap unit is a kernel grid step plus a full
+    phase-C tile shade (the per-pixel texture-gather floor), so the
+    round-2 25%-on-1/8 headroom was ~0.7 ms of pure padding at 2048²
+    (a_cap 1280 for 965 active; now 1152 — measured round 3)."""
+    grain = max(8, _next_pow2(n_tiles) // 16)
+    want = n_active + n_active // 8
     return max(8, min(_cdiv(want, grain) * grain, n_tiles))
 
 
@@ -543,7 +546,7 @@ def _decide_mode(attrs, shader, uniforms, width, height,
                 attrs, dict(uniforms), shader, width, height,
                 tile_h, tile_w)
             sp_int = int(jax.device_get(sp_total))
-            pair_cap = raster_fine._quantize_soft(sp_int)
+            pair_cap = raster_fine._quantize_tight(sp_int)
             if pair_cap >= (1 << 21):
                 # strip-granularity pair counts past the exact-f32
                 # divmod range would force _build_bins onto the slow
@@ -570,7 +573,7 @@ def _decide_mode(attrs, shader, uniforms, width, height,
                 mode = "fine" if r1 <= 0.45 * ct else "coarse"
                 if mode == "fine":
                     raster_fine._FINE_CAPACITY.setdefault(
-                        key, (pair_cap, _quantize_soft(r1),
+                        key, (pair_cap, raster_fine._quantize_tight(r1),
                               _quantize_active(act, n_tiles)))
         _FINE_DECISION[dkey] = mode
     return mode
@@ -595,10 +598,10 @@ def _caps_from_totals(mode, t, n_tiles):
     t = [int(x) for x in t]
     if mode == "coarse":
         return (_quantize_soft(t[0]), _quantize_active(t[1], n_tiles))
+    from tinyrenderder_tpu.ops.raster_tiled import _quantize_tight
     if mode == "fine":
-        return (_quantize_soft(t[0]), _quantize_soft(t[1]),
+        return (_quantize_tight(t[0]), _quantize_tight(t[1]),
                 _quantize_active(t[2], n_tiles))
-    from tinyrenderder_tpu.ops.raster_fine2 import _quantize_tight
     return (_quantize_tight(t[0]), _quantize_tight(t[1]),
             _quantize_active(t[2], n_tiles), _quantize_active(t[3], n_tiles))
 

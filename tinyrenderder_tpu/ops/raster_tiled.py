@@ -254,6 +254,19 @@ def _quantize_soft(n: int) -> int:
     return max(256, _cdiv(want, grain) * grain)
 
 
+def _quantize_tight(n: int) -> int:
+    """Tighter pair/row quantizer for the fine-family paths: 6.25%
+    headroom on a 1/32-pow2 grain (vs _quantize_soft's 12.5% on 1/16).
+    Every pair-space op (sort, gathers, scatter) and the record gather
+    scale with these caps; on the stress scene the tighter grain shaves
+    ~1 ms of pure padding work (measured, round 3).  Cost is at most 2x
+    the compile variants — still XLA-only: the Mosaic-visible record
+    array stays pow2-padded separately."""
+    want = n + n // 16
+    grain = max(256, _next_pow2(want) // 32)
+    return max(256, _cdiv(want, grain) * grain)
+
+
 def _quantize_capacity(total: int) -> int:
     """Static pair capacity: 25% headroom rounded to a power of two
     (pow2 quantization bounds the number of distinct compiled programs
