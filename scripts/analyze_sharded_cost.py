@@ -58,24 +58,32 @@ def bench_pass(width, height):
             shader, dict(uniforms))
 
 
-def band_caps(setup, mode, n, width, height):
+def band_caps(setup, mode, n, width, height, interleave=False):
     """Honest per-band capacities: max over the N bands' pair totals /
     active tiles, quantized exactly like the runtime would after its
-    first-frame refinement."""
+    first-frame refinement.  ``interleave`` uses the strided band
+    layout (device b owns tile rows b, b+n, ...) — the capacity-shaped
+    pre-stage work follows the MAX band, so balanced bands shrink every
+    device's capacities."""
     ntx = width // TILE_W
     nty = height // TILE_H
     band_nty = nty // n
     n_tiles_band = ntx * band_nty
+    stride = n if interleave else 1
+
+    def clip(b):
+        if interleave:
+            return dict(ty_lo=b, ty_hi=band_nty - 1, ty_stride=stride)
+        return dict(ty_lo=b * band_nty, ty_hi=(b + 1) * band_nty - 1)
+
     pair_max = act_max = 0
     for b in range(n):
-        lo, hi = b * band_nty, (b + 1) * band_nty - 1
-        *_, total = _tile_spans(setup, TILE_W, TILE_H, lo, hi)
+        *_, total = _tile_spans(setup, TILE_W, TILE_H, **clip(b))
         pair_max = max(pair_max, int(jax.device_get(total)))
     cap = _quantize_soft(max(pair_max, 1))
     for b in range(n):
-        lo = b * band_nty
-        tx0, ty0, sx, spans, _ = _tile_spans(
-            setup, TILE_W, TILE_H, lo, lo + band_nty - 1)
+        tx0, ty0, sx, spans, _ = _tile_spans(setup, TILE_W, TILE_H,
+                                             **clip(b))
         _, _, counts = _build_bins(tx0, ty0, sx, spans, cap, ntx, band_nty)
         n_act = jnp.sum((counts > 0).astype(jnp.int32))
         act_max = max(act_max, int(jax.device_get(n_act)))
@@ -83,15 +91,15 @@ def band_caps(setup, mode, n, width, height):
     return (cap, raster_sparse._quantize_active(act_max, n_tiles_band))
 
 
-def cost_for_mesh(n, width=2048, height=2048):
+def cost_for_mesh(n, width=2048, height=2048, interleave=False):
     mesh = dist.make_mesh(n)
     attrs, s, u = bench_pass(width, height)
     setup, _ = raster_sparse._vertex_setup(attrs, u, s, width, height)
     mode = "coarse"                      # CPU analysis host; same HLO shape
-    caps = band_caps(setup, mode, n, width, height)
+    caps = band_caps(setup, mode, n, width, height, interleave)
     plan = ((s, mode, caps, False, 0),)
     fn = dist._sharded_fused_fn(mesh, plan, width, height,
-                                TILE_H, TILE_W, True)
+                                TILE_H, TILE_W, True, interleave)
     lowered = fn.lower((attrs,), (u,))
     c = lowered.compile().cost_analysis()
     if isinstance(c, list):
@@ -102,32 +110,37 @@ def cost_for_mesh(n, width=2048, height=2048):
 
 
 def main():
-    rows = []
-    base = None
-    for n in (1, 2, 4, 8):
-        r = cost_for_mesh(n)
-        if base is None:
-            base = r
-        rows.append((n, r))
-        print(f"mesh({n}): per-device flops={r['flops']:.4e} "
-              f"bytes={r['bytes']:.4e} "
-              f"(vs mesh(1): flops x{r['flops'] / base['flops']:.3f}, "
-              f"bytes x{r['bytes'] / base['bytes']:.3f}) "
-              f"caps={r['caps']}", flush=True)
-    print("\n| mesh | per-device GFLOP | per-device GB | vs 1/N ideal |")
-    print("|---|---|---|---|")
-    for n, r in rows:
-        ideal = base["flops"] / n
-        print(f"| {n} | {r['flops'] / 1e9:.3f} | {r['bytes'] / 1e9:.3f} | "
-              f"{r['flops'] / ideal:.2f}x |")
-    f1, f8 = base["flops"], rows[-1][1]["flops"]
-    geom = (8 * f8 - f1) / 7          # solve geom + pix/N model
-    pix = f1 - geom
-    print(f"\nmodel fit: replicated-geometry term {geom / 1e9:.3f} GFLOP, "
-          f"sharded pixel term {pix / 1e9:.3f} GFLOP "
-          f"({pix / f1 * 100:.1f}% of mesh(1) work shards)")
-    print(f"projected 8-chip parallel efficiency at this workload: "
-          f"{f1 / (8 * f8) * 100:.1f}%")
+    for interleave in (False, True):
+        label = "interleaved" if interleave else "contiguous"
+        print(f"\n==== {label} row bands ====", flush=True)
+        rows = []
+        base = None
+        for n in (1, 2, 4, 8):
+            r = cost_for_mesh(n, interleave=interleave)
+            if base is None:
+                base = r
+            rows.append((n, r))
+            print(f"mesh({n}): per-device flops={r['flops']:.4e} "
+                  f"bytes={r['bytes']:.4e} "
+                  f"(vs mesh(1): flops x{r['flops'] / base['flops']:.3f}, "
+                  f"bytes x{r['bytes'] / base['bytes']:.3f}) "
+                  f"caps={r['caps']}", flush=True)
+        print("\n| mesh | per-device GFLOP | per-device GB | vs 1/N ideal |")
+        print("|---|---|---|---|")
+        for n, r in rows:
+            ideal = base["flops"] / n
+            print(f"| {n} | {r['flops'] / 1e9:.3f} | "
+                  f"{r['bytes'] / 1e9:.3f} | "
+                  f"{r['flops'] / ideal:.2f}x |")
+        f1, f8 = base["flops"], rows[-1][1]["flops"]
+        geom = (8 * f8 - f1) / 7          # solve geom + pix/N model
+        pix = f1 - geom
+        print(f"\nmodel fit ({label}): replicated-geometry term "
+              f"{geom / 1e9:.3f} GFLOP, sharded pixel term "
+              f"{pix / 1e9:.3f} GFLOP "
+              f"({pix / f1 * 100:.1f}% of mesh(1) work shards)")
+        print(f"projected 8-chip parallel efficiency at this workload "
+              f"({label}): {f1 / (8 * f8) * 100:.1f}%")
 
 
 if __name__ == "__main__":

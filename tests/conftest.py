@@ -35,6 +35,16 @@ if TPU_MODE:
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 else:
     jax.config.update("jax_platforms", "cpu")
+    # The suite is XLA:CPU *compile*-dominated (multi-pass shard_map
+    # fused-frame programs rebuilt every run): a persistent compile
+    # cache cut the full suite from ~16 min to ~6 min on reruns
+    # (directive-10, round 3).  Keyed by HLO, so code edits that change
+    # a program miss the cache and recompile — always safe.  Kept
+    # separate from the TPU cache (different compile options).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_TEST_CACHE_DIR",
+                                     "/root/.jax_cache_cpu_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def pytest_configure(config):

@@ -392,6 +392,50 @@ def test_fused_sharded_bitwise_vs_single(meshes, n_devices, kernel):
     assert len(shards) == n_devices
 
 
+@pytest.mark.parametrize("n_devices,kernel", [
+    (8, "coarse"), (8, "fine"), (8, "fine2"), (2, "fine")])
+def test_fused_sharded_interleaved_bitwise(meshes, n_devices, kernel):
+    """Interleaved row bands (device b owns tile rows b, b+N, ...) are
+    BITWISE identical to the single-device fused frame after the
+    transfer-boundary row reorder — color, depth, winner, and the
+    excluded-pass output depth — for all three kernels.  Interleaving
+    splits contiguous coverage hot spots evenly across devices (the
+    round-3 band-imbalance fix, docs/PERFORMANCE.md)."""
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough virtual devices")
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    w, h = 128, 16 * 8
+    view, proj = default_view()
+    passes = _fused_passes(meshes, view, proj)
+    saved = raster_sparse.FINE_MODE
+    raster_sparse.FINE_MODE = kernel
+    raster_sparse._FINE_DECISION.clear()
+    try:
+        ft1, od1, _ = raster_sparse.render_frame_fused(passes, w, h)
+        fb1 = raster_sparse.tiles_to_buffers(ft1, w, h)
+        mesh = dist.make_mesh(n_devices)
+        ft2, od2, _ = dist.render_frame_fused_sharded(
+            mesh, passes, w, h, interleave=True)
+        fb2 = dist.tiles_to_buffers_sharded(mesh, ft2, w, h,
+                                            interleave=True)
+        od2_hw = dist.untile_one_sharded(mesh, od2, w, h, interleave=True)
+    finally:
+        raster_sparse.FINE_MODE = saved
+        raster_sparse._FINE_DECISION.clear()
+
+    assert (np.asarray(fb1.winner) == np.asarray(fb2.winner)).all()
+    assert np.array_equal(np.asarray(fb1.depth), np.asarray(fb2.depth),
+                          equal_nan=True)
+    assert (np.asarray(fb1.color) == np.asarray(fb2.color)).all()
+    od1_img = np.asarray(raster_sparse._untile_one_jit(
+        od1, w // 128, h // 16, 16, 128, True))
+    assert np.array_equal(od1_img, np.asarray(od2_hw), equal_nan=True)
+    # really distributed: one band shard per device
+    shards = {s.device for s in ft2.color.addressable_shards}
+    assert len(shards) == n_devices
+
+
 def test_fused_sharded_async_capacity(meshes):
     """Async mode: no strict sync, capacities refine to band-local sizes
     next frame, output stays bitwise-exact across frames."""

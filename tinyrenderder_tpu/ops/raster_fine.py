@@ -107,10 +107,10 @@ def _loop2_cols(n_vary):
 
 @functools.partial(jax.jit, static_argnames=(
     "shader", "width", "height", "pair_cap", "row_cap", "rec_cap", "a_cap",
-    "tile_h", "tile_w", "nty_band"))
+    "tile_h", "tile_w", "nty_band", "ty_stride"))
 def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
                   row_cap, rec_cap, a_cap, tile_h, tile_w, ty_lo=None,
-                  nty_band=None):
+                  nty_band=None, ty_stride=1):
     """Fused pre-stage: vertex transform, setup, strip binning, slot
     interleave, record build, active-tile compaction — one dispatch.
 
@@ -132,12 +132,13 @@ def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
     n_tiles = ntx * nty
     nsx = ntx * STRIPS
     n_strips = nsx * nty
-    ty_hi = None if ty_lo is None else ty_lo + (nty - 1)
+    ty_hi = (None if ty_lo is None
+             else (nty - 1 if ty_stride > 1 else ty_lo + (nty - 1)))
 
     # strip-granularity bins; strip id = 8*tile + k (tile tx's strips are
     # columns tx*8..tx*8+7 of the strip grid)
     tx0, ty0, span_x, spans, pair_total = _tile_spans(
-        setup, STRIP_W, tile_h, ty_lo, ty_hi)
+        setup, STRIP_W, tile_h, ty_lo, ty_hi, ty_stride=ty_stride)
     sorted_tri, start, counts, sorted_key = _build_bins(
         tx0, ty0, span_x, spans, pair_cap, nsx, nty, return_keys=True)
     counts_t = counts.reshape(n_tiles, STRIPS)
@@ -220,15 +221,18 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
                  rec_hbm, init_ref,
                  depth_ref, winner_ref, vary_ref, buf, sem, planes_ref,
                  *, n_tiles_x, tile_h, tile_w, n_vary,
-                 dma_rows=DMA_ROWS, sub=SUB_ROWS, ev_ref=None):
+                 dma_rows=DMA_ROWS, sub=SUB_ROWS, ev_ref=None,
+                 y_stride=None):
     i = pl.program_id(0)
     t = ids_ref[i]                      # clamped; padding rows = 0
     seg_start = start_ref[i]
     count = rows_ref[i]                 # record ROWS for this tile
 
     dtype = jnp.float32
+    if y_stride is None:
+        y_stride = tile_h               # contiguous band (or single device)
     gx0 = (origin_ref[0] + (t % n_tiles_x) * tile_w).astype(jnp.int32)
-    gy0 = (origin_ref[1] + (t // n_tiles_x) * tile_h).astype(jnp.int32)
+    gy0 = (origin_ref[1] + (t // n_tiles_x) * y_stride).astype(jnp.int32)
     xi = (gx0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
           ).astype(dtype)
     yi = (gy0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -404,17 +408,18 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_tiles_x", "n_tiles_y", "tile_h", "tile_w", "n_vary", "interpret",
-    "dma_rows", "sub", "collect_stats"))
+    "dma_rows", "sub", "collect_stats", "y_stride"))
 def _fine_call_jit(ids, row_start, rows, rec, depth_tiles,
                    n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary,
                    interpret, origin=None, dma_rows=DMA_ROWS,
-                   sub=SUB_ROWS, collect_stats=False):
+                   sub=SUB_ROWS, collect_stats=False, y_stride=None):
     a_cap = ids.shape[0]
     if origin is None:
         origin = jnp.zeros((2,), jnp.int32)
     kernel = functools.partial(_fine_kernel, n_tiles_x=n_tiles_x,
                                tile_h=tile_h, tile_w=tile_w, n_vary=n_vary,
-                               dma_rows=dma_rows, sub=sub)
+                               dma_rows=dma_rows, sub=sub,
+                               y_stride=y_stride)
 
     n_planes = len(LOOP1_COLS)        # loop 2 extracts lazily from buf
     if collect_stats:

@@ -84,10 +84,10 @@ __all__ = ["render_pass_fine2"]
 
 @functools.partial(jax.jit, static_argnames=(
     "shader", "width", "height", "pair_cap", "row_cap", "rec_cap", "g_cap",
-    "a_cap", "tile_h", "tile_w", "nty_band"))
+    "a_cap", "tile_h", "tile_w", "nty_band", "ty_stride"))
 def _pre_fine2_jit(attrs, uniforms, shader, width, height, pair_cap,
                    row_cap, rec_cap, g_cap, a_cap, tile_h, tile_w,
-                   ty_lo=None, nty_band=None):
+                   ty_lo=None, nty_band=None, ty_stride=1):
     """Fused pre-stage: vertex transform, setup, strip binning, class
     sort + group assignment, slot interleave, record build, active-tile
     mapping — one dispatch.
@@ -106,10 +106,11 @@ def _pre_fine2_jit(attrs, uniforms, shader, width, height, pair_cap,
     n_tiles = ntx * nty
     nsx = ntx * STRIPS
     n_strips = nsx * nty
-    ty_hi = None if ty_lo is None else ty_lo + (nty - 1)
+    ty_hi = (None if ty_lo is None
+             else (nty - 1 if ty_stride > 1 else ty_lo + (nty - 1)))
 
     tx0, ty0, span_x, spans, pair_total = _tile_spans(
-        setup, STRIP_W, tile_h, ty_lo, ty_hi)
+        setup, STRIP_W, tile_h, ty_lo, ty_hi, ty_stride=ty_stride)
     sorted_tri, start, counts, sorted_key = _build_bins(
         tx0, ty0, span_x, spans, pair_cap, nsx, nty, return_keys=True)
 
@@ -180,7 +181,7 @@ def _pre_fine2_jit(attrs, uniforms, shader, width, height, pair_cap,
     tid_of = order                                  # (P, 8) tile per slot
     xk = ((tid_of % ntx) * tile_w
           + STRIP_W * jnp.arange(STRIPS, dtype=jnp.int32)[None, :])
-    yk = (tid_of // ntx) * tile_h
+    yk = (tid_of // ntx) * (tile_h * ty_stride)     # interleave-aware
     x0y0 = jnp.stack([jnp.repeat(xk, 16, axis=1,
                                  total_repeat_length=128),
                       jnp.repeat(yk, 16, axis=1,

@@ -98,7 +98,7 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
                  depth_ref, winner_ref, vary_ref, buf, sem,
                  *, n_tiles_x, tile_h, tile_w, n_vary,
                  dma_chunk=DMA_CHUNK, sub=SUB, ids_ref=None,
-                 ev_ref=None):
+                 ev_ref=None, y_stride=None):
     if ids_ref is None:
         t = pl.program_id(0)               # dense grid: one step per tile
         seg_start = start_ref[t]
@@ -110,9 +110,13 @@ def _tile_kernel(start_ref, count_ref, origin_ref, rec_hbm, init_ref,
         count = count_ref[i]
 
     dtype = jnp.float32
-    # origin: global pixel offset of this buffer (row-band sharding)
+    if y_stride is None:
+        y_stride = tile_h                  # contiguous band / single device
+    # origin: global pixel offset of this buffer (row-band sharding);
+    # y_stride > tile_h = interleaved row bands (local tile row j is
+    # global row origin/tile_h + j*stride)
     gx0 = (origin_ref[0] + (t % n_tiles_x) * tile_w).astype(jnp.int32)
-    gy0 = (origin_ref[1] + (t // n_tiles_x) * tile_h).astype(jnp.int32)
+    gy0 = (origin_ref[1] + (t // n_tiles_x) * y_stride).astype(jnp.int32)
     xi = (gx0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
           ).astype(dtype)                       # exact ints as f32
     yi = (gy0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -345,11 +349,11 @@ def _pallas_call_jit(start, counts, records, init_tiles,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_tiles_x", "n_tiles_y", "tile_h", "tile_w", "n_vary", "interpret",
-    "dma_chunk", "sub", "collect_stats"))
+    "dma_chunk", "sub", "collect_stats", "y_stride"))
 def _pallas_call_sparse_jit(ids, start, counts, records, depth_tiles,
                             n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary,
                             interpret, origin=None, dma_chunk=DMA_CHUNK,
-                            sub=SUB, collect_stats=False):
+                            sub=SUB, collect_stats=False, y_stride=None):
     """Active-tile compacted kernel launch: the grid runs over the A_cap
     entries of ``ids`` (compacted non-empty tile ids, clamped in-range —
     padding entries carry count 0) instead of every screen tile.  The
@@ -363,7 +367,8 @@ def _pallas_call_sparse_jit(ids, start, counts, records, depth_tiles,
         origin = jnp.zeros((2,), jnp.int32)
     kernel = functools.partial(_tile_kernel, n_tiles_x=n_tiles_x,
                                tile_h=tile_h, tile_w=tile_w, n_vary=n_vary,
-                               dma_chunk=dma_chunk, sub=sub)
+                               dma_chunk=dma_chunk, sub=sub,
+                               y_stride=y_stride)
 
     if collect_stats:
         def sparse_kernel(ids_r, start_r, count_r, origin_r, rec, init,

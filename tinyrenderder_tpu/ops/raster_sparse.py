@@ -225,10 +225,10 @@ def tiles_to_buffers(ft: FrameTiles, width: int, height: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "shader", "width", "height", "capacity", "rec_cap", "a_cap",
-    "tile_h", "tile_w", "nty_band"))
+    "tile_h", "tile_w", "nty_band", "ty_stride"))
 def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
                     a_cap, tile_h, tile_w, rec_cap=None, ty_lo=None,
-                    nty_band=None):
+                    nty_band=None, ty_stride=1):
     """Fused pre-kernel stage: vertex transform, setup, binning, pair
     records, and active-tile compaction — one dispatch.
 
@@ -248,9 +248,12 @@ def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
     n_tiles_x = _cdiv(width, tile_w)
     n_tiles_y = nty_band if nty_band is not None else _cdiv(height, tile_h)
     n_tiles = n_tiles_x * n_tiles_y
-    ty_hi = None if ty_lo is None else ty_lo + (n_tiles_y - 1)
+    ty_hi = (None if ty_lo is None
+             else (n_tiles_y - 1 if ty_stride > 1
+                   else ty_lo + (n_tiles_y - 1)))
     tx0, ty0, span_x, spans, total = _tile_spans(setup, tile_w, tile_h,
-                                                 ty_lo, ty_hi)
+                                                 ty_lo, ty_hi,
+                                                 ty_stride=ty_stride)
     sorted_tri, start, counts = _build_bins(
         tx0, ty0, span_x, spans, capacity, n_tiles_x, n_tiles_y)
 
@@ -677,7 +680,7 @@ def _count_active(setup, capacity, width, height, tile_h, tile_w):
 
 def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                       tile_h, tile_w, interpret, ty_lo=None,
-                      nty_band=None, origin=None):
+                      nty_band=None, origin=None, ty_stride=1):
     """Trace the whole multi-pass frame as one program (see
     _frame_fused_jit).  With ``ty_lo``/``nty_band``/``origin`` the frame
     is a horizontal band of the screen: binning is band-clipped, the
@@ -718,11 +721,12 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
              ) = raster_fine._pre_fine_jit(
                 attrs, uniforms, shader, width, height, pc, rc,
                 _next_pow2(rc), ac, tile_h, tile_w,
-                ty_lo=ty_lo, nty_band=nty_band)
+                ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride)
             d_c, w_c, v_c, _ = raster_fine._fine_call_jit(
                 kernel_ids, rs, ra, rec, ft.depth,
                 n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
-                origin=origin)
+                origin=origin,
+                y_stride=None if ty_stride == 1 else tile_h * ty_stride)
             ovf = (pt > pc) | (rt > rc) | (na > ac)
             totals.append(jnp.stack([pt, rt, na, neg1]))
             ft = _post_sparse_jit(ft, ids, kernel_ids, d_c, w_c, v_c,
@@ -734,7 +738,7 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
              tid_of, pt, rt, ng, na, _) = raster_fine2._pre_fine2_jit(
                 attrs, uniforms, shader, width, height, pc, rc,
                 _next_pow2(rc), gc, ac, tile_h, tile_w,
-                ty_lo=ty_lo, nty_band=nty_band)
+                ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride)
             d_g, w_g, v_g, _ = raster_fine2._fine2_call_jit(
                 sg, rg, rec, x0y0, tile_h, n_vary, interpret,
                 origin=origin)
@@ -749,11 +753,13 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
              ) = _pre_sparse_jit(attrs, uniforms, shader, width, height,
                                  cap, ac, tile_h, tile_w,
                                  rec_cap=_next_pow2(cap),
-                                 ty_lo=ty_lo, nty_band=nty_band)
+                                 ty_lo=ty_lo, nty_band=nty_band,
+                                 ty_stride=ty_stride)
             d_c, w_c, v_c, _ = raster_pallas._pallas_call_sparse_jit(
                 kernel_ids, sa, ca, records, ft.depth,
                 n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
-                origin=origin)
+                origin=origin,
+                y_stride=None if ty_stride == 1 else tile_h * ty_stride)
             ovf = (total > cap) | (na > ac)
             totals.append(jnp.stack([total, na, neg1, neg1]))
             ft = _post_sparse_jit(ft, ids, kernel_ids, d_c, w_c, v_c,

@@ -88,15 +88,25 @@ class Bins:
         return int(jax.device_get(self.total_pairs)) > self.capacity
 
 
-@functools.partial(jax.jit, static_argnames=("tile_w", "tile_h"))
+@functools.partial(jax.jit, static_argnames=("tile_w", "tile_h",
+                                             "ty_stride"))
 def _tile_spans(setup, tile_w: int, tile_h: int, ty_lo=None, ty_hi=None,
-                tx_lo=None, tx_hi=None):
+                tx_lo=None, tx_hi=None, ty_stride: int = 1):
     """Per-triangle tile ranges and pair spans from the clamped bbox.
 
     ``ty_lo``/``ty_hi`` and ``tx_lo``/``tx_hi`` (inclusive, may be
     traced) clip the tile range to a screen block — the sharded paths
     bin each device's block independently; returned tx0/ty0 are
     block-local.
+
+    ``ty_stride`` (static) > 1 selects an INTERLEAVED row band: the
+    device owns global tile rows ty_lo, ty_lo+stride, ... (ty_hi is
+    then the count-1 in stride units, i.e. the last owned row is
+    ty_lo + ty_hi*stride).  Owned rows are consecutive in block-local
+    space, so the pair expansion (_build_bins) is unchanged — only this
+    clip and the kernels' y origin know about the stride.  Interleaving
+    splits coverage hot spots (which are contiguous in y) evenly across
+    devices (docs/PERFORMANCE.md round-3 band-imbalance finding).
     """
     bbox = setup["bbox"]                      # (F, 4) min_x, max_x, min_y, max_y
     valid = setup["valid"]
@@ -104,7 +114,16 @@ def _tile_spans(setup, tile_w: int, tile_h: int, ty_lo=None, ty_hi=None,
     tx1 = bbox[:, 1] // tile_w
     ty0 = bbox[:, 2] // tile_h
     ty1 = bbox[:, 3] // tile_h
-    if ty_lo is not None:
+    if ty_lo is not None and ty_stride > 1:
+        # owned global rows: ty_lo + m*stride for m in [0, ty_hi];
+        # block-local row = m.  (stride is a static python int, so the
+        # divisions lower to constant-divisor sequences, not the slow
+        # per-element VPU div — see _exact_divmod_i32.)
+        m0 = (jnp.maximum(ty0 - ty_lo, 0) + (ty_stride - 1)) // ty_stride
+        m1 = jnp.minimum((ty1 - ty_lo) // ty_stride, ty_hi)
+        span_y = jnp.where(valid & (m1 >= m0), m1 - m0 + 1, 0)
+        ty0 = m0                              # block-local
+    elif ty_lo is not None:
         ty0c = jnp.maximum(ty0, ty_lo)
         ty1c = jnp.minimum(ty1, ty_hi)
         span_y = jnp.where(valid & (ty1c >= ty0c), ty1c - ty0c + 1, 0)

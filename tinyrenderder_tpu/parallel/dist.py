@@ -537,7 +537,8 @@ _SHARD_FUSED_REFINED: set = set()   # keys whose caps are band-local
 
 @functools.lru_cache(maxsize=None)
 def _sharded_fused_fn(mesh: Mesh, plan, width: int, height: int,
-                      tile_h: int, tile_w: int, interpret: bool):
+                      tile_h: int, tile_w: int, interpret: bool,
+                      interleave: bool = False):
     from tinyrenderder_tpu.ops import raster_sparse
 
     n = mesh.devices.size
@@ -546,12 +547,22 @@ def _sharded_fused_fn(mesh: Mesh, plan, width: int, height: int,
 
     def shard_body(attrs_t, uniforms_t):
         b = jax.lax.axis_index(AXIS)
-        ty_lo = (b * band_tiles_y).astype(jnp.int32)
-        origin = jnp.stack([jnp.int32(0),
-                            (ty_lo * tile_h).astype(jnp.int32)])
+        if interleave:
+            # device b owns tile rows b, b+n, b+2n, ... — coverage hot
+            # spots (contiguous in y) spread evenly across devices
+            ty_lo = b.astype(jnp.int32)
+            origin = jnp.stack([jnp.int32(0),
+                                (b * tile_h).astype(jnp.int32)])
+            stride = n
+        else:
+            ty_lo = (b * band_tiles_y).astype(jnp.int32)
+            origin = jnp.stack([jnp.int32(0),
+                                (ty_lo * tile_h).astype(jnp.int32)])
+            stride = 1
         ft, out_depth, overflow, totals = raster_sparse._fused_frame_body(
             attrs_t, uniforms_t, plan, width, height, tile_h, tile_w,
-            interpret, ty_lo=ty_lo, nty_band=band_tiles_y, origin=origin)
+            interpret, ty_lo=ty_lo, nty_band=band_tiles_y, origin=origin,
+            ty_stride=stride)
         return (ft, out_depth, overflow.reshape(1), totals[None])
 
     ft_spec = raster_sparse.FrameTiles(color=P(AXIS), depth=P(AXIS),
@@ -592,7 +603,8 @@ def _clamp_band_caps(mode, caps, n_tiles_band):
 def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
                                tile_h: int | None = None,
                                tile_w: int | None = None,
-                               strict_capacity: bool = True):
+                               strict_capacity: bool = True,
+                               interleave: bool = False):
     """Render a whole multi-pass frame through the PRODUCTION fused
     pipeline with the framebuffer row-band-sharded over ``mesh``.
 
@@ -608,7 +620,19 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
     one sync); afterwards they are REFINED to the quantized per-band
     maxima — strict mode syncs the per-band totals each frame and
     re-renders on overflow; async mode resolves them a frame late
-    (exactly the single-device _resolve_pending contract)."""
+    (exactly the single-device _resolve_pending contract).
+
+    ``interleave=True`` assigns device b the tile rows b, b+N, b+2N, ...
+    instead of one contiguous block.  Coverage concentrates in
+    contiguous y ranges on real scenes (the round-3 cost analysis
+    measured the busiest contiguous band at ~2x the average on the
+    2048² head), so interleaving equalizes per-device pair counts —
+    and since capacities are shared across bands and sized by the MAX
+    band, balanced bands shrink every device's pre-stage too.  The
+    render stays collective-free; the one global row reorder happens in
+    tiles_to_buffers_sharded(interleave=True) at the transfer boundary.
+    Output FrameTiles are in device-major band order — pass the same
+    ``interleave`` flag to the untile helpers."""
     from tinyrenderder_tpu.ops import raster_fine, raster_sparse
     from tinyrenderder_tpu.ops.raster_tiled import TILE_H, TILE_W
 
@@ -644,7 +668,7 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
         uniforms = dict(uniforms)
         mode = raster_sparse._decide_mode(
             attrs, shader, uniforms, width, height, tile_h, tile_w)
-        key = (f, n_tiles_x, nty, n, mode, "fused-sharded")
+        key = (f, n_tiles_x, nty, n, mode, "fused-sharded", interleave)
         caps = _SHARD_FUSED_CAPS.get(key)
         if caps is None:
             # seed from the full-screen totals: an upper bound for any
@@ -664,7 +688,7 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
         offset += f
 
     fn = _sharded_fused_fn(mesh, tuple(plan), width, height,
-                           tile_h, tile_w, interpret)
+                           tile_h, tile_w, interpret, interleave)
     ft, out_depth, overflow, totals = fn(tuple(attrs_t), tuple(unis_t))
     # totals: (n_bands, n_passes, 4)
 
@@ -688,7 +712,7 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
         if grown:
             return render_frame_fused_sharded(
                 mesh, passes, width, height, tile_h, tile_w,
-                strict_capacity)
+                strict_capacity, interleave)
     else:
         for i, (key, mode) in enumerate(keys):
             if key not in _SHARD_FUSED_PENDING:
@@ -734,9 +758,23 @@ def _resolve_fused_pending(key, mode, n_tiles_band):
         _SHARD_FUSED_PENDING[key] = (totals_dev, prev_caps, age + 1)
 
 
+def _deinterleave_rows(x, n, band_nty, tile_h):
+    """Device-major row blocks -> globally interleaved tile rows.
+
+    With interleaved bands, device b's untiled block holds global tile
+    rows b, b+n, b+2n, ...; the concatenated (H, W[, C]) array is
+    therefore tile-row-interleaved device-major.  One reshape/moveaxis
+    restores global row order — this runs OUTSIDE shard_map at the
+    transfer boundary only, where XLA inserts the (unavoidable) row
+    exchange; the render itself stays collective-free."""
+    t = x.reshape((n, band_nty, tile_h) + x.shape[1:])
+    return jnp.moveaxis(t, 0, 1).reshape(x.shape)
+
+
 @functools.lru_cache(maxsize=None)
 def _sharded_untile_fn(mesh: Mesh, width: int, height: int,
-                       tile_h: int, tile_w: int, interpret: bool):
+                       tile_h: int, tile_w: int, interpret: bool,
+                       interleave: bool = False):
     from tinyrenderder_tpu.ops import raster_sparse
 
     n = mesh.devices.size
@@ -754,28 +792,44 @@ def _sharded_untile_fn(mesh: Mesh, width: int, height: int,
     ft_spec = raster_sparse.FrameTiles(color=P(AXIS), depth=P(AXIS),
                                        winner=P(AXIS))
     fb_spec = FrameBuffers(color=P(AXIS), depth=P(AXIS), winner=P(AXIS))
-    return jax.jit(jax.shard_map(shard_body, mesh=mesh, in_specs=(ft_spec,),
-                                 out_specs=fb_spec, check_vma=False))
+    mapped = jax.shard_map(shard_body, mesh=mesh, in_specs=(ft_spec,),
+                           out_specs=fb_spec, check_vma=False)
+    if not interleave:
+        return jax.jit(mapped)
+
+    def full(ft):
+        fb = mapped(ft)
+        return FrameBuffers(
+            color=_deinterleave_rows(fb.color, n, band_nty, tile_h),
+            depth=_deinterleave_rows(fb.depth, n, band_nty, tile_h),
+            winner=_deinterleave_rows(fb.winner, n, band_nty, tile_h))
+    return jax.jit(full)
 
 
 def tiles_to_buffers_sharded(mesh: Mesh, ft, width: int, height: int,
                              tile_h: int | None = None,
-                             tile_w: int | None = None) -> FrameBuffers:
+                             tile_w: int | None = None,
+                             interleave: bool = False) -> FrameBuffers:
     """Per-band Pallas untile of a sharded FrameTiles: (H, W) buffers
-    row-sharded over the mesh (no resharding, no collectives)."""
+    row-sharded over the mesh (no resharding, no collectives).  With
+    ``interleave`` the bands are tile-row-interleaved (see
+    render_frame_fused_sharded) and the final global row reorder happens
+    here, at the transfer boundary."""
     from tinyrenderder_tpu.ops.raster_tiled import TILE_H, TILE_W
     if tile_h is None:
         tile_h = TILE_H
     if tile_w is None:
         tile_w = TILE_W
     interpret = jax.default_backend() != "tpu"
-    fn = _sharded_untile_fn(mesh, width, height, tile_h, tile_w, interpret)
+    fn = _sharded_untile_fn(mesh, width, height, tile_h, tile_w, interpret,
+                            interleave)
     return fn(ft)
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_untile_one_fn(mesh: Mesh, width: int, height: int,
-                           tile_h: int, tile_w: int, interpret: bool):
+                           tile_h: int, tile_w: int, interpret: bool,
+                           interleave: bool = False):
     from tinyrenderder_tpu.ops import raster_sparse
 
     n = mesh.devices.size
@@ -786,12 +840,17 @@ def _sharded_untile_one_fn(mesh: Mesh, width: int, height: int,
         return raster_sparse._untile_one_jit(x, ntx, band_nty, tile_h,
                                              tile_w, interpret)
 
-    return jax.jit(jax.shard_map(shard_body, mesh=mesh, in_specs=(P(AXIS),),
-                                 out_specs=P(AXIS), check_vma=False))
+    mapped = jax.shard_map(shard_body, mesh=mesh, in_specs=(P(AXIS),),
+                           out_specs=P(AXIS), check_vma=False)
+    if not interleave:
+        return jax.jit(mapped)
+    return jax.jit(lambda x: _deinterleave_rows(mapped(x), n, band_nty,
+                                                tile_h))
 
 
 def untile_one_sharded(mesh: Mesh, tiles, width: int, height: int,
-                       tile_h: int | None = None, tile_w: int | None = None):
+                       tile_h: int | None = None, tile_w: int | None = None,
+                       interleave: bool = False):
     """Single-plane sharded untile (e.g. the excluded-pass out_depth)."""
     from tinyrenderder_tpu.ops.raster_tiled import TILE_H, TILE_W
     if tile_h is None:
@@ -800,7 +859,7 @@ def untile_one_sharded(mesh: Mesh, tiles, width: int, height: int,
         tile_w = TILE_W
     interpret = jax.default_backend() != "tpu"
     fn = _sharded_untile_one_fn(mesh, width, height, tile_h, tile_w,
-                                interpret)
+                                interpret, interleave)
     return fn(tiles)
 
 

@@ -256,15 +256,20 @@ def _render_sharded(scene, visible, dtype, stats, timings,
     elif fused_ok:
         # PRODUCTION path: the fused sparse/fine pipeline itself under
         # shard_map row bands (round-3: the fast path and the scaled
-        # path are the same path)
+        # path are the same path).  Bands are INTERLEAVED (device b owns
+        # tile rows b, b+N, ...) so coverage hot spots — contiguous in y
+        # on real scenes — split evenly across devices; on one device
+        # this is the identity layout.
+        inter = SHARDED_INTERLEAVE and n_dev > 1
         ft, out_depth_t, _ = dist.render_frame_fused_sharded(
             mesh, passes, scene.width, scene.height,
-            strict_capacity=strict_capacity)
+            strict_capacity=strict_capacity, interleave=inter)
         fb = dist.tiles_to_buffers_sharded(mesh, ft, scene.width,
-                                           scene.height)
+                                           scene.height, interleave=inter)
         in_excluded = visible[-1].exclude_from_output_depth
         out_depth = (dist.untile_one_sharded(mesh, out_depth_t,
-                                             scene.width, scene.height)
+                                             scene.width, scene.height,
+                                             interleave=inter)
                      if in_excluded else fb.depth)
     else:
         fb, out_depth = dist.render_frame_sharded(
@@ -356,6 +361,12 @@ def _render_oracle(scene, visible, dtype, stats, timings) -> RenderResult:
 #: test hook — route the scene's "tiled" backend through the tiled-
 #: resident sparse frame loop even off-TPU (interpret-mode kernel)
 FORCE_TILES_LOOP = False
+
+#: the sharded fused backend uses interleaved row bands (device b owns
+#: tile rows b, b+N, ...) for coverage balance; set False to force the
+#: contiguous-band layout (same pixels, different device assignment —
+#: both bitwise-identical to the single-device frame)
+SHARDED_INTERLEAVE = True
 
 
 def _render_device_tiles(scene, visible, dtype, stats, timings,
