@@ -8,20 +8,21 @@ imbalance), and rows bound BOTH the pre-stage's big record gather and
 the kernel's step count — the round-2 verdict's top single-chip perf
 item.
 
-The key observation: a strip's pixels occupy lanes [16k, 16k+16) of a
-128-lane register where k = (global strip index) mod 8 — the SAME lane
-group for every strip of its class, regardless of which tile it belongs
-to.  So a record row may combine strips of the same class from
-DIFFERENT tiles, as long as the kernel knows each slot's pixel origin.
-This module exploits that:
+The key observation: the kernel reads every slot's pixel origin from a
+tiny side input, so NOTHING binds a record row's 8 slots to one tile —
+or a slot to any particular strip at all.  A record row may combine
+ANY 8 strips from anywhere on screen.  This module exploits that:
 
-  * strips are partitioned into 8 classes by (strip index mod 8) — the
-    classes are exactly the columns of the (tile, 8) strip-count matrix;
-  * each class's strips are sorted by bin size (descending, stable) and
-    the rank-i strips of the 8 classes form GROUP i.  Sorted matching
-    minimizes sum(max) over any per-class matching, so grouped rows <=
-    the per-tile rows of raster_fine ALWAYS (the old layout is the
-    identity matching); measured ~2x fewer on imbalanced scenes;
+  * all strips are sorted by bin size with ONE flat descending argsort
+    and the rank-r strip goes to (group r//8, slot r%8).  A group's
+    rows = its largest member = the rank-8g sorted count, so
+    row_total = sum(sorted[0::8]) — the OPTIMUM over all partitions
+    into 8-slot groups (the i-th largest group max can never beat the
+    8(i-1)-th sorted count, and this packing achieves it).  Grouped
+    rows <= raster_fine's per-tile rows always; measured ~2x fewer on
+    imbalanced scenes, and within max/8 of the ideal sum/8 floor
+    (round 2 used a per-class matching that was ~1.5x the floor at
+    stress — the mod-8 class binding it assumed was never required);
   * a group's per-slot pixel origins ride a tiny (G, 2, 128) int32 side
     input; the kernel rebuilds xi/yi per lane group from it (a few
     register ops), everything else — record layout, DMA streaming,
@@ -114,31 +115,35 @@ def _pre_fine2_jit(attrs, uniforms, shader, width, height, pair_cap,
     sorted_tri, start, counts, sorted_key = _build_bins(
         tx0, ty0, span_x, spans, pair_cap, nsx, nty, return_keys=True)
 
-    # ---- grouping: sort each class column, match ranks across classes
-    counts8 = counts.reshape(n_tiles, STRIPS)       # strip s = 8*tile + k
-    order = jnp.argsort(-counts8, axis=0)           # (P, 8) desc, stable
-    sortc = jnp.take_along_axis(counts8, order, axis=0)
-    group_rows = jnp.max(sortc, axis=1)             # (P,) descending
+    # ---- grouping: ONE flat descending argsort assigns strip at rank r
+    # to (group r//8, slot r%8).  A group's rows = its largest member =
+    # the rank-(8g) count, so row_total = sum(sorted[0::8]) — the
+    # optimum over ALL partitions into 8-slot groups (the i-th largest
+    # group max is >= the 8(i-1)-th sorted count, which this achieves).
+    # The kernel reads each slot's pixel origin from x0y0, so nothing
+    # binds a slot to the strip's in-tile lane class.
+    order_f = jnp.argsort(-counts)                  # (n_strips,) stable
+    pos = (jnp.zeros((n_strips,), jnp.int32)
+           .at[order_f].set(jnp.arange(n_strips, dtype=jnp.int32)))
+    sortc = counts[order_f]
+    group_rows = sortc[0::STRIPS]                   # (P,) descending
     group_start = (jnp.cumsum(group_rows) - group_rows).astype(jnp.int32)
     row_total = jnp.sum(group_rows)
     n_groups = jnp.sum((group_rows > 0).astype(jnp.int32))
-    cols8 = jnp.arange(STRIPS, dtype=jnp.int32)[None, :]
-    ranks = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]
-    g_of = (jnp.zeros((n_tiles, STRIPS), jnp.int32)
-            .at[order, jnp.broadcast_to(cols8, order.shape)]
-            .set(jnp.broadcast_to(ranks, order.shape)))  # strip -> group
+    g_of = pos // STRIPS                            # strip -> group
+    j_of = pos - g_of * STRIPS                      # strip -> slot
 
     # ---- interleaved slot fill (same machinery as raster_fine, with
-    # the group's row base instead of the tile's)
+    # the strip's assigned (group row base, slot) instead of the tile's)
     q = jnp.arange(pair_cap, dtype=jnp.int32)
     live_pair = sorted_key < n_strips
     s_safe = jnp.minimum(sorted_key, n_strips - 1)
-    strip_tbl = jnp.stack([start[:-1], group_start[g_of.reshape(-1)]],
+    strip_tbl = jnp.stack([start[:-1],
+                           group_start[g_of] * STRIPS + j_of],
                           axis=1)                   # (n_strips, 2)
     sg = strip_tbl[s_safe]                          # ONE packed gather
     rank = q - sg[:, 0]
-    k_of = s_safe & 7
-    dst = (sg[:, 1] + rank) * STRIPS + k_of
+    dst = sg[:, 1] + rank * STRIPS
     dst = jnp.where(live_pair & (dst < row_cap * STRIPS),
                     dst, row_cap * STRIPS)
     tri8 = (jnp.full((row_cap * STRIPS,), -1, jnp.int32)
@@ -178,9 +183,10 @@ def _pre_fine2_jit(attrs, uniforms, shader, width, height, pair_cap,
 
     # ---- per-group slot origins: lanes [16k, 16k+16) carry slot k's
     # band-local pixel origin (the kernel adds the global origin)
-    tid_of = order                                  # (P, 8) tile per slot
+    sid_of = order_f.reshape(n_tiles, STRIPS)       # (P, 8) strip per slot
+    tid_of = sid_of // STRIPS                       # its tile
     xk = ((tid_of % ntx) * tile_w
-          + STRIP_W * jnp.arange(STRIPS, dtype=jnp.int32)[None, :])
+          + STRIP_W * (sid_of - tid_of * STRIPS))   # its in-tile strip
     yk = (tid_of // ntx) * (tile_h * ty_stride)     # interleave-aware
     x0y0 = jnp.stack([jnp.repeat(xk, 16, axis=1,
                                  total_repeat_length=128),
@@ -195,6 +201,7 @@ def _pre_fine2_jit(attrs, uniforms, shader, width, height, pair_cap,
                          row_cap - start_g).astype(jnp.int32)
 
     # ---- active-tile mapping for the post-stage regroup
+    counts8 = counts.reshape(n_tiles, STRIPS)       # strip s = 8*tile + k
     rows_t = jnp.max(counts8, axis=1)
     active = rows_t > 0
     n_active = jnp.sum(active.astype(jnp.int32))
@@ -203,16 +210,14 @@ def _pre_fine2_jit(attrs, uniforms, shader, width, height, pair_cap,
     ids = jnp.full((a_cap,), n_tiles, jnp.int32).at[slot].set(
         jnp.arange(n_tiles, dtype=jnp.int32), mode="drop")
     kernel_ids = jnp.minimum(ids, n_tiles - 1)
-    # src: active tile's slot k -> flat compact strip index g*8 + k
-    src8 = (jnp.zeros((n_tiles, STRIPS), jnp.int32)
-            .at[order, jnp.broadcast_to(cols8, order.shape)]
-            .set(jnp.broadcast_to(ranks, order.shape) * STRIPS + cols8))
+    # src: tile's strip k -> its assigned flat compact index g*8 + j
+    src8 = pos.reshape(n_tiles, STRIPS)
     src = src8[kernel_ids]                          # (A, 8)
     live = ((counts8[kernel_ids] > 0)               # strip has pairs
             & (src < g_cap * STRIPS)                # group was scheduled
             & (ids < n_tiles)[:, None])             # real active entry
     return (setup, rec_full, ids, kernel_ids, src, live, start_g, rows_g,
-            x0y0, tid_of, pair_total, row_total, n_groups, n_active,
+            x0y0, sid_of, pair_total, row_total, n_groups, n_active,
             n_vary)
 
 
@@ -533,17 +538,15 @@ def _post_fine2_jit(ft, ids, kernel_ids, src, live, d_g, w_g, v_g,
 
 
 @functools.partial(jax.jit, static_argnames=("g_cap", "tile_h"))
-def _init_strips_jit(ft_depth, tid_of, g_cap, tile_h):
+def _init_strips_jit(ft_depth, sid_of, g_cap, tile_h):
     """(G_cap, th, 128) running-depth init for the STATS launch: slot
-    k's lanes carry its strip's current frame depth."""
+    k's lanes carry its assigned strip's current frame depth."""
     n_tiles = ft_depth.shape[0]
-    tids = jnp.minimum(tid_of[:g_cap], n_tiles - 1)          # (G, 8)
-    ks = jnp.broadcast_to(jnp.arange(STRIPS, dtype=jnp.int32)[None, :],
-                          tids.shape)
+    sids = jnp.minimum(sid_of[:g_cap], n_tiles * STRIPS - 1)  # (G, 8)
     view = ft_depth.reshape(n_tiles, tile_h, STRIPS, STRIP_W)
-    slabs = view[tids, :, ks, :]                   # (G, 8, th, 16)
+    slabs = view[sids // STRIPS, :, sids % STRIPS, :]  # (G, 8, th, 16)
     return (slabs.transpose(0, 2, 1, 3)
-            .reshape(tids.shape[0], tile_h, STRIPS * STRIP_W))
+            .reshape(sids.shape[0], tile_h, STRIPS * STRIP_W))
 
 
 # ---------------------------------------------------------------------------
@@ -605,10 +608,8 @@ def _probe_rows_jit(setup, pair_cap, width, height, tile_h, tile_w):
     tx0, ty0, span_x, spans, _ = _tile_spans(setup, STRIP_W, tile_h)
     _, _, counts = _build_bins(tx0, ty0, span_x, spans, pair_cap,
                                ntx * STRIPS, nty)
-    counts8 = counts.reshape(ntx * nty, STRIPS)
-    sortc = -jnp.sort(-counts8, axis=0)
-    group_rows = jnp.max(sortc, axis=1)
-    rows_t = jnp.max(counts8, axis=1)
+    group_rows = -jnp.sort(-counts)[0::STRIPS]      # flat free packing
+    rows_t = jnp.max(counts.reshape(ntx * nty, STRIPS), axis=1)
     return (jnp.sum(group_rows),
             jnp.sum((group_rows > 0).astype(jnp.int32)),
             jnp.sum((rows_t > 0).astype(jnp.int32)))
@@ -675,7 +676,7 @@ def render_pass_fine2(ft, attrs: dict, shader, uniforms: dict,
             if shader.writes_color else ())
     n_vary = sum(c for _, c in spec)
     (setup, rec, ids, kernel_ids, src, live, start_g, rows_g, x0y0,
-     tid_of, pair_total, row_total, n_groups, n_active, _) = _pre_fine2_jit(
+     sid_of, pair_total, row_total, n_groups, n_active, _) = _pre_fine2_jit(
         attrs, uniforms, shader, width, height, pair_cap, row_cap,
         rec_cap, g_cap, a_cap, tile_h, tile_w)
     d_g, w_g, v_g, _ = _fine2_call_jit(
@@ -690,7 +691,7 @@ def render_pass_fine2(ft, attrs: dict, shader, uniforms: dict,
         # separate stats launch seeded with the RUNNING frame depth so
         # event counts honor earlier passes (our_gl.cpp:194-200); the
         # frame kernel itself stays pass-local and init-free
-        init_g = _init_strips_jit(ft.depth, tid_of, g_cap, tile_h)
+        init_g = _init_strips_jit(ft.depth, sid_of, g_cap, tile_h)
         d_ev, w_ev, _, ev_g = _fine2_call_jit(
             start_g, rows_g, rec, x0y0, tile_h, 0, interpret,
             collect_stats=True, init_g=init_g)
@@ -745,10 +746,8 @@ def _probe_both_jit(setup, pair_cap, width, height, tile_h, tile_w):
     tx0, ty0, span_x, spans, _ = _tile_spans(setup, STRIP_W, tile_h)
     _, _, counts = _build_bins(tx0, ty0, span_x, spans, pair_cap,
                                ntx * STRIPS, nty)
-    counts8 = counts.reshape(ntx * nty, STRIPS)
-    rows_t = jnp.max(counts8, axis=1)
-    sortc = -jnp.sort(-counts8, axis=0)
-    group_rows = jnp.max(sortc, axis=1)
+    rows_t = jnp.max(counts.reshape(ntx * nty, STRIPS), axis=1)
+    group_rows = -jnp.sort(-counts)[0::STRIPS]      # flat free packing
     return (jnp.sum(rows_t),
             jnp.sum(group_rows),
             jnp.sum((group_rows > 0).astype(jnp.int32)),

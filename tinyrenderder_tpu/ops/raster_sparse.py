@@ -493,8 +493,9 @@ _FINE_DECISION: dict = {}
 
 #: grouped rows must undercut per-tile rows by this factor before the
 #: fine2 layout's extra regroup overhead pays for the saved kernel steps
-#: (measured round 3, one v5e: ratio 0.74 -> fine wins by ~9%, ratio
-#: 0.57 -> fine2 wins by ~44%; breakeven ~0.70)
+#: (measured round 3, one v5e, flat-argsort packing: ratio 0.71
+#: (phong 2048²) -> fine vs fine2 a wash within run noise, ratio 0.41
+#: (246k stress) -> fine2 wins by ~66%; breakeven ~0.70)
 FINE2_RATIO = 0.68
 
 
@@ -735,7 +736,7 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
             from tinyrenderder_tpu.ops import raster_fine2
             pc, rc, gc, ac = caps
             (setup, rec, ids, kernel_ids, src, live, sg, rg, x0y0,
-             tid_of, pt, rt, ng, na, _) = raster_fine2._pre_fine2_jit(
+             sid_of, pt, rt, ng, na, _) = raster_fine2._pre_fine2_jit(
                 attrs, uniforms, shader, width, height, pc, rc,
                 _next_pow2(rc), gc, ac, tile_h, tile_w,
                 ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride)
