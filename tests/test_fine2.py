@@ -156,3 +156,39 @@ def test_probe_rows_never_exceed_fine(meshes):
             raster_fine2._probe_both_jit(setup, pc, w, h, 16, 128)))
         assert r2 <= r1, f"{name}: grouped rows {r2} > per-tile rows {r1}"
         assert ng <= na * 8
+
+
+def test_flat_packing_is_optimal(meshes):
+    """The flat-argsort assignment (rank r -> group r//8) yields
+    row_total = sum(sorted_desc[0::8]), which is (a) what the probe
+    reports, and (b) <= the group cost of any random partition of the
+    strips into 8-slot groups (the optimality argument in the module
+    docstring)."""
+    import jax
+    import jax.numpy as jnp
+    from tinyrenderder_tpu.ops import raster_fine
+    from tinyrenderder_tpu.ops.raster_tiled import _build_bins, _tile_spans
+    view, proj = default_view()
+    w, h = 160, 42
+    for name in ("head", "soup"):
+        p = make_pass(meshes[name], GouraudShader(), view, proj)
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        setup, pt = raster_fine._probe_totals_jit(
+            attrs, dict(p.uniforms), p.shader, w, h, 16, 128)
+        pc = max(256, int(jax.device_get(pt)))
+        tx0, ty0, span_x, spans, _ = _tile_spans(setup, 16, 16)
+        ntx = (w + 127) // 128
+        nty = (h + 15) // 16
+        _, _, counts = _build_bins(tx0, ty0, span_x, spans, pc,
+                                   ntx * 8, nty)
+        c = np.sort(np.asarray(jax.device_get(counts)))[::-1]
+        expect = int(c[0::8].sum())
+        r1, r2, ng, na = (int(x) for x in jax.device_get(
+            raster_fine2._probe_both_jit(setup, pc, w, h, 16, 128)))
+        assert r2 == expect, f"{name}: probe {r2} != sorted-stride sum {expect}"
+        rng = np.random.default_rng(0)
+        n = c.shape[0]
+        for _ in range(20):
+            perm = rng.permutation(n)
+            alt = int(np.asarray(c)[perm].reshape(-1, 8).max(axis=1).sum())
+            assert r2 <= alt, f"{name}: flat packing {r2} beaten by {alt}"

@@ -221,7 +221,7 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
                  rec_hbm, init_ref,
                  depth_ref, winner_ref, vary_ref, buf, sem, planes_ref,
                  *, n_tiles_x, tile_h, tile_w, n_vary,
-                 dma_rows=DMA_ROWS, sub=SUB_ROWS, ev_ref=None,
+                 dma_rows=DMA_ROWS, sub=SUB_ROWS, sub2=None, ev_ref=None,
                  y_stride=None):
     i = pl.program_id(0)
     t = ids_ref[i]                      # clamped; padding rows = 0
@@ -264,8 +264,10 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
     # static lane-gather patterns: column c of the 8 slots lives in lanes
     # [8*(c%16), +8) of lane-row c//16; broadcast slot k's value to lanes
     # [16k, 16k+16)
+    if sub2 is None:
+        sub2 = sub                      # loop-2 sub-block rows
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (dma_rows, 128), 1) // 16
-    lane16_sub = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1) // 16
+    lane16_sub2 = jax.lax.broadcasted_iota(jnp.int32, (sub2, 128), 1) // 16
 
     def expand(slot, cols):
         """Broadcast the given record columns to (len(cols), dma_rows,
@@ -276,13 +278,13 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
             planes_ref[n] = jnp.take_along_axis(lane_rows, idx, axis=1)
 
     def extract(slot, r0, c):
-        """One column's (sub, 1, 128) plane straight from the compact
+        """One column's (sub2, 1, 128) plane straight from the compact
         chunk buffer — the per-sub-step (lazy) form of ``expand``."""
-        lane_rows = buf[slot, pl.ds(r0, sub), c // 16, :]
-        idx = 8 * (c % 16) + lane16_sub
+        lane_rows = buf[slot, pl.ds(r0, sub2), c // 16, :]
+        idx = 8 * (c % 16) + lane16_sub2
         return jnp.take_along_axis(lane_rows, idx, axis=1)[:, None, :]
 
-    def stream(cols, process_sub, lazy=False):
+    def stream(cols, process_sub, lazy=False, sub_rows=sub):
         """Double-buffered loop over this tile's record rows.  With
         ``lazy`` the columns are not pre-expanded per chunk: process_sub
         receives the buffer slot and extracts what it needs (so a
@@ -303,14 +305,14 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
                 expand(slot, cols)
 
             def sub_body(s, _):
-                row0 = ci * dma_rows + s * sub
+                row0 = ci * dma_rows + s * sub_rows
 
                 @pl.when(row0 < count)
                 def _():
-                    process_sub(slot, s * sub, row0)
+                    process_sub(slot, s * sub_rows, row0)
                 return 0
 
-            jax.lax.fori_loop(0, dma_rows // sub, sub_body, 0)
+            jax.lax.fori_loop(0, dma_rows // sub_rows, sub_body, 0)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -319,9 +321,9 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
         return [planes_ref[j, pl.ds(r0, sub), :][:, None, :]
                 for j in range(j0, j0 + n)]
 
-    def live_mask(row0):
+    def live_mask(row0, sub_rows=sub):
         row_idx = (row0
-                   + jax.lax.broadcasted_iota(jnp.int32, (sub, 1, 1), 0))
+                   + jax.lax.broadcasted_iota(jnp.int32, (sub_rows, 1, 1), 0))
         return row_idx < count
 
     # ---- loop 1: depth resolve (argmin structure == coarse kernel) --------
@@ -383,7 +385,7 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
             ids = extract(slot, r0, COL_ID)
             mine = ((winner_ref[0][None] == ids)
                     & (ids >= 0)                      # pad != BACKGROUND
-                    & live_mask(row0))
+                    & live_mask(row0, sub2))
             hit_any = jnp.any(mine)
 
             @pl.when(hit_any)
@@ -403,22 +405,23 @@ def _fine_kernel(ids_ref, start_ref, rows_ref, origin_ref,
                     contrib = jnp.sum(jnp.where(mine, val, 0.0), axis=0)
                     vary_ref[0, c] = jnp.where(hit, contrib, vary_ref[0, c])
 
-        stream((), vary_sub, lazy=True)
+        stream((), vary_sub, lazy=True, sub_rows=sub2)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n_tiles_x", "n_tiles_y", "tile_h", "tile_w", "n_vary", "interpret",
-    "dma_rows", "sub", "collect_stats", "y_stride"))
+    "dma_rows", "sub", "sub2", "collect_stats", "y_stride"))
 def _fine_call_jit(ids, row_start, rows, rec, depth_tiles,
                    n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary,
                    interpret, origin=None, dma_rows=DMA_ROWS,
-                   sub=SUB_ROWS, collect_stats=False, y_stride=None):
+                   sub=SUB_ROWS, sub2=None, collect_stats=False,
+                   y_stride=None):
     a_cap = ids.shape[0]
     if origin is None:
         origin = jnp.zeros((2,), jnp.int32)
     kernel = functools.partial(_fine_kernel, n_tiles_x=n_tiles_x,
                                tile_h=tile_h, tile_w=tile_w, n_vary=n_vary,
-                               dma_rows=dma_rows, sub=sub,
+                               dma_rows=dma_rows, sub=sub, sub2=sub2,
                                y_stride=y_stride)
 
     n_planes = len(LOOP1_COLS)        # loop 2 extracts lazily from buf
