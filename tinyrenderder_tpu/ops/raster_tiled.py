@@ -159,6 +159,16 @@ def _exact_divmod_i32(k, s):
     return q, r
 
 
+#: jnp.searchsorted lowering for the CSR start offsets.  "sort" measured
+#: 18x faster ISOLATED (0.07 vs 1.24 ms at stress scale) but 1.2 ms
+#: SLOWER inside the fused fine2 pre (18.2 -> 19.5 ms/frame, A/B same
+#: process, round 3) — the concat-sort materializes and breaks XLA's
+#: fusion of the counts consumers.  Keep "scan"; another reminder that
+#: isolated op microbenches do not transfer (cf. the closure-capture
+#: constant-folding trap, CLAUDE.md).
+_SEARCHSORTED_METHOD = "scan"
+
+
 @functools.partial(jax.jit,
                    static_argnames=("pair_capacity", "n_tiles_x", "n_tiles_y",
                                     "return_keys"))
@@ -210,9 +220,13 @@ def _build_bins(tx0, ty0, span_x, spans, pair_capacity: int,
 
     sorted_tile, sorted_tri = jax.lax.sort(
         (tile_id.astype(jnp.int32), jnp.where(in_run, tri, -1)), num_keys=1)
+    # method="sort" lowers to one small concat-sort instead of a
+    # vectorized binary scan — 1.24 -> 0.07 ms at stress scale (measured
+    # round 3, one v5e); output is method-independent
     start = jnp.searchsorted(sorted_tile,
                              jnp.arange(n_tiles + 1, dtype=jnp.int32),
-                             side="left").astype(jnp.int32)
+                             side="left",
+                             method=_SEARCHSORTED_METHOD).astype(jnp.int32)
     counts = start[1:] - start[:-1]
     if return_keys:
         return sorted_tri, start, counts, sorted_tile
