@@ -74,7 +74,7 @@ def main():
     out = raster_sparse.render_pass_tiles(ft, attrs, shader, uniforms, W, H)
     jax.block_until_ready(out[0])
     key = (attrs["position"].shape[0], ntx, nty)
-    capacity, a_cap = raster_sparse._SPARSE_CAPACITY[key]
+    capacity, a_cap = raster_sparse._SPARSE_CAPACITY[key][:2]
     spec = (tuple(shader.varying_spec.items())
             if shader.writes_color else ())
     n_vary = sum(c for _, c in spec)
@@ -105,7 +105,7 @@ def main():
 
     post = lambda: raster_sparse._post_sparse_jit(
         ft, ids, kernel_ids, depth_c, winner_c, vary_c, uniforms,
-        jnp.int32(0), shader, spec)
+        jnp.int32(0), shader, spec)[0]
     jax.block_until_ready(post().color)
     print(f"post (phase C shade+scatter): {t(post):.2f} ms")
 

@@ -500,18 +500,27 @@ def _resolve_pending(key, n_tiles):
     ready = getattr(totals_dev, "is_ready", lambda: True)()
     if ready or age >= 8:
         _FINE_PENDING.pop(key)
-        pt, rt, pa = (int(x) for x in np.asarray(totals_dev))
-        pc, rc, ac = prev_caps
-        if pt > pc or rt > rc or pa > ac:
+        t = [int(x) for x in np.asarray(totals_dev)[:4]]
+        pt, rt, pa = t[0], t[1], t[2]
+        wt = t[3] if len(t) > 3 else 0
+        pc, rc, ac, *rest = prev_caps
+        wc = rest[0] if rest else ac
+        qa = raster_sparse._quantize_active
+        if pt > pc or rt > rc or pa > ac or wt > wc:
             import logging
             logging.getLogger(__name__).warning(
-                "fine overflow (pairs %d/%d, rows %d/%d, tiles %d/%d) "
-                "detected %d frame(s) late; capacity grown",
-                pt, pc, rt, rc, pa, ac, age + 1)
+                "fine overflow (pairs %d/%d, rows %d/%d, tiles %d/%d, "
+                "won %d/%d) detected %d frame(s) late; capacity grown",
+                pt, pc, rt, rc, pa, ac, wt, wc, age + 1)
             _FINE_CAPACITY[key] = (
                 max(pc, _quantize_tight(pt)),
                 max(rc, _quantize_tight(rt)),
-                max(ac, raster_sparse._quantize_active(pa, n_tiles)))
+                max(ac, qa(pa, n_tiles)),
+                max(min(wc, ac), qa(wt, n_tiles)))
+        else:
+            w_new = min(wc, max(8, qa(wt, n_tiles)))
+            if w_new < wc:    # refine won-tile cap (see _post_sparse_jit)
+                _FINE_CAPACITY[key] = (pc, rc, ac, w_new)
     else:
         _FINE_PENDING[key] = (totals_dev, prev_caps, age + 1)
 
@@ -522,6 +531,8 @@ def _resolve_caps(key, attrs, uniforms, shader, width, height,
     if caps is None:
         caps = _probe_caps(attrs, uniforms, shader, width, height,
                            tile_h, tile_w, n_tiles)
+    if len(caps) == 3:
+        caps = (*caps, caps[2])         # w_cap seeds = a_cap
     _FINE_CAPACITY[key] = caps
     return caps
 
@@ -568,7 +579,9 @@ def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
     else:
         caps = _resolve_caps(key, attrs, uniforms, shader, width, height,
                              tile_h, tile_w, n_tiles)
-    pair_cap, row_cap, a_cap = caps
+    if len(caps) == 3:
+        caps = (*caps, caps[2])
+    pair_cap, row_cap, a_cap, w_cap = caps
     rec_cap = _next_pow2(row_cap)
 
     spec = (tuple(shader.varying_spec.items())
@@ -581,11 +594,11 @@ def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
     depth_c, winner_c, vary_c, _ = _fine_call_jit(
         kernel_ids, row_start_a, rows_a, rec, ft.depth,
         n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
-    new_ft = raster_sparse._post_sparse_jit(
+    new_ft, won_total = raster_sparse._post_sparse_jit(
         ft, ids, kernel_ids, depth_c, winner_c, vary_c, uniforms,
-        jnp.int32(winner_offset), shader, spec)
+        jnp.int32(winner_offset), shader, spec, w_cap=w_cap)
     overflowed = ((pair_total > pair_cap) | (row_total > row_cap)
-                  | (n_active > a_cap))
+                  | (n_active > a_cap) | (won_total > w_cap))
     events = None
     if collect_stats:
         # separate depth-only launch for the exact counters — the ev
@@ -598,19 +611,25 @@ def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
             ev_c, d_ev, w_ev, ids, n_tiles)
 
     if strict_capacity:
-        pt, rt, act = (int(x) for x in
-                       jax.device_get((pair_total, row_total, n_active)))
-        if pt > pair_cap or rt > row_cap or act > a_cap:
+        pt, rt, act, wt = (int(x) for x in jax.device_get(
+            (pair_total, row_total, n_active, won_total)))
+        qa = raster_sparse._quantize_active
+        if pt > pair_cap or rt > row_cap or act > a_cap or wt > w_cap:
             grown = (max(pair_cap, _quantize_tight(pt)),
                      max(row_cap, _quantize_tight(rt)),
-                     max(a_cap, raster_sparse._quantize_active(act, n_tiles)))
+                     max(a_cap, qa(act, n_tiles)),
+                     max(min(w_cap, a_cap), qa(wt, n_tiles)))
             _FINE_CAPACITY[key] = grown
             return render_pass_fine(ft, attrs, shader, uniforms,
                                     width, height, winner_offset,
                                     tile_h, tile_w, strict_capacity,
                                     interpret, collect_stats, _caps=grown)
+        w_new = min(w_cap, max(8, qa(wt, n_tiles)))
+        if w_new < w_cap:     # refine won-tile cap (see _post_sparse_jit)
+            _FINE_CAPACITY[key] = (pair_cap, row_cap, a_cap, w_new)
     elif key not in _FINE_PENDING:
-        totals_dev = jnp.stack([pair_total, row_total, n_active])
+        totals_dev = jnp.stack([pair_total, row_total, n_active,
+                                won_total])
         try:
             totals_dev.copy_to_host_async()
         except AttributeError:

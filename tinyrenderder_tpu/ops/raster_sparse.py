@@ -288,30 +288,66 @@ def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
             total, n_active)
 
 
-@functools.partial(jax.jit, static_argnames=("shader", "spec"))
+@functools.partial(jax.jit, static_argnames=("shader", "spec", "w_cap"))
 def _post_sparse_jit(ft: FrameTiles, ids, kernel_ids, depth_c, winner_c,
-                     vary_c, uniforms, winner_offset, shader, spec):
+                     vary_c, uniforms, winner_offset, shader, spec,
+                     w_cap=None):
     """Fused post-kernel stage in COMPACT space: fragment-shade only the
     active tiles, merge, scatter back into the tiled frame.  Padding
-    entries (ids == n_tiles) scatter out of bounds and are dropped."""
+    entries (ids == n_tiles) scatter out of bounds and are dropped.
+
+    ``w_cap`` (static, <= a_cap) enables WON-TILE shading: the kernel's
+    merge already resolved the depth test against the running frame, so
+    a tile where this pass won zero pixels needs no fragment shading at
+    all.  The shade runs on the w_cap tiles that won >= 1 pixel (late
+    passes of multi-pass frames are heavily occluded: the 12-triangle
+    full-screen room pass of the 3-mesh scene shades ~2048 tiles but
+    wins on far fewer — docs/PERFORMANCE.md round 3).  Capacity
+    semantics match every other cap: first frame seeds w_cap = a_cap
+    (never degrades), later frames use the measured quantized count;
+    overflow (won tiles > w_cap) leaves the overflowed tiles' WON
+    pixels unshaded (color 0) for that frame and raises the same-frame
+    overflow flag.  Returns (FrameTiles, won_tile_total)."""
     winner_c = winner_c.astype(jnp.int32)
     won = winner_c >= 0
+    a_cap = kernel_ids.shape[0]
+    live = (ids < ft.depth.shape[0])
     new_depth = ft.depth.at[ids].set(depth_c, mode="drop")
     new_w_c = jnp.where(won, winner_c + winner_offset,
                         ft.winner[kernel_ids])
     new_winner = ft.winner.at[ids].set(new_w_c, mode="drop")
     if not shader.writes_color:
-        return FrameTiles(color=ft.color, depth=new_depth, winner=new_winner)
+        # no shading -> no won-tile cap pressure (keeps depth-pass caps
+        # stable instead of refining a cap nothing reads)
+        return (FrameTiles(color=ft.color, depth=new_depth,
+                           winner=new_winner), jnp.asarray(0, jnp.int32))
+    wonk = jnp.any(won, axis=(1, 2)) & live          # (A,) pass won in tile
+    won_total = jnp.sum(wonk.astype(jnp.int32))
+    if w_cap is None or w_cap >= a_cap:
+        vary_s, sel = vary_c, None
+    else:
+        # compact to won tiles (same machinery as the active compaction)
+        pos = jnp.cumsum(wonk.astype(jnp.int32)) - 1
+        slot = jnp.where(wonk, pos, w_cap)
+        sel = jnp.full((w_cap,), a_cap, jnp.int32).at[slot].set(
+            jnp.arange(a_cap, dtype=jnp.int32), mode="drop")
+        vary_s = vary_c[jnp.minimum(sel, a_cap - 1)]
     vary = {}
     i = 0
     for name, c in spec:
-        vary[name] = jnp.moveaxis(vary_c[:, i:i + c], 1, -1)  # (A, th, tw, c)
+        vary[name] = jnp.moveaxis(vary_s[:, i:i + c], 1, -1)  # (W, th, tw, c)
         i += c
     rgb = shader.fragment(uniforms, vary, jnp)
-    out = _pack_rgb(finalize_color(rgb, jnp))
+    out_s = _pack_rgb(finalize_color(rgb, jnp))
+    if sel is None:
+        out = out_s
+    else:
+        out = (jnp.zeros((a_cap,) + out_s.shape[1:], out_s.dtype)
+               .at[sel].set(out_s, mode="drop"))
     new_c_c = jnp.where(won, out, ft.color[kernel_ids])
     new_color = ft.color.at[ids].set(new_c_c, mode="drop")
-    return FrameTiles(color=new_color, depth=new_depth, winner=new_winner)
+    return (FrameTiles(color=new_color, depth=new_depth,
+                       winner=new_winner), won_total)
 
 
 # capacity caches shared with raster_tiled's conventions: key ->
@@ -346,17 +382,27 @@ def _resolve_pending(key, n_tiles):
     ready = getattr(totals_dev, "is_ready", lambda: True)()
     if ready or age >= 8:
         _SPARSE_PENDING.pop(key)
-        pt, pa = (int(x) for x in np.asarray(totals_dev)[:2])
-        cap, a_cap = prev_caps
-        if pt > cap or pa > a_cap:
+        t = [int(x) for x in np.asarray(totals_dev)[:3]]
+        pt, pa = t[0], t[1]
+        wt = t[2] if len(t) > 2 else 0
+        cap, a_cap, *rest = prev_caps
+        w_cap = rest[0] if rest else a_cap
+        if pt > cap or pa > a_cap or wt > w_cap:
             import logging
             logging.getLogger(__name__).warning(
-                "sparse overflow (pairs %d/%d, tiles %d/%d) "
+                "sparse overflow (pairs %d/%d, tiles %d/%d, won %d/%d) "
                 "detected %d frame(s) late; capacity grown",
-                pt, cap, pa, a_cap, age + 1)
+                pt, cap, pa, a_cap, wt, w_cap, age + 1)
             _SPARSE_CAPACITY[key] = (
                 max(cap, _quantize_soft(pt)),
-                max(a_cap, _quantize_active(pa, n_tiles)))
+                max(a_cap, _quantize_active(pa, n_tiles)),
+                max(min(w_cap, a_cap), _quantize_active(wt, n_tiles)))
+        else:
+            # refine: a first-frame w_cap == a_cap shrinks to the
+            # measured won-tile count (the whole point of the cap)
+            w_new = min(w_cap, max(8, _quantize_active(wt, n_tiles)))
+            if w_new < w_cap:
+                _SPARSE_CAPACITY[key] = (cap, a_cap, w_new)
     else:
         _SPARSE_PENDING[key] = (totals_dev, prev_caps, age + 1)
 
@@ -372,8 +418,10 @@ def _resolve_caps(key, attrs, uniforms, shader, width, height,
         capacity = _quantize_soft(int(jax.device_get(total0)))
         n_act0 = _count_active(setup0, capacity, width, height,
                                tile_h, tile_w)
-        caps = (capacity, _quantize_active(int(jax.device_get(n_act0)),
-                                           n_tiles))
+        a0 = _quantize_active(int(jax.device_get(n_act0)), n_tiles)
+        caps = (capacity, a0, a0)       # w_cap seeds = a_cap (never
+    elif len(caps) == 2:                # degrades); refined from the
+        caps = (*caps, caps[1])         # measured won-tile count later
     _SPARSE_CAPACITY[key] = caps
     return caps
 
@@ -432,7 +480,9 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
     else:
         caps = _resolve_caps(key, attrs, uniforms, shader, width, height,
                              tile_h, tile_w, n_tiles)
-    capacity, a_cap = caps
+    if len(caps) == 2:
+        caps = (*caps, caps[1])
+    capacity, a_cap, w_cap = caps
 
     spec = (tuple(shader.varying_spec.items())
             if shader.writes_color else ())
@@ -444,10 +494,11 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
     depth_c, winner_c, vary_c, _ = raster_pallas._pallas_call_sparse_jit(
         kernel_ids, start_a, counts_a, records, ft.depth,
         n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
-    new_ft = _post_sparse_jit(ft, ids, kernel_ids, depth_c, winner_c,
-                              vary_c, uniforms, jnp.int32(winner_offset),
-                              shader, spec)
-    overflowed = (total > capacity) | (n_active > a_cap)
+    new_ft, won_total = _post_sparse_jit(
+        ft, ids, kernel_ids, depth_c, winner_c, vary_c, uniforms,
+        jnp.int32(winner_offset), shader, spec, w_cap=w_cap)
+    overflowed = ((total > capacity) | (n_active > a_cap)
+                  | (won_total > w_cap))
     events = None
     if collect_stats:
         # SEPARATE depth-only launch for the exact event counters: the
@@ -462,18 +513,22 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
         events = _reduce_events_jit(ev_c, d_ev, w_ev, ids, n_tiles)
 
     if strict_capacity:
-        tot, act = (int(x) for x in
-                    jax.device_get((total, n_active)))
-        if tot > capacity or act > a_cap:
+        tot, act, wt = (int(x) for x in
+                        jax.device_get((total, n_active, won_total)))
+        if tot > capacity or act > a_cap or wt > w_cap:
             grown = (max(capacity, _quantize_soft(tot)),
-                     max(a_cap, _quantize_active(act, n_tiles)))
+                     max(a_cap, _quantize_active(act, n_tiles)),
+                     max(min(w_cap, a_cap), _quantize_active(wt, n_tiles)))
             _SPARSE_CAPACITY[key] = grown
             return render_pass_tiles(ft, attrs, shader, uniforms,
                                      width, height, winner_offset,
                                      tile_h, tile_w, strict_capacity,
                                      interpret, collect_stats, _caps=grown)
+        w_new = min(w_cap, max(8, _quantize_active(wt, n_tiles)))
+        if w_new < w_cap:     # refine the won-tile cap for next frame
+            _SPARSE_CAPACITY[key] = (capacity, a_cap, w_new)
     elif key not in _SPARSE_PENDING:
-        totals_dev = jnp.stack([total, n_active])
+        totals_dev = jnp.stack([total, n_active, won_total])
         try:
             totals_dev.copy_to_host_async()
         except AttributeError:
@@ -576,9 +631,10 @@ def _decide_mode(attrs, shader, uniforms, width, height,
             else:
                 mode = "fine" if r1 <= 0.45 * ct else "coarse"
                 if mode == "fine":
+                    a0 = _quantize_active(act, n_tiles)
                     raster_fine._FINE_CAPACITY.setdefault(
                         key, (pair_cap, raster_fine._quantize_tight(r1),
-                              _quantize_active(act, n_tiles)))
+                              a0, a0))
         _FINE_DECISION[dkey] = mode
     return mode
 
@@ -587,11 +643,14 @@ def _decide_mode(attrs, shader, uniforms, width, height,
 # the fused shadow program, and the sharded fused path) ----------------------
 
 def _mode_stores(mode):
-    """(capacity dict, pending dict, totals width) for a kernel mode."""
+    """(capacity dict, pending dict, totals width) for a kernel mode.
+    coarse totals = (pairs, active, won-tiles); fine = (pairs, rows,
+    active, won-tiles); fine2 = (pairs, rows, groups, active) — fine2
+    shades in group space BEFORE the merge, so it has no won-tile cap."""
     from tinyrenderder_tpu.ops import raster_fine, raster_fine2
     return {
-        "coarse": (_SPARSE_CAPACITY, _SPARSE_PENDING, 2),
-        "fine": (raster_fine._FINE_CAPACITY, raster_fine._FINE_PENDING, 3),
+        "coarse": (_SPARSE_CAPACITY, _SPARSE_PENDING, 3),
+        "fine": (raster_fine._FINE_CAPACITY, raster_fine._FINE_PENDING, 4),
         "fine2": (raster_fine2._FINE2_CAPACITY, raster_fine2._FINE2_PENDING,
                   4),
     }[mode]
@@ -601,11 +660,13 @@ def _caps_from_totals(mode, t, n_tiles):
     """Quantize a totals vector into a fresh capacity tuple."""
     t = [int(x) for x in t]
     if mode == "coarse":
-        return (_quantize_soft(t[0]), _quantize_active(t[1], n_tiles))
+        return (_quantize_soft(t[0]), _quantize_active(t[1], n_tiles),
+                _quantize_active(t[2], n_tiles))
     from tinyrenderder_tpu.ops.raster_tiled import _quantize_tight
     if mode == "fine":
         return (_quantize_tight(t[0]), _quantize_tight(t[1]),
-                _quantize_active(t[2], n_tiles))
+                _quantize_active(t[2], n_tiles),
+                _quantize_active(t[3], n_tiles))
     return (_quantize_tight(t[0]), _quantize_tight(t[1]),
             _quantize_active(t[2], n_tiles), _quantize_active(t[3], n_tiles))
 
@@ -717,7 +778,8 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                 if shader.writes_color else ())
         n_vary = sum(c for _, c in spec)
         if mode == "fine":
-            pc, rc, ac = caps
+            pc, rc, ac, *wrest = caps
+            wc = wrest[0] if wrest else ac
             (setup, rec, ids, kernel_ids, rs, ra, pt, rt, na, _
              ) = raster_fine._pre_fine_jit(
                 attrs, uniforms, shader, width, height, pc, rc,
@@ -728,10 +790,11 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                 n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
                 origin=origin,
                 y_stride=None if ty_stride == 1 else tile_h * ty_stride)
-            ovf = (pt > pc) | (rt > rc) | (na > ac)
-            totals.append(jnp.stack([pt, rt, na, neg1]))
-            ft = _post_sparse_jit(ft, ids, kernel_ids, d_c, w_c, v_c,
-                                  uniforms, jnp.int32(offset), shader, spec)
+            ft, wt = _post_sparse_jit(ft, ids, kernel_ids, d_c, w_c, v_c,
+                                      uniforms, jnp.int32(offset), shader,
+                                      spec, w_cap=wc)
+            ovf = (pt > pc) | (rt > rc) | (na > ac) | (wt > wc)
+            totals.append(jnp.stack([pt, rt, na, wt]))
         elif mode == "fine2":
             from tinyrenderder_tpu.ops import raster_fine2
             pc, rc, gc, ac = caps
@@ -749,7 +812,8 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                 ft, ids, kernel_ids, src, live, d_g, w_g, v_g, uniforms,
                 jnp.int32(offset), shader, spec, tile_h)
         else:
-            cap, ac = caps
+            cap, ac, *wrest = caps
+            wc = wrest[0] if wrest else ac
             (setup, records, ids, kernel_ids, sa, ca, total, na
              ) = _pre_sparse_jit(attrs, uniforms, shader, width, height,
                                  cap, ac, tile_h, tile_w,
@@ -761,10 +825,11 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                 n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
                 origin=origin,
                 y_stride=None if ty_stride == 1 else tile_h * ty_stride)
-            ovf = (total > cap) | (na > ac)
-            totals.append(jnp.stack([total, na, neg1, neg1]))
-            ft = _post_sparse_jit(ft, ids, kernel_ids, d_c, w_c, v_c,
-                                  uniforms, jnp.int32(offset), shader, spec)
+            ft, wt = _post_sparse_jit(ft, ids, kernel_ids, d_c, w_c, v_c,
+                                      uniforms, jnp.int32(offset), shader,
+                                      spec, w_cap=wc)
+            ovf = (total > cap) | (na > ac) | (wt > wc)
+            totals.append(jnp.stack([total, na, wt, neg1]))
         overflow = overflow | ovf
     out_depth = snapshot if in_excluded else ft.depth
     return ft, out_depth, overflow, jnp.stack(totals)

@@ -597,7 +597,10 @@ def _clamp_band_caps(mode, caps, n_tiles_band):
     if mode == "fine2":
         pc, rc, gc, ac = caps
         return (pc, rc, min(gc, n_tiles_band), min(ac, n_tiles_band))
-    return (*caps[:-1], min(caps[-1], n_tiles_band))
+    # coarse (cap, a, w) / fine (pc, rc, a, w): clamp the active- and
+    # won-tile caps
+    return (*caps[:-2], min(caps[-2], n_tiles_band),
+            min(caps[-1], n_tiles_band))
 
 
 def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
@@ -901,7 +904,8 @@ def _geometry_tiles_fn(mesh: Mesh, shader, width: int, height: int,
     n_tiles_x = _cdiv(width, tile_w)
     n_tiles_y = _cdiv(height, tile_h)
     n_tiles = n_tiles_x * n_tiles_y
-    cap, a_cap = caps
+    cap, a_cap = caps[:2]     # geometry merge shades its own way — no
+                              # won-tile cap (pmin needs all candidates)
     spec = (tuple(shader.varying_spec.items())
             if shader.writes_color else ())
     n_vary = sum(c for _, c in spec)
