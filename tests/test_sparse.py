@@ -305,3 +305,51 @@ def test_collect_stats_does_not_change_frame(meshes):
         np.testing.assert_array_equal(
             np.asarray(getattr(a[0], field)),
             np.asarray(getattr(b[0], field)))
+
+
+def test_won_tile_cap_refinement_bitwise(meshes):
+    """The won-tile shading cap (w_cap < a_cap) engages only after a
+    first frame refines it; the compacted shade must stay bitwise equal
+    to the uncompacted first frame.  Pass 2 is a full-screen quad BEHIND
+    pass 1's geometry — active on every tile, winning on few — the worst
+    case for the compaction bookkeeping."""
+    import jax.numpy as jnp
+    view, proj = default_view()
+    w, h = 256, 128                    # 2x8 tiles: quantizer can bite
+    slab = np.diag([4.0, 4.0, 0.2, 1.0])   # fills all 16 tiles, z~0.93
+    back = np.diag([6.0, 6.0, 1.0, 1.0])   # soup spread wide and pushed
+    back[2, 3] = -3.0                      # past the slab
+    p1 = make_pass(meshes["cube"], GouraudShader(), view, proj,
+                   model_matrix=slab)
+    # scattered soup fully occluded: active on ~all tiles, wins on none
+    # — w_cap refines below a_cap and the compacted shade engages
+    p2 = make_pass(meshes["soup"], GouraudShader(), view, proj,
+                   model_matrix=back)
+
+    def render():
+        ft = raster_sparse.new_frame_tiles(w, h)
+        offset = 0
+        for p in (p1, p2):
+            attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+            ft, _, ovf = raster_sparse.render_pass_tiles(
+                ft, attrs, p.shader, dict(p.uniforms), w, h,
+                winner_offset=offset)
+            assert not bool(ovf)
+            offset += attrs["position"].shape[0]
+        return raster_sparse.tiles_to_buffers(ft, w, h)
+
+    key2 = (p2.attrs["position"].shape[0], 2, 8)
+    raster_sparse._SPARSE_CAPACITY.pop(key2, None)
+    fb_first = render()                       # seeds + refines w_cap
+    caps = raster_sparse._SPARSE_CAPACITY[key2]
+    assert len(caps) == 3
+    assert caps[2] < caps[1], (
+        f"w_cap {caps[2]} did not refine below a_cap {caps[1]} — the "
+        f"compacted-shade path is not being exercised")
+    fb_second = render()                      # runs with refined w_cap
+    np.testing.assert_array_equal(np.asarray(fb_first.color),
+                                  np.asarray(fb_second.color))
+    np.testing.assert_array_equal(np.asarray(fb_first.depth),
+                                  np.asarray(fb_second.depth))
+    np.testing.assert_array_equal(np.asarray(fb_first.winner),
+                                  np.asarray(fb_second.winner))
