@@ -484,9 +484,12 @@ def _fine_call_jit(ids, row_start, rows, rec, depth_tiles,
 # Pass driver (contract-compatible with raster_sparse.render_pass_tiles)
 # ---------------------------------------------------------------------------
 
-# (F, ntx, nty) -> (pair_cap, row_cap, a_cap)
+# (F, ntx, nty) -> (pair_cap, row_cap, a_cap, w_cap)
 _FINE_CAPACITY: dict = {}
 _FINE_PENDING: dict = {}
+#: keys whose won-tile cap already refined (shrink happens ONCE — see
+#: raster_sparse._W_REFINED for the per-frame-recompile failure mode)
+_W_REFINED: set = set()
 
 
 def _resolve_pending(key, n_tiles):
@@ -517,10 +520,12 @@ def _resolve_pending(key, n_tiles):
                 max(rc, _quantize_tight(rt)),
                 max(ac, qa(pa, n_tiles)),
                 max(min(wc, ac), qa(wt, n_tiles)))
-        else:
+            _W_REFINED.add(key)
+        elif key not in _W_REFINED:
             w_new = min(wc, max(8, qa(wt, n_tiles)))
-            if w_new < wc:    # refine won-tile cap (see _post_sparse_jit)
-                _FINE_CAPACITY[key] = (pc, rc, ac, w_new)
+            if w_new < wc:    # refine won-tile cap ONCE (raster_sparse
+                _FINE_CAPACITY[key] = (pc, rc, ac, w_new)  # ._W_REFINED)
+            _W_REFINED.add(key)
     else:
         _FINE_PENDING[key] = (totals_dev, prev_caps, age + 1)
 
@@ -620,13 +625,16 @@ def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
                      max(a_cap, qa(act, n_tiles)),
                      max(min(w_cap, a_cap), qa(wt, n_tiles)))
             _FINE_CAPACITY[key] = grown
+            _W_REFINED.add(key)
             return render_pass_fine(ft, attrs, shader, uniforms,
                                     width, height, winner_offset,
                                     tile_h, tile_w, strict_capacity,
                                     interpret, collect_stats, _caps=grown)
-        w_new = min(w_cap, max(8, qa(wt, n_tiles)))
-        if w_new < w_cap:     # refine won-tile cap (see _post_sparse_jit)
-            _FINE_CAPACITY[key] = (pair_cap, row_cap, a_cap, w_new)
+        if key not in _W_REFINED:     # refine won-tile cap ONCE
+            w_new = min(w_cap, max(8, qa(wt, n_tiles)))
+            if w_new < w_cap:
+                _FINE_CAPACITY[key] = (pair_cap, row_cap, a_cap, w_new)
+            _W_REFINED.add(key)
     elif key not in _FINE_PENDING:
         totals_dev = jnp.stack([pair_total, row_total, n_active,
                                 won_total])

@@ -351,10 +351,17 @@ def _post_sparse_jit(ft: FrameTiles, ids, kernel_ids, depth_c, winner_c,
 
 
 # capacity caches shared with raster_tiled's conventions: key ->
-# (pair capacity, active-tile capacity); async totals resolve one frame
-# later exactly like raster_tiled._PENDING_TOTALS
+# (pair capacity, active-tile capacity, won-tile capacity); async totals
+# resolve one frame later exactly like raster_tiled._PENDING_TOTALS
 _SPARSE_CAPACITY: dict = {}
 _SPARSE_PENDING: dict = {}
+
+#: keys whose won-tile cap already refined down from its a_cap seed.
+#: The shrink happens ONCE; afterwards the cap only grows on overflow —
+#: re-shrinking every frame under a moving camera made each frame a new
+#: static cap tuple, i.e. a full program recompile per frame (measured:
+#: the orbit config collapsed 25 ms -> 1.6 s/frame, round 3).
+_W_REFINED: set = set()
 
 
 def _quantize_active(n_active: int, n_tiles: int) -> int:
@@ -397,12 +404,15 @@ def _resolve_pending(key, n_tiles):
                 max(cap, _quantize_soft(pt)),
                 max(a_cap, _quantize_active(pa, n_tiles)),
                 max(min(w_cap, a_cap), _quantize_active(wt, n_tiles)))
-        else:
-            # refine: a first-frame w_cap == a_cap shrinks to the
-            # measured won-tile count (the whole point of the cap)
+            _W_REFINED.add(key)
+        elif key not in _W_REFINED:
+            # refine ONCE: the first-frame w_cap == a_cap seed shrinks
+            # to the measured won-tile count; afterwards grow-only
+            # (see _W_REFINED — per-frame shrinking recompiles)
             w_new = min(w_cap, max(8, _quantize_active(wt, n_tiles)))
             if w_new < w_cap:
                 _SPARSE_CAPACITY[key] = (cap, a_cap, w_new)
+            _W_REFINED.add(key)
     else:
         _SPARSE_PENDING[key] = (totals_dev, prev_caps, age + 1)
 
@@ -520,13 +530,16 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
                      max(a_cap, _quantize_active(act, n_tiles)),
                      max(min(w_cap, a_cap), _quantize_active(wt, n_tiles)))
             _SPARSE_CAPACITY[key] = grown
+            _W_REFINED.add(key)
             return render_pass_tiles(ft, attrs, shader, uniforms,
                                      width, height, winner_offset,
                                      tile_h, tile_w, strict_capacity,
                                      interpret, collect_stats, _caps=grown)
-        w_new = min(w_cap, max(8, _quantize_active(wt, n_tiles)))
-        if w_new < w_cap:     # refine the won-tile cap for next frame
-            _SPARSE_CAPACITY[key] = (capacity, a_cap, w_new)
+        if key not in _W_REFINED:     # refine the won-tile cap ONCE
+            w_new = min(w_cap, max(8, _quantize_active(wt, n_tiles)))
+            if w_new < w_cap:
+                _SPARSE_CAPACITY[key] = (capacity, a_cap, w_new)
+            _W_REFINED.add(key)
     elif key not in _SPARSE_PENDING:
         totals_dev = jnp.stack([total, n_active, won_total])
         try:
