@@ -343,7 +343,16 @@ def bench_animation(width, height, frames):
     t0 = time.perf_counter()
     _force(render_at(0))
     compile_s = time.perf_counter() - t0
-    _force(render_at(1))  # warms any capacity growth
+    # warm until capacities are stable: async totals resolve frames
+    # late and each refinement/growth re-traces the fused program —
+    # under an ORBIT the won-tile/pair counts drift, so a 2-frame
+    # warmup leaks those one-time re-traces into the timed batches
+    # (measured: 27 -> 467 ms/frame median, round 3)
+    # one full warmup orbit so every angle's capacity demand has been
+    # seen (caps are monotone after refinement — steady state follows)
+    for j in range(1, frames):
+        render_at(j)
+    _force(render_at(0))
     rtt = _measure_rtt()
     # large pipelined batches: one forced fetch per batch (see
     # _time_frames — per-frame syncs cost ~15-30 ms each via the tunnel)
