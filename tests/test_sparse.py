@@ -340,6 +340,7 @@ def test_won_tile_cap_refinement_bitwise(meshes):
 
     key2 = (p2.attrs["position"].shape[0], 2, 8)
     raster_sparse._SPARSE_CAPACITY.pop(key2, None)
+    raster_sparse._W_REFINED.discard(key2)    # other suites may share key
     fb_first = render()                       # seeds + refines w_cap
     caps = raster_sparse._SPARSE_CAPACITY[key2]
     assert len(caps) == 3
