@@ -349,10 +349,15 @@ def bench_animation(width, height, frames):
     # warmup leaks those one-time re-traces into the timed batches
     # (measured: 27 -> 467 ms/frame median, round 3)
     # one full warmup orbit so every angle's capacity demand has been
-    # seen (caps are monotone after refinement — steady state follows)
+    # seen (caps are monotone after refinement — steady state follows);
+    # then a few FORCED frames so in-flight async totals resolve and any
+    # late-detected growth re-traces here, not inside a timed batch
+    # (per-key pending slots drop totals while an entry is in flight,
+    # so a max-demand angle can otherwise surface late)
     for j in range(1, frames):
         render_at(j)
-    _force(render_at(0))
+    for j in range(4):
+        _force(render_at((j * frames) // 4))
     rtt = _measure_rtt()
     # large pipelined batches: one forced fetch per batch (see
     # _time_frames — per-frame syncs cost ~15-30 ms each via the tunnel)

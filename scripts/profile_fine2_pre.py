@@ -94,37 +94,41 @@ def main():
     bins_out = jax.block_until_ready(s_bins(tx0, ty0, span_x, spans))
     sorted_tri, start, counts, sorted_key = bins_out
 
+    # flat-argsort packing — MUST mirror _pre_fine2_jit's shipped form
+    # (the original per-class matching this script first profiled was
+    # superseded in the same round; advisor round-3 item)
+    n_strips_v = n_tiles * STRIPS
+
     @jax.jit
     def s_group(counts):
-        counts8 = counts.reshape(n_tiles, STRIPS)
-        order = jnp.argsort(-counts8, axis=0)
-        sortc = jnp.take_along_axis(counts8, order, axis=0)
-        group_rows = jnp.max(sortc, axis=1)
+        order_f = jnp.argsort(-counts)
+        pos = (jnp.zeros((n_strips_v,), jnp.int32)
+               .at[order_f].set(jnp.arange(n_strips_v, dtype=jnp.int32)))
+        sortc = counts[order_f]
+        group_rows = sortc[0::STRIPS]
         group_start = (jnp.cumsum(group_rows) - group_rows).astype(jnp.int32)
-        cols8 = jnp.arange(STRIPS, dtype=jnp.int32)[None, :]
-        ranks = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]
-        g_of = (jnp.zeros((n_tiles, STRIPS), jnp.int32)
-                .at[order, jnp.broadcast_to(cols8, order.shape)]
-                .set(jnp.broadcast_to(ranks, order.shape)))
-        return order, group_rows, group_start, g_of
+        g_of = pos // STRIPS
+        j_of = pos - g_of * STRIPS
+        return order_f, group_rows, group_start, g_of, j_of
 
-    order, group_rows, group_start, g_of = jax.block_until_ready(
+    order_f, group_rows, group_start, g_of, j_of = jax.block_until_ready(
         s_group(counts))
 
     @jax.jit
-    def s_dst(sorted_key, start, group_start, g_of):
+    def s_dst(sorted_key, start, group_start, g_of, j_of):
         q = jnp.arange(pc, dtype=jnp.int32)
         live_pair = sorted_key < n_strips
         s_safe = jnp.minimum(sorted_key, n_strips - 1)
-        strip_tbl = jnp.stack([start[:-1], group_start[g_of.reshape(-1)]],
+        strip_tbl = jnp.stack([start[:-1],
+                               group_start[g_of] * STRIPS + j_of],
                               axis=1)
         sg = strip_tbl[s_safe]
         rank = q - sg[:, 0]
-        k_of = s_safe & 7
-        dst = (sg[:, 1] + rank) * STRIPS + k_of
+        dst = sg[:, 1] + rank * STRIPS
         return jnp.where(live_pair & (dst < rc * STRIPS), dst, rc * STRIPS)
 
-    dst = jax.block_until_ready(s_dst(sorted_key, start, group_start, g_of))
+    dst = jax.block_until_ready(
+        s_dst(sorted_key, start, group_start, g_of, j_of))
 
     @jax.jit
     def s_scatter(dst, sorted_tri):
@@ -183,7 +187,7 @@ def main():
     print(f"strip spans:         {t(s_spans, setup):7.2f} ms")
     print(f"build_bins (sort):   {t(s_bins, tx0, ty0, span_x, spans):7.2f} ms")
     print(f"grouping (argsort):  {t(s_group, counts):7.2f} ms")
-    print(f"dst computation:     {t(s_dst, sorted_key, start, group_start, g_of):7.2f} ms")
+    print(f"dst computation:     {t(s_dst, sorted_key, start, group_start, g_of, j_of):7.2f} ms")
     print(f"slot scatter:        {t(s_scatter, dst, sorted_tri):7.2f} ms")
     print(f"tbl build:           {t(s_tbl, setup, varyings):7.2f} ms")
     print(f"record gather:       {t(s_recgather, tbl, tri8):7.2f} ms")

@@ -307,22 +307,26 @@ def test_collect_stats_does_not_change_frame(meshes):
             np.asarray(getattr(b[0], field)))
 
 
-def test_won_tile_cap_refinement_bitwise(meshes):
+@pytest.mark.parametrize("slab_sy,min_won", [
+    (4.0, 0),   # slab fills ALL tiles: pass 2 wins nothing (wt = 0)
+    (2.6, 1),   # slab leaves border rows: pass 2 wins a FEW tiles —
+                # the compacted sel-gather/shade/scatter with real
+                # winners under w_cap < a_cap (advisor round-3 item)
+])
+def test_won_tile_cap_refinement_bitwise(meshes, slab_sy, min_won):
     """The won-tile shading cap (w_cap < a_cap) engages only after a
     first frame refines it; the compacted shade must stay bitwise equal
-    to the uncompacted first frame.  Pass 2 is a full-screen quad BEHIND
-    pass 1's geometry — active on every tile, winning on few — the worst
-    case for the compaction bookkeeping."""
+    to the uncompacted first frame.  Pass 2 is occluded geometry spread
+    over every tile, winning on none or few — the worst cases for the
+    compaction bookkeeping."""
     import jax.numpy as jnp
     view, proj = default_view()
     w, h = 256, 128                    # 2x8 tiles: quantizer can bite
-    slab = np.diag([4.0, 4.0, 0.2, 1.0])   # fills all 16 tiles, z~0.93
+    slab = np.diag([4.0, slab_sy, 0.2, 1.0])  # z~0.93 occluder
     back = np.diag([6.0, 6.0, 1.0, 1.0])   # soup spread wide and pushed
     back[2, 3] = -3.0                      # past the slab
     p1 = make_pass(meshes["cube"], GouraudShader(), view, proj,
                    model_matrix=slab)
-    # scattered soup fully occluded: active on ~all tiles, wins on none
-    # — w_cap refines below a_cap and the compacted shade engages
     p2 = make_pass(meshes["soup"], GouraudShader(), view, proj,
                    model_matrix=back)
 
@@ -347,6 +351,10 @@ def test_won_tile_cap_refinement_bitwise(meshes):
     assert caps[2] < caps[1], (
         f"w_cap {caps[2]} did not refine below a_cap {caps[1]} — the "
         f"compacted-shade path is not being exercised")
+    f1 = p1.attrs["position"].shape[0]
+    won2 = int(((np.asarray(fb_first.winner) >= f1)
+                .reshape(8, 16, 2, 128).any(axis=(1, 3))).sum())
+    assert won2 >= min_won, f"pass 2 won {won2} tiles, wanted >= {min_won}"
     fb_second = render()                      # runs with refined w_cap
     np.testing.assert_array_equal(np.asarray(fb_first.color),
                                   np.asarray(fb_second.color))
@@ -354,3 +362,28 @@ def test_won_tile_cap_refinement_bitwise(meshes):
                                   np.asarray(fb_second.depth))
     np.testing.assert_array_equal(np.asarray(fb_first.winner),
                                   np.asarray(fb_second.winner))
+
+
+def test_depth_pass_does_not_consume_won_refinement(meshes):
+    """A writes_color=False pass reports the -1 'no pressure' sentinel,
+    so it must neither shrink the shared key's w_cap nor consume the
+    once-only refinement (capacity keys carry no shader identity — a
+    shadow-map pass at frame resolution shares its key with the color
+    pass of the same mesh)."""
+    import jax.numpy as jnp
+    from tinyrenderder_tpu.shaders import DepthShader
+    view, proj = default_view()
+    w, h = 256, 128
+    p = make_pass(meshes["head"], DepthShader(), view, proj)
+    attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+    key = (attrs["position"].shape[0], 2, 8)
+    raster_sparse._SPARSE_CAPACITY.pop(key, None)
+    raster_sparse._W_REFINED.discard(key)
+    ft = raster_sparse.new_frame_tiles(w, h)
+    raster_sparse.render_pass_tiles(ft, attrs, p.shader, dict(p.uniforms),
+                                    w, h)
+    caps = raster_sparse._SPARSE_CAPACITY[key]
+    assert key not in raster_sparse._W_REFINED, (
+        "depth-only pass consumed the once-only won-tile refinement")
+    assert caps[2] == caps[1], (
+        f"depth-only pass shrank w_cap to {caps[2]} (a_cap {caps[1]})")

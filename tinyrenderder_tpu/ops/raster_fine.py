@@ -505,8 +505,11 @@ def _resolve_pending(key, n_tiles):
         _FINE_PENDING.pop(key)
         t = [int(x) for x in np.asarray(totals_dev)[:4]]
         pt, rt, pa = t[0], t[1], t[2]
-        wt = t[3] if len(t) > 3 else 0
-        pc, rc, ac, *rest = prev_caps
+        wt = t[3] if len(t) > 3 else -1
+        # current caps, not the pending snapshot (see raster_sparse
+        # _resolve_pending — a snapshot write can revert interim growth)
+        cur = _FINE_CAPACITY.get(key, prev_caps)
+        pc, rc, ac, *rest = cur
         wc = rest[0] if rest else ac
         qa = raster_sparse._quantize_active
         if pt > pc or rt > rc or pa > ac or wt > wc:
@@ -519,13 +522,10 @@ def _resolve_pending(key, n_tiles):
                 max(pc, _quantize_tight(pt)),
                 max(rc, _quantize_tight(rt)),
                 max(ac, qa(pa, n_tiles)),
-                max(min(wc, ac), qa(wt, n_tiles)))
+                max(min(wc, ac), qa(max(wt, 0), n_tiles)))
             _W_REFINED.add(key)
-        elif key not in _W_REFINED:
-            w_new = min(wc, max(8, qa(wt, n_tiles)))
-            if w_new < wc:    # refine won-tile cap ONCE (raster_sparse
-                _FINE_CAPACITY[key] = (pc, rc, ac, w_new)  # ._W_REFINED)
-            _W_REFINED.add(key)
+        else:
+            raster_sparse._won_refine_once("fine", key, wt, n_tiles)
     else:
         _FINE_PENDING[key] = (totals_dev, prev_caps, age + 1)
 
@@ -623,18 +623,14 @@ def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
             grown = (max(pair_cap, _quantize_tight(pt)),
                      max(row_cap, _quantize_tight(rt)),
                      max(a_cap, qa(act, n_tiles)),
-                     max(min(w_cap, a_cap), qa(wt, n_tiles)))
+                     max(min(w_cap, a_cap), qa(max(wt, 0), n_tiles)))
             _FINE_CAPACITY[key] = grown
             _W_REFINED.add(key)
             return render_pass_fine(ft, attrs, shader, uniforms,
                                     width, height, winner_offset,
                                     tile_h, tile_w, strict_capacity,
                                     interpret, collect_stats, _caps=grown)
-        if key not in _W_REFINED:     # refine won-tile cap ONCE
-            w_new = min(w_cap, max(8, qa(wt, n_tiles)))
-            if w_new < w_cap:
-                _FINE_CAPACITY[key] = (pair_cap, row_cap, a_cap, w_new)
-            _W_REFINED.add(key)
+        raster_sparse._won_refine_once("fine", key, wt, n_tiles)
     elif key not in _FINE_PENDING:
         totals_dev = jnp.stack([pair_total, row_total, n_active,
                                 won_total])

@@ -317,10 +317,14 @@ def _post_sparse_jit(ft: FrameTiles, ids, kernel_ids, depth_c, winner_c,
                         ft.winner[kernel_ids])
     new_winner = ft.winner.at[ids].set(new_w_c, mode="drop")
     if not shader.writes_color:
-        # no shading -> no won-tile cap pressure (keeps depth-pass caps
-        # stable instead of refining a cap nothing reads)
+        # no shading -> no won-tile cap pressure.  -1 is the explicit
+        # "no pressure" sentinel: a plain 0 is indistinguishable from a
+        # measured zero and would let a depth-only pass consume the
+        # once-only refinement of a key it shares with a color pass
+        # (e.g. shadow map size == frame size), shrinking that key's
+        # w_cap to the minimum and forcing the color pass to overflow.
         return (FrameTiles(color=ft.color, depth=new_depth,
-                           winner=new_winner), jnp.asarray(0, jnp.int32))
+                           winner=new_winner), jnp.asarray(-1, jnp.int32))
     wonk = jnp.any(won, axis=(1, 2)) & live          # (A,) pass won in tile
     won_total = jnp.sum(wonk.astype(jnp.int32))
     if w_cap is None or w_cap >= a_cap:
@@ -391,8 +395,12 @@ def _resolve_pending(key, n_tiles):
         _SPARSE_PENDING.pop(key)
         t = [int(x) for x in np.asarray(totals_dev)[:3]]
         pt, pa = t[0], t[1]
-        wt = t[2] if len(t) > 2 else 0
-        cap, a_cap, *rest = prev_caps
+        wt = t[2] if len(t) > 2 else -1
+        # compare against the CURRENT caps, not the pending snapshot —
+        # another path (fused strict, shadows) may have grown them in
+        # between, and writing from the snapshot would revert that
+        cur = _SPARSE_CAPACITY.get(key, prev_caps)
+        cap, a_cap, *rest = cur
         w_cap = rest[0] if rest else a_cap
         if pt > cap or pa > a_cap or wt > w_cap:
             import logging
@@ -403,16 +411,11 @@ def _resolve_pending(key, n_tiles):
             _SPARSE_CAPACITY[key] = (
                 max(cap, _quantize_soft(pt)),
                 max(a_cap, _quantize_active(pa, n_tiles)),
-                max(min(w_cap, a_cap), _quantize_active(wt, n_tiles)))
+                max(min(w_cap, a_cap),
+                    _quantize_active(max(wt, 0), n_tiles)))
             _W_REFINED.add(key)
-        elif key not in _W_REFINED:
-            # refine ONCE: the first-frame w_cap == a_cap seed shrinks
-            # to the measured won-tile count; afterwards grow-only
-            # (see _W_REFINED — per-frame shrinking recompiles)
-            w_new = min(w_cap, max(8, _quantize_active(wt, n_tiles)))
-            if w_new < w_cap:
-                _SPARSE_CAPACITY[key] = (cap, a_cap, w_new)
-            _W_REFINED.add(key)
+        else:
+            _won_refine_once("coarse", key, wt, n_tiles)
     else:
         _SPARSE_PENDING[key] = (totals_dev, prev_caps, age + 1)
 
@@ -528,18 +531,15 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
         if tot > capacity or act > a_cap or wt > w_cap:
             grown = (max(capacity, _quantize_soft(tot)),
                      max(a_cap, _quantize_active(act, n_tiles)),
-                     max(min(w_cap, a_cap), _quantize_active(wt, n_tiles)))
+                     max(min(w_cap, a_cap),
+                         _quantize_active(max(wt, 0), n_tiles)))
             _SPARSE_CAPACITY[key] = grown
             _W_REFINED.add(key)
             return render_pass_tiles(ft, attrs, shader, uniforms,
                                      width, height, winner_offset,
                                      tile_h, tile_w, strict_capacity,
                                      interpret, collect_stats, _caps=grown)
-        if key not in _W_REFINED:     # refine the won-tile cap ONCE
-            w_new = min(w_cap, max(8, _quantize_active(wt, n_tiles)))
-            if w_new < w_cap:
-                _SPARSE_CAPACITY[key] = (capacity, a_cap, w_new)
-            _W_REFINED.add(key)
+        _won_refine_once("coarse", key, wt, n_tiles)
     elif key not in _SPARSE_PENDING:
         totals_dev = jnp.stack([total, n_active, won_total])
         try:
@@ -687,6 +687,43 @@ def _caps_from_totals(mode, t, n_tiles):
 def _caps_fit(mode, caps, t):
     width = _mode_stores(mode)[2]
     return all(int(x) <= c for x, c in zip(t[:width], caps))
+
+
+def _w_refined_set(mode):
+    from tinyrenderder_tpu.ops import raster_fine
+    return _W_REFINED if mode == "coarse" else raster_fine._W_REFINED
+
+
+def _won_of(mode, t):
+    """Won-tile count from a totals row (-1 = no pressure / fine2)."""
+    if mode == "coarse":
+        return int(t[2])
+    if mode == "fine":
+        return int(t[3])
+    return -1
+
+
+def _won_refine_once(mode, key, wt, n_tiles):
+    """Shrink a key's won-tile cap from its a_cap seed to the measured
+    count, EXACTLY ONCE (shared by the strict/async per-pass drivers,
+    the fused frame, and the fused shadow program — the four previously
+    copy-pasted sites drifted; advisor round 3).  wt < 0 is the
+    depth-only "no pressure" sentinel (see _post_sparse_jit) and never
+    consumes the refinement; afterwards the cap only grows on overflow
+    (per-frame shrinking = a program retrace per frame, see
+    _W_REFINED)."""
+    if mode == "fine2" or wt is None or wt < 0:
+        return
+    refined = _w_refined_set(mode)
+    if key in refined:
+        return
+    store = _mode_stores(mode)[0]
+    caps = store.get(key)
+    if caps is not None and len(caps) >= 3:
+        w_new = min(caps[-1], max(8, _quantize_active(wt, n_tiles)))
+        if w_new < caps[-1]:
+            store[key] = (*caps[:-1], w_new)
+    refined.add(key)
 
 
 def _grow_caps(mode, caps, t, n_tiles):
@@ -918,7 +955,11 @@ def render_frame_fused(passes, width: int, height: int,
             if not _caps_fit(mode, caps, t):
                 _mode_stores(mode)[0][key] = _grow_caps(mode, caps, t,
                                                         n_tiles)
+                if mode != "fine2":
+                    _w_refined_set(mode).add(key)
                 grown = True
+            else:
+                _won_refine_once(mode, key, _won_of(mode, t), n_tiles)
         if grown:
             return render_frame_fused(passes, width, height, tile_h,
                                       tile_w, strict_capacity, interpret)

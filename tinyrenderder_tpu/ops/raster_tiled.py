@@ -220,9 +220,8 @@ def _build_bins(tx0, ty0, span_x, spans, pair_capacity: int,
 
     sorted_tile, sorted_tri = jax.lax.sort(
         (tile_id.astype(jnp.int32), jnp.where(in_run, tri, -1)), num_keys=1)
-    # method="sort" lowers to one small concat-sort instead of a
-    # vectorized binary scan — 1.24 -> 0.07 ms at stress scale (measured
-    # round 3, one v5e); output is method-independent
+    # output is method-independent; the method CHOICE is "scan" — see
+    # _SEARCHSORTED_METHOD above ("sort" wins isolated but loses fused)
     start = jnp.searchsorted(sorted_tile,
                              jnp.arange(n_tiles + 1, dtype=jnp.int32),
                              side="left",

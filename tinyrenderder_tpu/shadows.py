@@ -312,7 +312,13 @@ def _render_with_shadows_fused(scene: Scene, light_dir, light_cam,
                     if not rs._caps_fit(mode, caps, tot_host[i]):
                         rs._mode_stores(mode)[0][key] = rs._grow_caps(
                             mode, caps, tot_host[i], n_tiles)
+                        if mode != "fine2":
+                            rs._w_refined_set(mode).add(key)
                         grown = True
+                    else:
+                        rs._won_refine_once(
+                            mode, key, rs._won_of(mode, tot_host[i]),
+                            n_tiles)
                 else:
                     pending = rs._mode_stores(mode)[1]
                     if key not in pending:
