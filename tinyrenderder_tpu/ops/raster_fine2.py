@@ -573,7 +573,10 @@ def _resolve_pending(key, n_tiles):
     if ready or age >= 8:
         _FINE2_PENDING.pop(key)
         pt, rt, ng, na = (int(x) for x in np.asarray(totals_dev))
-        pc, rc, gc, ac = prev_caps
+        # compare against the CURRENT caps, not the pending snapshot —
+        # another path may have grown them since this entry was queued
+        # and the snapshot's max() would revert that growth
+        pc, rc, gc, ac = _FINE2_CAPACITY.get(key, prev_caps)
         if pt > pc or rt > rc or ng > gc or na > ac:
             import logging
             logging.getLogger(__name__).warning(
