@@ -1,0 +1,42 @@
+"""TPU tunnel health probe (CLAUDE.md infra note).
+
+Runs a tiny matmul with a hard SIGALRM timeout so it can never hang the
+caller.  Exit 0 = healthy (prints the measured RTT), exit 2 = degraded/
+unreachable within the deadline.  Use before trusting any bench number:
+
+    timeout 130 python scripts/probe_tunnel.py [deadline_s]
+"""
+
+import os
+import signal
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+DEADLINE = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
+
+
+def _die(signum, frame):
+    print(f"DEGRADED: no result within {DEADLINE:.0f}s", flush=True)
+    os._exit(2)
+
+
+signal.signal(signal.SIGALRM, _die)
+signal.alarm(int(DEADLINE))
+
+t0 = time.time()
+import jax                                    # noqa: E402
+import jax.numpy as jnp                       # noqa: E402
+
+d = jax.devices()
+t1 = time.time()
+x = jnp.ones((256, 256))
+v = float(jax.device_get((x @ x).sum()))
+t2 = time.time()
+# second fetch measures steady-state RTT (first includes compile)
+v2 = float(jax.device_get((x @ x + 1.0).sum()))
+t3 = time.time()
+print(f"HEALTHY: devices={d[0].platform} init={t1-t0:.1f}s "
+      f"first_matmul={t2-t1:.1f}s rtt={t3-t2:.3f}s", flush=True)
+sys.exit(0)

@@ -327,6 +327,35 @@ def test_gltf_embedded_texture_and_submeshes(tmp_path):
     assert m.nverts == 8 and m.nfaces == 2
 
 
+def test_gltf_default_material_not_materials0(tmp_path):
+    """A primitive without a 'material' property gets the default
+    material (spec), not materials[0] — it must not steal another
+    material's texture maps."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+    img = np.full((2, 2, 3), 77, np.uint8)
+    buf = io.BytesIO()
+    PIL.fromarray(img).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    bin_data = _quad_bin() + png
+    j = _quad_json({"byteLength": len(bin_data)})
+    j["bufferViews"].append({"buffer": 0,
+                             "byteOffset": len(bin_data) - len(png),
+                             "byteLength": len(png)})
+    j["images"] = [{"bufferView": 3, "mimeType": "image/png"}]
+    j["textures"] = [{"source": 0}]
+    j["materials"] = [{"name": "tex", "pbrMetallicRoughness":
+                       {"baseColorTexture": {"index": 0}}}]
+    # the primitive deliberately has NO "material" key
+    p = tmp_path / "d.glb"
+    _write_glb(p, j, bin_data)
+    m = load_gltf(str(p))
+    sm = m.submeshes[0]
+    assert m.materials[sm.material_index].name == "__gltf_default__"
+    assert not m.materials[sm.material_index].has_diffuse
+
+
 def test_gltf_truncated_raises(tmp_path):
     p = tmp_path / "bad.glb"
     p.write_bytes(struct.pack("<III", 0x46546C67, 2, 100) + b"\x00" * 4)

@@ -1,0 +1,154 @@
+"""Loader robustness fuzz: random truncations and byte corruptions of
+valid OBJ/PLY/STL/glTF files must raise a clean exception (ValueError /
+OSError / KeyError / UnicodeError family) or return a mesh — never hang,
+crash the interpreter, or leak numpy broadcasting errors from
+unvalidated shapes.
+
+The reference gets this resilience from Assimp's validation layer
+(aiProcess_ValidateDataStructure, model.cpp:99); here each parser
+carries its own bounds checks, pinned by this suite.
+"""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from tinyrenderder_tpu.models.gltf import load_gltf
+from tinyrenderder_tpu.models.obj import load_obj
+from tinyrenderder_tpu.models.ply import load_ply
+from tinyrenderder_tpu.models.stl import load_stl
+
+# exceptions a parser may legitimately raise on malformed input
+OK_ERRORS = (ValueError, OSError, KeyError, IndexError, TypeError,
+             UnicodeDecodeError, json.JSONDecodeError, struct.error,
+             EOFError)
+
+
+def _quad_stl():
+    tris = np.array([[[0, 0, 0], [1, 0, 0], [1, 1, 0]],
+                     [[0, 0, 0], [1, 1, 0], [0, 1, 0]]], np.float64)
+    out = b"\x00" * 80 + struct.pack("<I", len(tris))
+    for t in tris:
+        out += struct.pack("<3f", 0, 0, 1)
+        for v in t:
+            out += struct.pack("<3f", *v)
+        out += struct.pack("<H", 0)
+    return out
+
+
+def _quad_ply():
+    header = (b"ply\nformat binary_little_endian 1.0\n"
+              b"element vertex 4\n"
+              b"property float x\nproperty float y\nproperty float z\n"
+              b"element face 2\n"
+              b"property list uchar int vertex_indices\n"
+              b"end_header\n")
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                     "<f4").tobytes()
+    faces = (struct.pack("<B3i", 3, 0, 1, 2)
+             + struct.pack("<B3i", 3, 0, 2, 3))
+    return header + verts + faces
+
+
+def _quad_obj():
+    return (b"v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+            b"f 1 2 3\nf 1 3 4\n")
+
+
+def _quad_glb():
+    pos = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                   "<f4")
+    idx = np.array([0, 1, 2, 0, 2, 3], "<u2")
+    bind = pos.tobytes() + idx.tobytes()
+    j = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"byteLength": len(bind)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+            {"buffer": 0, "byteOffset": pos.nbytes,
+             "byteLength": idx.nbytes},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0},
+                                    "indices": 1}]}],
+        "nodes": [{"mesh": 0}],
+        "scenes": [{"nodes": [0]}],
+    }
+    jb = json.dumps(j).encode()
+    jb += b" " * (-len(jb) % 4)
+    bb = bind + b"\x00" * (-len(bind) % 4)
+    body = (struct.pack("<II", len(jb), 0x4E4F534A) + jb
+            + struct.pack("<II", len(bb), 0x004E4942) + bb)
+    return struct.pack("<III", 0x46546C67, 2, 12 + len(body)) + body
+
+
+LOADERS = {
+    "stl": (_quad_stl, load_stl),
+    "ply": (_quad_ply, load_ply),
+    "obj": (_quad_obj, load_obj),
+    "glb": (_quad_glb, load_gltf),
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(LOADERS))
+def test_truncation_fuzz(fmt, tmp_path):
+    make, loader = LOADERS[fmt]
+    data = make()
+    p = tmp_path / f"t.{fmt}"
+    # every truncation point on a small grid + the last 20 byte-by-byte
+    points = sorted(set(range(0, len(data), max(1, len(data) // 64)))
+                    | set(range(max(0, len(data) - 20), len(data))))
+    for n in points:
+        p.write_bytes(data[:n])
+        try:
+            m = loader(str(p), load_textures=False)
+        except OK_ERRORS:
+            continue
+        assert m.positions.shape[1] == 3        # clean partial parse
+
+
+@pytest.mark.parametrize("fmt", sorted(LOADERS))
+def test_corruption_fuzz(fmt, tmp_path):
+    make, loader = LOADERS[fmt]
+    data = make()
+    p = tmp_path / f"c.{fmt}"
+    rng = np.random.default_rng(0xC0FFEE + len(data))
+    for trial in range(60):
+        buf = bytearray(data)
+        for _ in range(int(rng.integers(1, 4))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        p.write_bytes(bytes(buf))
+        try:
+            m = loader(str(p), load_textures=False)
+        except OK_ERRORS:
+            continue
+        # a mesh that parsed must be structurally sane
+        assert m.positions.ndim == 2 and m.positions.shape[1] == 3
+        assert m.faces.ndim == 2 and m.faces.shape[1] == 3
+        if m.faces.size:
+            assert m.faces.min() >= 0 and m.faces.max() < m.nverts
+
+
+def test_empty_and_garbage_files(tmp_path):
+    for fmt, (_, loader) in LOADERS.items():
+        p = tmp_path / f"e.{fmt}"
+        p.write_bytes(b"")
+        # permissive text formats (obj) may parse empty -> empty mesh;
+        # binary containers must raise
+        try:
+            m = loader(str(p), load_textures=False)
+            assert m.nverts == 0 and m.nfaces == 0
+        except OK_ERRORS:
+            pass
+        p.write_bytes(b"\xde\xad\xbe\xef" * 16)
+        try:
+            loader(str(p), load_textures=False)
+        except OK_ERRORS:
+            pass

@@ -248,11 +248,17 @@ def _decode_image(doc: _Doc, image_index: int) -> np.ndarray | None:
 
 
 def _load_materials(doc: _Doc, stem: str,
-                    load_textures: bool) -> list[Material]:
+                    load_textures: bool) -> tuple[list[Material], Material]:
+    """(materials list, default material for material-less primitives).
+
+    The default material gets the reference's filename-probe textures
+    (model.cpp:207-267 probes ``<stem>_diffuse.tga`` etc. for every
+    material without an explicit path — including Assimp's default)."""
     j = doc.j
     if not load_textures:
-        return [Material(name=m.get("name", ""))
-                for m in j.get("materials", [{}])] or [Material()]
+        default = Material(name="__gltf_default__")
+        return ([Material(name=m.get("name", ""))
+                 for m in j.get("materials", [])], default)
 
     image_cache: dict[int, np.ndarray | None] = {}
 
@@ -282,9 +288,10 @@ def _load_materials(doc: _Doc, stem: str,
             normal=normal if normal is not None else probe.normal,
             specular=probe.specular,
             emission=emission if emission is not None else probe.emission))
-    if not mats:
-        mats = [probe]
-    return mats
+    default = Material(name="__gltf_default__", diffuse=probe.diffuse,
+                       normal=probe.normal, specular=probe.specular,
+                       emission=probe.emission)
+    return mats, default
 
 
 def load_gltf(path: str, load_textures: bool = True) -> Mesh:
@@ -333,7 +340,7 @@ def load_gltf(path: str, load_textures: bool = True) -> Mesh:
         instances = [(mi, np.eye(4)) for mi in
                      range(len(j.get("meshes", [])))]
 
-    materials = _load_materials(doc, stem, load_textures)
+    materials, default_material = _load_materials(doc, stem, load_textures)
 
     all_pos: list[np.ndarray] = []
     all_nrm: list[np.ndarray] = []
@@ -376,11 +383,18 @@ def load_gltf(path: str, load_textures: bool = True) -> Mesh:
             all_nrm.append(nrm)
             all_uv.append(uv)
             all_faces.append(faces.astype(np.int32) + v_off)
+            if "material" in prim:
+                mat_i = int(prim["material"])
+            else:
+                # spec: no material property -> the default material,
+                # NOT materials[0]; appended lazily as the last slot
+                if not materials or materials[-1] is not default_material:
+                    materials.append(default_material)
+                mat_i = len(materials) - 1
             submeshes.append(SubMesh(
                 name=mesh_j.get("name", f"mesh{mi}"),
                 start_index=f_off * 3, index_count=faces.size,
-                material_index=int(prim.get("material", 0))
-                if materials else 0,
+                material_index=mat_i,
                 has_normals=has_n, has_texcoords=has_uv))
             v_off += nv
             f_off += faces.shape[0]
