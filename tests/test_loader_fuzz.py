@@ -15,15 +15,19 @@ import struct
 import numpy as np
 import pytest
 
+from tinyrenderder_tpu.models.collada import load_collada
 from tinyrenderder_tpu.models.gltf import load_gltf
 from tinyrenderder_tpu.models.obj import load_obj
 from tinyrenderder_tpu.models.ply import load_ply
 from tinyrenderder_tpu.models.stl import load_stl
 
 # exceptions a parser may legitimately raise on malformed input
+# (ET.ParseError subclasses SyntaxError, not ValueError)
+from xml.etree.ElementTree import ParseError as _XMLParseError  # noqa: E402
+
 OK_ERRORS = (ValueError, OSError, KeyError, IndexError, TypeError,
              UnicodeDecodeError, json.JSONDecodeError, struct.error,
-             EOFError)
+             EOFError, _XMLParseError)
 
 
 def _quad_stl():
@@ -89,11 +93,34 @@ def _quad_glb():
     return struct.pack("<III", 0x46546C67, 2, 12 + len(body)) + body
 
 
+def _quad_dae():
+    return b"""<?xml version="1.0"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <asset><up_axis>Y_UP</up_axis></asset>
+  <library_geometries><geometry id="q"><mesh>
+    <source id="pos"><float_array id="pa" count="12">
+      0 0 0 1 0 0 1 1 0 0 1 0</float_array>
+      <technique_common><accessor source="#pa" count="4" stride="3">
+        <param name="X" type="float"/><param name="Y" type="float"/>
+        <param name="Z" type="float"/></accessor></technique_common>
+    </source>
+    <vertices id="v"><input semantic="POSITION" source="#pos"/></vertices>
+    <triangles count="2"><input semantic="VERTEX" source="#v" offset="0"/>
+      <p>0 1 2 0 2 3</p></triangles>
+  </mesh></geometry></library_geometries>
+  <library_visual_scenes><visual_scene id="s">
+    <node><instance_geometry url="#q"/></node>
+  </visual_scene></library_visual_scenes>
+  <scene><instance_visual_scene url="#s"/></scene>
+</COLLADA>"""
+
+
 LOADERS = {
     "stl": (_quad_stl, load_stl),
     "ply": (_quad_ply, load_ply),
     "obj": (_quad_obj, load_obj),
     "glb": (_quad_glb, load_gltf),
+    "dae": (_quad_dae, load_collada),
 }
 
 

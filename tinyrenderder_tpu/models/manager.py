@@ -27,7 +27,8 @@ __all__ = ["ModelManager", "load_mesh"]
 def load_mesh(path: str, load_textures: bool = True) -> Mesh:
     """Format-dispatched load (the Assimp-style single entry point the
     reference gets from ReadFile, model.cpp:91-99): .ply -> PLY loader,
-    .stl -> STL loader, .gltf/.glb -> glTF loader, anything else -> OBJ."""
+    .stl -> STL loader, .gltf/.glb -> glTF loader, .dae -> COLLADA
+    loader, anything else -> OBJ."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".ply":
         from tinyrenderder_tpu.models.ply import load_ply
@@ -38,6 +39,9 @@ def load_mesh(path: str, load_textures: bool = True) -> Mesh:
     if ext in (".gltf", ".glb"):
         from tinyrenderder_tpu.models.gltf import load_gltf
         return load_gltf(path, load_textures=load_textures)
+    if ext == ".dae":
+        from tinyrenderder_tpu.models.collada import load_collada
+        return load_collada(path, load_textures=load_textures)
     return load_obj(path, load_textures=load_textures)
 
 
