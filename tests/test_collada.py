@@ -192,6 +192,20 @@ def test_dae_material_binding_and_texture(tmp_path):
     assert m.submeshes[0].material_index == 0
 
 
+def test_dae_ignored_input_still_widens_tuple(tmp_path):
+    """A second TEXCOORD set (ignored) at its own offset must still
+    count toward the <p> tuple stride."""
+    prim = """<triangles count="2">
+      <input semantic="VERTEX" source="#vtx" offset="0"/>
+      <input semantic="TEXCOORD" source="#uvs" offset="1" set="0"/>
+      <input semantic="TEXCOORD" source="#uvs" offset="2" set="1"/>
+      <p>0 0 3 1 1 3 2 2 3  0 0 3 2 2 3 3 3 3</p></triangles>"""
+    p = tmp_path / "q.dae"
+    p.write_text(_doc(_geometry(prim, UV_SOURCE)))
+    m = load_collada(str(p), load_textures=False)
+    _check_quad(m, with_uv=True)
+
+
 def test_dae_bad_inputs(tmp_path):
     p = tmp_path / "bad.dae"
     p.write_text("<notcollada/>")

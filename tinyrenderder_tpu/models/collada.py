@@ -111,10 +111,12 @@ def _primitive_inputs(prim, sources: _Sources):
     for i in prim.findall("input"):
         sem = i.get("semantic", "")
         off = int(i.get("offset", 0))
+        # every input widens the index tuple, even ones we ignore
+        # (e.g. a second TEXCOORD set or COLOR) — <p> strides over all
+        width = max(width, off + 1)
         if sem == "TEXCOORD" and int(i.get("set", 0)) != 0:
             continue                          # first UV set only
         arr = sources.resolve(i.get("source") or "", sem)
-        width = max(width, off + 1)
         if arr is not None:
             inputs.append((sem, off, arr))
     return inputs, width
