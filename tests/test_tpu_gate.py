@@ -153,6 +153,63 @@ def test_fine_kernel_matches_coarse_on_tpu(meshes):
                 np.asarray(getattr(ft_f, field)))
 
 
+def test_fine2_kernel_matches_coarse_on_tpu(meshes):
+    """Real Mosaic fine2 (grouped-strip, round-3) kernel vs the coarse
+    sparse kernel: depth, winner AND packed color bitwise.  Pins the
+    pass-local merge + strict-less post select and the flat-argsort
+    slot packing in real lowering."""
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.ops import raster_fine2
+    view, proj = default_view()
+    w, h = 256, 128
+    for p in _passes(meshes, view, proj):
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        ft0 = raster_sparse.new_frame_tiles(w, h)
+        ft_c, _, _ = raster_sparse.render_pass_tiles(
+            ft0, attrs, p.shader, dict(p.uniforms), w, h)
+        ft_2, _, _ = raster_fine2.render_pass_fine2(
+            ft0, attrs, p.shader, dict(p.uniforms), w, h)
+        for field in ("depth", "winner", "color"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ft_c, field)),
+                np.asarray(getattr(ft_2, field)))
+
+
+def test_fused_sharded_mesh1_matches_fused_on_tpu(meshes):
+    """The production sharded pipeline on a 1-device TPU mesh is
+    bitwise the single-device fused frame — the shard_map row-band
+    machinery (band-clipped binning, kernel pixel origin, band-local
+    caps) must be exact in real lowering, not just on CPU meshes."""
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.parallel import dist
+    from tinyrenderder_tpu.shaders import EyeShader
+    view, proj = default_view()
+    w, h = 256, 128
+    g = make_pass(meshes["soup"], GouraudShader(), view, proj)
+    ph = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
+    e = make_pass(meshes["sphere"], EyeShader(KEY, RIM), view, proj,
+                  model_matrix=math3d.translation_matrix(0.3, 0.0, 1.2)
+                  @ math3d.scale_matrix(0.4, 0.4, 0.4))
+    passes = []
+    for p, excl in ((g, False), (ph, False), (e, True)):
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        passes.append((attrs, p.shader, dict(p.uniforms), excl))
+    ft1, od1, _ = raster_sparse.render_frame_fused(passes, w, h)
+    fb1 = raster_sparse.tiles_to_buffers(ft1, w, h)
+    mesh = dist.make_mesh(1)
+    ft2, od2, _ = dist.render_frame_fused_sharded(mesh, passes, w, h,
+                                                  interleave=True)
+    fb2 = dist.tiles_to_buffers_sharded(mesh, ft2, w, h, interleave=True)
+    np.testing.assert_array_equal(np.asarray(fb1.winner),
+                                  np.asarray(fb2.winner))
+    assert np.array_equal(np.asarray(fb1.depth), np.asarray(fb2.depth),
+                          equal_nan=True)
+    np.testing.assert_array_equal(np.asarray(fb1.color),
+                                  np.asarray(fb2.color))
+
+
 def test_fused_frame_matches_loop_on_tpu(meshes):
     """The fused whole-frame program vs the per-pass loop with real
     kernels: bitwise frames including excluded-pass depth semantics."""
