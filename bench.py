@@ -135,6 +135,46 @@ def _measure_rtt():
     return float(np.median(ts))
 
 
+def _tunnel_gate(max_wait_s: float = 900.0, bad_rtt_s: float = 1.0):
+    """Refuse to bench through a degraded tunnel.
+
+    The axon tunnel has been observed at ~100-250x latency for tens of
+    minutes (docs/PERFORMANCE.md infra notes, 2026-08-17); numbers taken
+    in such a window are fiction.  Probe the forced-fetch RTT; while it
+    exceeds ``bad_rtt_s`` (healthy is ~4-30 ms), wait and re-probe, up
+    to ``max_wait_s``.  Always proceeds eventually — but the returned
+    state is recorded in bench_report.json so a degraded run is flagged
+    instead of silently trusted."""
+    import jax.numpy as jnp
+    x = jnp.zeros((8,), jnp.float32)
+    _force(x)                      # compile the probe (one fetch)
+    deadline = time.time() + max_wait_s
+
+    def probe_once():
+        # single fetch, not median-of-5: in a deep degradation each
+        # fetch can take minutes, and the gate must decide cheaply
+        t0 = time.perf_counter()
+        _force(x)
+        return time.perf_counter() - t0
+
+    waited = False
+    while True:
+        rtt = probe_once()
+        if rtt < bad_rtt_s:
+            return {"rtt_s": round(rtt, 4), "degraded": False,
+                    "waited": waited}
+        if time.time() >= deadline:
+            log(f"WARNING: tunnel still degraded (rtt {rtt:.2f}s) after "
+                f"{max_wait_s:.0f}s — proceeding; treat numbers as "
+                "unreliable")
+            return {"rtt_s": round(rtt, 4), "degraded": True,
+                    "waited": waited}
+        log(f"tunnel degraded (rtt {rtt:.2f}s >= {bad_rtt_s}s) — "
+            "waiting 60s before re-probe")
+        waited = True
+        time.sleep(60)
+
+
 def _time_frames(frame_fn, warmup, frames, batches: int = 3):
     """Median over a few LARGE pipelined batches.
 
@@ -417,6 +457,10 @@ def main() -> int:
     log(f"backend={backend} devices={len(jax.devices())}")
 
     report = {"backend": backend, "configs": {}}
+    if on_tpu:
+        report["tunnel"] = _tunnel_gate()
+        log(f"tunnel: rtt {report['tunnel']['rtt_s'] * 1e3:.1f} ms"
+            + (" (DEGRADED)" if report["tunnel"]["degraded"] else ""))
 
     def run(name, fn, *a):
         t0 = time.perf_counter()

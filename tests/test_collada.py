@@ -192,6 +192,20 @@ def test_dae_material_binding_and_texture(tmp_path):
     assert m.submeshes[0].material_index == 0
 
 
+def test_dae_mixed_arity_polylist(tmp_path):
+    """Ragged vcount (quad + triangle in one polylist) takes the
+    per-polygon fallback and fans identically to the uniform path."""
+    prim = """<polylist count="2">
+      <input semantic="VERTEX" source="#vtx" offset="0"/>
+      <vcount>4 3</vcount><p>0 1 2 3 0 2 3</p></polylist>"""
+    p = tmp_path / "q.dae"
+    p.write_text(_doc(_geometry(prim)))
+    m = load_collada(str(p), load_textures=False)
+    assert m.nfaces == 3          # quad fans to 2 + 1 triangle
+    np.testing.assert_array_equal(
+        m.faces, [[0, 1, 2], [0, 2, 3], [0, 2, 3]])
+
+
 def test_dae_ignored_input_still_widens_tuple(tmp_path):
     """A second TEXCOORD set (ignored) at its own offset must still
     count toward the <p> tuple stride."""

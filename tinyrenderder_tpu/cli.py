@@ -114,7 +114,8 @@ def run(argv=None) -> int:
     parser = argparse.ArgumentParser(
         description="tinyrenderder_tpu — TPU-native software rasterizer")
     parser.add_argument("model", nargs="?", default=None,
-                        help="head model path override (reference argv[1])")
+                        help="head model path override (reference argv[1]); "
+                             "formats: .obj/.ply/.stl/.gltf/.glb/.dae")
     parser.add_argument("--width", type=int, default=WIDTH)
     parser.add_argument("--height", type=int, default=HEIGHT)
     parser.add_argument("--backend", default=None,

@@ -124,6 +124,18 @@ def _primitive_inputs(prim, sources: _Sources):
 
 def _triangulate_rows(vcounts: np.ndarray) -> np.ndarray:
     """Corner indices (into the flat corner stream) of fan triangles."""
+    if vcounts.size and (vcounts == vcounts[0]).all():
+        # uniform arity (all-triangle / all-quad files): one vectorized
+        # fan — a Python loop here costs ~1 s at Sponza scale
+        n = int(vcounts[0])
+        if n < 3:
+            return np.zeros((0, 3), np.int64)
+        m = vcounts.size
+        starts = np.arange(m, dtype=np.int64)[:, None] * n     # (m, 1)
+        k = np.arange(1, n - 1, dtype=np.int64)[None, :]       # (1, n-2)
+        c0 = np.broadcast_to(starts, (m, n - 2))
+        return np.stack([c0, starts + k, starts + k + 1],
+                        axis=-1).reshape(-1, 3)
     tris = []
     base = 0
     for n in vcounts:
