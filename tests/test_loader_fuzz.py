@@ -1,5 +1,5 @@
 """Loader robustness fuzz: random truncations and byte corruptions of
-valid OBJ/PLY/STL/glTF files must raise a clean exception (ValueError /
+valid OBJ/PLY/STL/glTF/COLLADA/FBX files must raise a clean exception (ValueError /
 OSError / KeyError / UnicodeError family) or return a mesh — never hang,
 crash the interpreter, or leak numpy broadcasting errors from
 unvalidated shapes.
@@ -16,6 +16,7 @@ import numpy as np
 import pytest
 
 from tinyrenderder_tpu.models.collada import load_collada
+from tinyrenderder_tpu.models.fbx import load_fbx
 from tinyrenderder_tpu.models.gltf import load_gltf
 from tinyrenderder_tpu.models.obj import load_obj
 from tinyrenderder_tpu.models.ply import load_ply
@@ -115,12 +116,24 @@ def _quad_dae():
 </COLLADA>"""
 
 
+def _quad_fbx():
+    # reuse the binary writer from the FBX tests (zlib-compressed arrays
+    # so the fuzz also hits the deflate path)
+    from test_fbx import _quad_doc
+    nodes, version = _quad_doc(compress=True)
+    out = b"Kaydara FBX Binary  \x00\x1a\x00" + struct.pack("<I", version)
+    for n in nodes:
+        out += n.emit(len(out), version >= 7500)
+    return out + b"\x00" * 13 + b"\xfa" * 16
+
+
 LOADERS = {
     "stl": (_quad_stl, load_stl),
     "ply": (_quad_ply, load_ply),
     "obj": (_quad_obj, load_obj),
     "glb": (_quad_glb, load_gltf),
     "dae": (_quad_dae, load_collada),
+    "fbx": (_quad_fbx, load_fbx),
 }
 
 
