@@ -115,7 +115,7 @@ def run(argv=None) -> int:
         description="tinyrenderder_tpu — TPU-native software rasterizer")
     parser.add_argument("model", nargs="?", default=None,
                         help="head model path override (reference argv[1]); "
-                             "formats: .obj/.ply/.stl/.gltf/.glb/.dae")
+                             "formats: .obj/.ply/.stl/.gltf/.glb/.dae/.fbx")
     parser.add_argument("--width", type=int, default=WIDTH)
     parser.add_argument("--height", type=int, default=HEIGHT)
     parser.add_argument("--backend", default=None,
@@ -137,6 +137,13 @@ def run(argv=None) -> int:
                         help="dump a jax.profiler trace to <outdir>/trace")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
+    if os.environ.get("JAX_PLATFORM_NAME") == "cpu":
+        # honor the CPU request BEFORE any backend initialization: with
+        # only the env var set the axon TPU plugin still initializes,
+        # which can HANG (not error) while the device tunnel is degraded
+        # (docs/PERFORMANCE.md); the config update is the reliable form
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.backend is None:
         import jax
         args.backend = ("tiled" if jax.default_backend() == "tpu"
