@@ -266,6 +266,34 @@ def test_prerotation_and_parent_chain(tmp_path):
     np.testing.assert_allclose(m.positions, POS + [0, 0, 5], atol=1e-12)
 
 
+def test_rotation_order_zyx(tmp_path):
+    # RotationOrder 5 = ZYX applies Z first: M = Rx @ Ry @ Rz
+    props = [
+        ("Lcl Rotation", "Lcl Rotation", "", "A", 90.0, 90.0, 0.0),
+        ("RotationOrder", "enum", "", "A", 5),
+    ]
+    p = tmp_path / "r.fbx"
+    _write_fbx(p, *_quad_doc(model_props=props))
+    m = load_fbx(str(p), load_textures=False)
+    rx = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], float)
+    ry = np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], float)
+    np.testing.assert_allclose(m.positions, POS @ (rx @ ry).T, atol=1e-12)
+
+
+def test_bad_deflate_raises(tmp_path):
+    nodes, v = _quad_doc(compress=True)
+    raw = _write_fbx(tmp_path / "ok.fbx", nodes, v)
+    # corrupt the zlib payload of the Vertices array (search for the
+    # compressed-encoding marker: 'd' code, enc=1)
+    i = raw.index(b"Vertices")
+    j = raw.index(b"d", i) + 13         # code + n/enc/clen
+    bad = raw[:j + 4] + bytes([raw[j + 4] ^ 0xFF]) + raw[j + 5:]
+    p = tmp_path / "bad.fbx"
+    p.write_bytes(bad)
+    with pytest.raises(ValueError):
+        load_fbx(str(p), load_textures=False)
+
+
 def test_normals_by_vertex_direct(tmp_path):
     nrm = N("LayerElementNormal", 0, children=[
         N("MappingInformationType", "ByVertice"),

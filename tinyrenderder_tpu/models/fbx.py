@@ -326,7 +326,8 @@ def _local_matrix(props: dict) -> np.ndarray:
     pre = _vec3(props, "PreRotation")
     post = _vec3(props, "PostRotation")
     order_p = props.get("RotationOrder")
-    order = int(order_p[0]) if order_p else 0
+    order = (int(order_p[0]) if order_p and isinstance(
+        order_p[0], (int, float, np.integer)) else 0)
     lin = (_euler_matrix(pre, 0) @ _euler_matrix(r, order)
            @ _euler_matrix(post, 0).T @ np.diag(s))
     return _mat4(lin, t)
