@@ -152,6 +152,52 @@ def test_dae_z_up_conversion(tmp_path):
         atol=1e-12)
 
 
+def test_dae_x_up_conversion(tmp_path):
+    prim = """<triangles count="2">
+      <input semantic="VERTEX" source="#vtx" offset="0"/>
+      <p>0 1 2 0 2 3</p></triangles>"""
+    p = tmp_path / "x.dae"
+    p.write_text(_doc(_geometry(prim), up="X_UP"))
+    m = load_collada(str(p), load_textures=False)
+    # Assimp's X_UP fix maps (x, y, z) -> (-y, x, z): the file's +x axis
+    # becomes world +y (NOT -y — regression for the inverted rotation)
+    np.testing.assert_allclose(
+        m.positions, [[0, 0, 0], [0, 1, 0], [-1, 1, 0], [-1, 0, 0]],
+        atol=1e-12)
+
+
+def test_dae_vertices_level_normal_input(tmp_path):
+    """<vertices> may declare NORMAL beside POSITION; both share the
+    VERTEX index (regression: these inputs were silently dropped)."""
+    geometry = """<geometry id="g"><mesh>
+    <source id="pos"><float_array id="pa" count="12">
+      0 0 0 1 0 0 1 1 0 0 1 0</float_array>
+      <technique_common><accessor source="#pa" count="4" stride="3">
+        <param name="X" type="float"/><param name="Y" type="float"/>
+        <param name="Z" type="float"/></accessor></technique_common>
+    </source>
+    <source id="nrm"><float_array id="na" count="12">
+      0 0 -1 0 0 -1 0 0 -1 0 0 -1</float_array>
+      <technique_common><accessor source="#na" count="4" stride="3">
+        <param name="X" type="float"/><param name="Y" type="float"/>
+        <param name="Z" type="float"/></accessor></technique_common>
+    </source>
+    <vertices id="vtx">
+      <input semantic="POSITION" source="#pos"/>
+      <input semantic="NORMAL" source="#nrm"/>
+    </vertices>
+    <triangles count="2">
+      <input semantic="VERTEX" source="#vtx" offset="0"/>
+      <p>0 1 2 0 2 3</p></triangles>
+  </mesh></geometry>"""
+    p = tmp_path / "vn.dae"
+    p.write_text(_doc(geometry))
+    m = load_collada(str(p), load_textures=False)
+    assert m.submeshes[0].has_normals
+    # authored -z normals survive (finalize would generate +z ones)
+    np.testing.assert_allclose(m.normals, [[0, 0, -1]] * 4, atol=1e-12)
+
+
 def test_dae_material_binding_and_texture(tmp_path):
     """instance_material binds the symbol to a material whose effect
     chain resolves an image file; per-submesh material indices."""

@@ -345,6 +345,67 @@ def test_per_polygon_material_split(tmp_path):
         [(0, 1, 2), (0, 2, 3)])
 
 
+def test_degenerate_polygon_keeps_bypolygon_sync(tmp_path):
+    # polygon 0 is a 2-corner line (dropped), polygons 1+2 are triangles;
+    # ByPolygon Materials ids index the ORIGINAL polygon list (regression:
+    # the keep-filter used to shift every later polygon's material)
+    geo = N("Geometry", 100, "Geometry::mix", "Mesh", children=[
+        N("Vertices", POS.reshape(-1)),
+        N("PolygonVertexIndex",
+          np.array([0, -2, 0, 1, -3, 0, 2, -4], np.int32)),
+        N("LayerElementMaterial", 0, children=[
+            N("MappingInformationType", "ByPolygon"),
+            N("ReferenceInformationType", "IndexToDirect"),
+            N("Materials", np.array([9, 0, 1], np.int32)),
+        ]),
+    ])
+    nodes = [
+        N("Objects", children=[
+            geo, _model(),
+            N("Material", 400, "Material::red", ""),
+            N("Material", 401, "Material::blue", ""),
+        ]),
+        _connections([(100, 200), (200, 0), (400, 200), (401, 200)]),
+    ]
+    p = tmp_path / "d.fbx"
+    _write_fbx(p, nodes)
+    m = load_fbx(str(p), load_textures=False)
+    assert m.nfaces == 2
+    by_name = {m.materials[sm.material_index].name:
+               m.faces[sm.start_index // 3] for sm in m.submeshes}
+    np.testing.assert_array_equal(by_name["red"], [0, 1, 2])    # poly 1
+    np.testing.assert_array_equal(by_name["blue"], [0, 2, 3])   # poly 2
+
+
+def test_negative_material_slot_falls_back_to_first(tmp_path):
+    # exporters write -1 for unassigned faces; it must NOT python-index
+    # the LAST connected material
+    geo = N("Geometry", 100, "Geometry::neg", "Mesh", children=[
+        N("Vertices", POS.reshape(-1)),
+        N("PolygonVertexIndex",
+          np.array([0, 1, -3, 0, 2, -4], np.int32)),
+        N("LayerElementMaterial", 0, children=[
+            N("MappingInformationType", "ByPolygon"),
+            N("ReferenceInformationType", "IndexToDirect"),
+            N("Materials", np.array([-1, 1], np.int32)),
+        ]),
+    ])
+    nodes = [
+        N("Objects", children=[
+            geo, _model(),
+            N("Material", 400, "Material::first", ""),
+            N("Material", 401, "Material::second", ""),
+        ]),
+        _connections([(100, 200), (200, 0), (400, 200), (401, 200)]),
+    ]
+    p = tmp_path / "neg.fbx"
+    _write_fbx(p, nodes)
+    m = load_fbx(str(p), load_textures=False)
+    names = [m.materials[sm.material_index].name for sm in m.submeshes]
+    assert "first" in names and "second" in names
+    assert all(n != "" for n in names)
+
+
 def test_manager_dispatch_and_render(tmp_path):
     from tinyrenderder_tpu.models.manager import load_mesh
     p = tmp_path / "q.fbx"

@@ -69,6 +69,24 @@ def test_normal_generation_area_weighted(tmp_path):
     assert np.allclose(mesh.normals, [[0, 0, 1]] * 3)
 
 
+def test_normal_generation_preserves_authored_rows():
+    """Mixed vertex buffers (submeshes with and without authored normals
+    merged, e.g. multi-primitive glTF/FBX) only FILL the missing rows —
+    regression: any zero row used to trigger a full regeneration that
+    discarded authored shading."""
+    from tinyrenderder_tpu.models.mesh import Mesh
+    authored = np.array([0.0, 0.6, 0.8])     # deliberately not the face
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [2, 0, 0],
+                    [3, 0, 0], [2, 1, 0]], float)
+    normals = np.zeros((6, 3))
+    normals[:3] = authored                   # first triangle: authored
+    mesh = Mesh(positions=pos, normals=normals,
+                faces=np.array([[0, 1, 2], [3, 4, 5]], np.int32))
+    mesh.generate_normals_if_needed()
+    assert np.allclose(mesh.normals[:3], authored)       # untouched
+    assert np.allclose(mesh.normals[3:], [[0, 0, 1]] * 3)  # generated
+
+
 def test_tangent_generation():
     mesh = procedural.uv_sphere(8, 12)
     mesh.tangents = np.zeros_like(mesh.tangents)

@@ -33,7 +33,8 @@ import xml.etree.ElementTree as ET
 
 import numpy as np
 
-from tinyrenderder_tpu.models.mesh import Material, Mesh, SubMesh
+from tinyrenderder_tpu.models.mesh import (Material, Mesh, SubMesh,
+                                           dedup_rows_stable)
 from tinyrenderder_tpu.models.obj import load_material_textures
 
 log = logging.getLogger("tinyrenderder_tpu.collada")
@@ -116,6 +117,18 @@ def _primitive_inputs(prim, sources: _Sources):
         width = max(width, off + 1)
         if sem == "TEXCOORD" and int(i.get("set", 0)) != 0:
             continue                          # first UV set only
+        ref = (i.get("source") or "").lstrip("#")
+        if sem == "VERTEX" and ref in sources.vertices:
+            # the COLLADA 1.4 spec lets <vertices> declare NORMAL /
+            # TEXCOORD inputs beside POSITION; they all share the
+            # VERTEX index (= this primitive offset)
+            seen = {s for s, _, _ in inputs}
+            for vsem, vsrc in sources.vertices[ref]:
+                arr = sources.sources.get(vsrc)
+                out_sem = "VERTEX" if vsem == "POSITION" else vsem
+                if arr is not None and out_sem not in seen:
+                    inputs.append((out_sem, off, arr))
+            continue
         arr = sources.resolve(i.get("source") or "", sem)
         if arr is not None:
             inputs.append((sem, off, arr))
@@ -236,17 +249,18 @@ _UP_FIX = {
     # Z_UP -> Y_UP: rotate -90 deg about x (z becomes y)
     "Z_UP": np.array([[1, 0, 0, 0], [0, 0, 1, 0],
                       [0, -1, 0, 0], [0, 0, 0, 1]], np.float64),
-    # X_UP -> Y_UP: rotate about z (x becomes y)
-    "X_UP": np.array([[0, 1, 0, 0], [-1, 0, 0, 0],
+    # X_UP -> Y_UP: rotate about z so the file's +x maps to +y
+    # (Assimp ColladaParser convention: rows {0,-1,0; 1,0,0; 0,0,1})
+    "X_UP": np.array([[0, -1, 0, 0], [1, 0, 0, 0],
                       [0, 0, 1, 0], [0, 0, 0, 1]], np.float64),
 }
 
 
 def _material_textures(root, mat_id: str, directory: str,
-                       stem: str) -> Material:
+                       probe: Material) -> Material:
     """material -> effect -> newparam sampler2D -> surface -> image
-    chain for the diffuse map; probe fallbacks for the rest."""
-    probe = load_material_textures("", {}, directory, stem)
+    chain for the diffuse map; ``probe`` (the filename-fallback Material,
+    loaded ONCE per file by the caller) fills the rest."""
     name = mat_id
     img_path = None
     mat_el = None
@@ -365,15 +379,7 @@ def load_collada(path: str, load_textures: bool = True) -> Mesh:
                 _geometry_triangles(geom, sources):
             # vectorized (vi, ni, ti, ...) -> vertex id dedup
             # (JoinIdenticalVertices analogue, first occurrence wins)
-            uniq, inverse = np.unique(corners, axis=0,
-                                      return_inverse=True)
-            first = np.full(uniq.shape[0], corners.shape[0], np.int64)
-            np.minimum.at(first, inverse, np.arange(corners.shape[0]))
-            order = np.argsort(first, kind="stable")
-            rank = np.empty_like(order)
-            rank[order] = np.arange(order.shape[0])
-            uniq = uniq[order]
-            corner_vid = rank[inverse]
+            uniq, corner_vid = dedup_rows_stable(corners)
 
             nv = uniq.shape[0]
             pos = np.zeros((nv, 3))
@@ -421,7 +427,8 @@ def load_collada(path: str, load_textures: bool = True) -> Mesh:
         raise ValueError("COLLADA file contains no triangle geometry")
 
     if load_textures:
-        materials = [_material_textures(root, mid, directory, stem)
+        probe = load_material_textures("", {}, directory, stem)
+        materials = [_material_textures(root, mid, directory, probe)
                      for mid in mat_ids]
     else:
         materials = [Material(name=mid) for mid in mat_ids]

@@ -46,7 +46,8 @@ import zlib
 import numpy as np
 
 from tinyrenderder_tpu.models.collada import _triangulate_rows
-from tinyrenderder_tpu.models.mesh import Material, Mesh, SubMesh
+from tinyrenderder_tpu.models.mesh import (Material, Mesh, SubMesh,
+                                           dedup_rows_stable)
 from tinyrenderder_tpu.models.obj import (_try_read_texture,
                                           load_material_textures)
 
@@ -150,7 +151,13 @@ def _read_props(data: bytes, pos: int, count: int) -> tuple[list, int]:
     return props, pos
 
 
-def _read_node(data: bytes, pos: int, big: bool) -> tuple["_Node | None", int]:
+_MAX_DEPTH = 256
+
+
+def _read_node(data: bytes, pos: int, big: bool,
+               depth: int = 0) -> tuple["_Node | None", int]:
+    if depth > _MAX_DEPTH:
+        raise ValueError("FBX node nesting exceeds maximum depth")
     if big:
         if pos + 24 > len(data):
             raise ValueError("FBX node header truncated")
@@ -176,7 +183,7 @@ def _read_node(data: bytes, pos: int, big: bool) -> tuple["_Node | None", int]:
     props, pos = _read_props(data, pos, int(nprops))
     node = _Node(name, props)
     while pos < end:
-        child, pos = _read_node(data, pos, big)
+        child, pos = _read_node(data, pos, big, depth + 1)
         if child is None:
             break
         node.children.append(child)
@@ -243,7 +250,10 @@ def _tokenize_ascii(text: str) -> list:
     return toks
 
 
-def _parse_ascii_nodes(toks: list, i: int) -> tuple[list[_Node], int]:
+def _parse_ascii_nodes(toks: list, i: int,
+                       depth: int = 0) -> tuple[list[_Node], int]:
+    if depth > _MAX_DEPTH:
+        raise ValueError("FBX ascii nesting exceeds maximum depth")
     nodes: list[_Node] = []
     n = len(toks)
     while i < n:
@@ -258,7 +268,7 @@ def _parse_ascii_nodes(toks: list, i: int) -> tuple[list[_Node], int]:
             node.props.append(toks[i][1])
             i += 1
         if i < n and toks[i] == "{":
-            node.children, i = _parse_ascii_nodes(toks, i + 1)
+            node.children, i = _parse_ascii_nodes(toks, i + 1, depth + 1)
         # fold the `a:` numeric child back into an array property
         a = node.child("a")
         if a is not None and len(node.children) == 1:
@@ -428,21 +438,28 @@ def _geometry_arrays(gnode: _Node):
         ends = np.append(ends, pvi.size - 1)
     starts = np.concatenate([[0], ends[:-1] + 1])
     vcounts = ends - starts + 1
-    if (vcounts < 3).any():
-        keep = vcounts >= 3
-        starts, vcounts = starts[keep], vcounts[keep]
-        if starts.size == 0:
-            return None
-    # fan triangulation over the corner stream (aiProcess_Triangulate):
-    # reuse the COLLADA loader's vectorized row expansion
-    rel = _triangulate_rows(vcounts)            # (T, 3) offsets are absolute
-    poly_of_tri = np.repeat(np.arange(starts.shape[0]), vcounts - 2)
-    tri_corners = rel + (starts[poly_of_tri] - np.repeat(
-        np.concatenate([[0], np.cumsum(vcounts)[:-1]]), vcounts - 2))[:, None]
-
+    # per-ORIGINAL-polygon corner ownership: ByPolygon layer arrays and
+    # LayerElementMaterial index the file's polygon list, so degenerate
+    # (<3 corner) polygons must keep their slots even though they emit
+    # no triangles
     poly_of_corner = np.zeros(pvi.size, np.int64)
     poly_of_corner[starts[1:]] = 1
     poly_of_corner = np.cumsum(poly_of_corner)
+    n_polys = starts.shape[0]
+
+    keep = vcounts >= 3
+    kept = np.nonzero(keep)[0]                  # original polygon ids
+    starts_k, vcounts_k = starts[keep], vcounts[keep]
+    if starts_k.size == 0:
+        return None
+    # fan triangulation over the corner stream (aiProcess_Triangulate):
+    # reuse the COLLADA loader's vectorized row expansion
+    rel = _triangulate_rows(vcounts_k)          # offsets into kept stream
+    poly_of_tri_k = np.repeat(np.arange(starts_k.shape[0]), vcounts_k - 2)
+    poly_of_tri = kept[poly_of_tri_k]           # original polygon ids
+    tri_corners = rel + (starts_k[poly_of_tri_k] - np.repeat(
+        np.concatenate([[0], np.cumsum(vcounts_k)[:-1]]),
+        vcounts_k - 2))[:, None]
 
     nrm = _layer_corner_index(gnode, "LayerElementNormal", "Normals",
                               "NormalsIndex", corner_vid, poly_of_corner, 3)
@@ -457,20 +474,9 @@ def _geometry_arrays(gnode: _Node):
         mapping = str(m_el.props[0]) if m_el and m_el.props else "AllSame"
         if ids_el is not None and ids_el.props and mapping == "ByPolygon":
             ids = np.asarray(ids_el.props[0], np.int64)
-            if ids.shape[0] >= starts.shape[0]:
-                tri_mat = ids[: starts.shape[0]][poly_of_tri]
+            if ids.shape[0] >= n_polys:
+                tri_mat = ids[:n_polys][poly_of_tri]
     return positions, corner_vid, tri_corners, nrm, uv, tri_mat
-
-
-def _dedup_corners(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """First-occurrence-stable unique rows: (uniq, per-row id)."""
-    uniq, inverse = np.unique(rows, axis=0, return_inverse=True)
-    first = np.full(uniq.shape[0], rows.shape[0], np.int64)
-    np.minimum.at(first, inverse, np.arange(rows.shape[0]))
-    order = np.argsort(first, kind="stable")
-    rank = np.empty_like(order)
-    rank[order] = np.arange(order.shape[0])
-    return uniq[order], rank[inverse]
 
 
 # --------------------------------------------------------------- textures
@@ -641,7 +647,7 @@ def load_fbx(path: str, load_textures: bool = True) -> Mesh:
             cols.append(nrm[1])
         if uv is not None:
             cols.append(uv[1])
-        uniq, corner_id = _dedup_corners(np.stack(cols, axis=1))
+        uniq, corner_id = dedup_rows_stable(np.stack(cols, axis=1))
         nv = uniq.shape[0]
         pos = positions[uniq[:, 0]] @ lin.T + world[:3, 3]
         col = 1
@@ -669,8 +675,11 @@ def load_fbx(path: str, load_textures: bool = True) -> Mesh:
             sub_faces = faces[sel]
             if sub_faces.size == 0:
                 continue
+            # negative slots (exporters write -1 for unassigned faces)
+            # and out-of-range slots fall back: first material if the
+            # model has one, else the probe/default (-1 sentinel)
             mat_obj = (model_mat_ids[int(slot)]
-                       if int(slot) < len(model_mat_ids) else
+                       if 0 <= int(slot) < len(model_mat_ids) else
                        (model_mat_ids[0] if model_mat_ids else -1))
             if mat_obj not in mat_slot:
                 mat_slot[mat_obj] = len(mat_order)
@@ -697,6 +706,7 @@ def load_fbx(path: str, load_textures: bool = True) -> Mesh:
         probe = load_material_textures("", {}, directory, stem)
     else:
         probe = Material(name="")
+    tex_cache: dict[int, np.ndarray | None] = {}
     for mat_obj in mat_order:
         mnode = mats.get(mat_obj)
         name = _obj_name(mnode) if mnode is not None else ""
@@ -706,10 +716,11 @@ def load_fbx(path: str, load_textures: bool = True) -> Mesh:
                 slot = _TEX_SLOT.get(prop)
                 if dst == mat_obj and src in texs and slot and \
                         slot not in maps:
-                    img = _texture_image(texs[src], videos, oo_parents,
-                                         directory)
-                    if img is not None:
-                        maps[slot] = img
+                    if src not in tex_cache:      # shared textures: decode once
+                        tex_cache[src] = _texture_image(
+                            texs[src], videos, oo_parents, directory)
+                    if tex_cache[src] is not None:
+                        maps[slot] = tex_cache[src]
         materials.append(Material(
             name=name,
             diffuse=maps.get("diffuse", probe.diffuse),

@@ -405,9 +405,11 @@ def load_gltf(path: str, load_textures: bool = True) -> Mesh:
     normals = np.concatenate(all_nrm, axis=0)
     uvs = np.concatenate(all_uv, axis=0)
     faces = np.concatenate(all_faces, axis=0)
+    if not materials:
+        materials = [default_material]        # all prims had bad indices
     for sm in submeshes:
-        if sm.material_index >= len(materials):
-            sm.material_index = 0
+        if not 0 <= sm.material_index < len(materials):
+            sm.material_index = 0             # incl. negative (fuzzed) ids
 
     mesh = Mesh(positions=positions, faces=faces,
                 normals=normals if any_nrm else None, uvs=uvs,

@@ -72,6 +72,22 @@ def _row_norms(v: np.ndarray) -> np.ndarray:
     return np.sqrt((v * v).sum(axis=-1))
 
 
+def dedup_rows_stable(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """First-occurrence-stable unique rows: (uniq, per-row id into uniq).
+
+    The JoinIdenticalVertices analogue shared by the STL / COLLADA / FBX
+    loaders: np.unique sorts, so remap to first-appearance order for
+    deterministic submission-order-stable vertex ids (matches the OBJ
+    loader's index-reuse behavior)."""
+    uniq, inverse = np.unique(rows, axis=0, return_inverse=True)
+    first = np.full(uniq.shape[0], rows.shape[0], np.int64)
+    np.minimum.at(first, inverse, np.arange(rows.shape[0]))
+    order = np.argsort(first, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.shape[0])
+    return uniq[order], rank[inverse]
+
+
 @dataclass
 class Mesh:
     """Flattened triangle mesh as structure-of-arrays.
@@ -136,11 +152,17 @@ class Mesh:
         return self
 
     def generate_normals_if_needed(self) -> None:
-        """Area-weighted vertex normals (model.cpp:269-316): triggered when
-        any vertex normal has length < 0.001; accumulates *unnormalized*
+        """Area-weighted vertex normals (model.cpp:269-316): fills vertices
+        whose normal has length < 0.001; accumulates *unnormalized*
         face cross products (so larger faces weigh more), then normalizes,
-        with (0,0,1) fallback for isolated vertices."""
-        if self.nverts == 0 or not np.any(_row_norms(self.normals) < 0.001):
+        with (0,0,1) fallback for isolated vertices.
+
+        Only the MISSING rows are replaced — like Assimp's GenNormals,
+        which fills meshes lacking normals without touching authored ones
+        (matters when submeshes with and without authored normals merge
+        into one vertex buffer, e.g. multi-primitive glTF/FBX files)."""
+        missing = _row_norms(self.normals) < 0.001
+        if self.nverts == 0 or not missing.any():
             return
         normals = np.zeros_like(self.positions)
         p = self.positions
@@ -154,7 +176,7 @@ class Mesh:
         ok = lens > 0.001
         normals[ok] /= lens[ok, None]
         normals[~ok] = (0.0, 0.0, 1.0)
-        self.normals = normals
+        self.normals = np.where(missing[:, None], normals, self.normals)
 
     def compute_tangents_if_needed(self) -> None:
         """UV-gradient tangents + Gram-Schmidt (model.cpp:318-388):

@@ -26,7 +26,8 @@ import os
 
 import numpy as np
 
-from tinyrenderder_tpu.models.mesh import Material, Mesh, SubMesh
+from tinyrenderder_tpu.models.mesh import (Material, Mesh, SubMesh,
+                                           dedup_rows_stable)
 from tinyrenderder_tpu.models.obj import load_material_textures
 
 log = logging.getLogger("tinyrenderder_tpu.stl")
@@ -85,16 +86,8 @@ def load_stl(path: str, load_textures: bool = True) -> Mesh:
 
     # JoinIdenticalVertices: exact-position dedup, first occurrence wins
     flat = corners.reshape(-1, 3)
-    uniq, inverse = np.unique(flat, axis=0, return_inverse=True)
-    # np.unique sorts; remap to first-appearance order for deterministic
-    # submission-order-stable vertex ids (matches the OBJ loader)
-    first_pos = np.full(uniq.shape[0], flat.shape[0], np.int64)
-    np.minimum.at(first_pos, inverse, np.arange(flat.shape[0]))
-    order = np.argsort(first_pos, kind="stable")
-    rank = np.empty_like(order)
-    rank[order] = np.arange(order.shape[0])
-    positions = uniq[order]
-    faces = rank[inverse].astype(np.int32).reshape(-1, 3)
+    positions, corner_vid = dedup_rows_stable(flat)
+    faces = corner_vid.astype(np.int32).reshape(-1, 3)
 
     if load_textures:
         materials = [load_material_textures("", {}, directory, stem)]
