@@ -549,3 +549,37 @@ def test_scene_backend_geometry_routes_production(meshes):
     dc = np.abs(np.asarray(a.color).astype(int)
                 - np.asarray(b.color).astype(int))
     assert dc.max() <= 1
+
+
+def test_shadows_through_sharded_backend(meshes):
+    """Two-pass shadow mapping composes with the sharded-fused backend:
+    bitwise-identical colors to the single-device tiled path (both the
+    light-depth pass and the lit pass run per row band)."""
+    from tinyrenderder_tpu.camera import Camera
+    from tinyrenderder_tpu.models import procedural
+    from tinyrenderder_tpu.scene import Scene
+    from tinyrenderder_tpu.shadows import ShadowSettings, render_with_shadows
+
+    def build():
+        m = procedural.bumpy_head(n_lat=12, n_lon=16)
+        m.materials = [procedural.default_head_material()]
+        cam = Camera()
+        cam.auto_setup_for_scene(m.get_local_aabb(), aspect=2.0)
+        sc = Scene(camera=cam, width=128, height=64)
+        sc.add(m, np.eye(4), PhongShader(KEY, FILL, RIM), name="head")
+        return sc
+
+    st = ShadowSettings(size=128)
+    light = np.array([1.0, 1.0, 1.0])
+    ra, map_a = render_with_shadows(build(), light, st, backend="tiled")
+    rb, map_b = render_with_shadows(build(), light, st, backend="sharded")
+    ca, cb = np.asarray(ra.color), np.asarray(rb.color)
+    assert (ca.sum(-1) > 0).sum() > 100          # scene actually covers
+    np.testing.assert_array_equal(ca, cb)
+    # depth contract: identical coverage, values within a few ulps
+    # (different compiled programs group FMAs differently)
+    map_a, map_b = np.asarray(map_a), np.asarray(map_b)
+    fin = np.isfinite(map_a)
+    np.testing.assert_array_equal(fin, np.isfinite(map_b))
+    assert np.abs(map_a[fin] - map_b[fin]).max() <= 4 * np.finfo(
+        np.float32).eps
