@@ -13,6 +13,7 @@ BASELINE.json "published": {}), i.e. vs_baseline = value / 1000.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -198,7 +199,17 @@ def _time_frames(frame_fn, warmup, frames, batches: int = 3):
             r = frame_fn()
         _force(r)
         samples.append((time.perf_counter() - t0 - rtt) / frames)
-    return float(np.median(samples)), compile_s
+    return float(np.median(samples)), compile_s, rtt
+
+
+def _timing_fields(dt, compile_s, rtt):
+    """Per-config record incl. the tunnel RTT measured right before the
+    timed batches: a degradation window starting MID-suite (observed:
+    they last tens of minutes) is then visible per config in
+    bench_report.json instead of only at the start-of-suite gate."""
+    return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
+            "compile_s": compile_s, "rtt_ms": round(rtt * 1e3, 2),
+            "rtt_degraded": bool(rtt >= 1.0)}
 
 
 def bench_single_pass(shader_name, width, height, warmup, frames):
@@ -223,7 +234,6 @@ def bench_single_pass(shader_name, width, height, warmup, frames):
     from tinyrenderder_tpu.ops import raster_sparse
 
     def frame():
-        ft = raster_sparse.new_frame_tiles(width, height)
         ft, _, _ = raster_sparse.render_frame_fused(
             [(attrs, shader, uniforms, False)], width, height,
             strict_capacity=False)
@@ -231,9 +241,9 @@ def bench_single_pass(shader_name, width, height, warmup, frames):
         # measured loop (the one per-frame layout conversion)
         return raster_sparse.tiles_to_buffers(ft, width, height).color
 
-    dt, compile_s = _time_frames(frame, warmup, frames)
-    return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
-            "mpix_s": width * height / dt / 1e6, "compile_s": compile_s}
+    dt, compile_s, rtt = _time_frames(frame, warmup, frames)
+    return {"mpix_s": width * height / dt / 1e6,
+            **_timing_fields(dt, compile_s, rtt)}
 
 
 def bench_shadows(width, height, warmup, frames, shadow_size=1024):
@@ -248,9 +258,9 @@ def bench_shadows(width, height, warmup, frames, shadow_size=1024):
             collect_stats=False, transfer=False, strict_capacity=False)
         return result.color
 
-    dt, compile_s = _time_frames(frame, warmup, frames)
-    return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
-            "mpix_s": width * height / dt / 1e6, "compile_s": compile_s}
+    dt, compile_s, rtt = _time_frames(frame, warmup, frames)
+    return {"mpix_s": width * height / dt / 1e6,
+            **_timing_fields(dt, compile_s, rtt)}
 
 
 def bench_stress(width, height, warmup, frames, grid=3):
@@ -277,16 +287,15 @@ def bench_stress(width, height, warmup, frames, grid=3):
     from tinyrenderder_tpu.ops import raster_sparse
 
     def frame():
-        ft = raster_sparse.new_frame_tiles(width, height)
         ft, _, _ = raster_sparse.render_frame_fused(
             [(attrs, shader, uniforms, False)], width, height,
             strict_capacity=False)
         return raster_sparse.tiles_to_buffers(ft, width, height).color
 
-    dt, compile_s = _time_frames(frame, warmup, frames)
-    return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
-            "mpix_s": width * height / dt / 1e6,
-            "mtri_s": wall.nfaces / dt / 1e6, "compile_s": compile_s}
+    dt, compile_s, rtt = _time_frames(frame, warmup, frames)
+    return {"mpix_s": width * height / dt / 1e6,
+            "mtri_s": wall.nfaces / dt / 1e6,
+            **_timing_fields(dt, compile_s, rtt)}
 
 
 def bench_mixed(width, height, warmup, frames, grid=3):
@@ -315,20 +324,23 @@ def bench_mixed(width, height, warmup, frames, grid=3):
         f"(12 giant room + tiny heads) at {width}x{height}")
 
     def frame():
-        ft = raster_sparse.new_frame_tiles(width, height)
         ft, _, _ = raster_sparse.render_frame_fused(
             [(attrs, shader, uniforms, False)], width, height,
             strict_capacity=False)
         return raster_sparse.tiles_to_buffers(ft, width, height).color
 
-    dt, compile_s = _time_frames(frame, warmup, frames)
-    decision = raster_sparse._FINE_DECISION.copy()
+    # _FINE_DECISION is a process-lifetime memo: snapshot before so the
+    # reported decisions are the ones THIS config's passes made, not the
+    # accumulated history of every earlier config in the suite
+    before = set(raster_sparse._FINE_DECISION)
+    dt, compile_s, rtt = _time_frames(frame, warmup, frames)
+    decision = {k: v for k, v in raster_sparse._FINE_DECISION.items()
+                if k not in before}
     log(f"  dispatch decisions: {decision}")
-    return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
-            "mpix_s": width * height / dt / 1e6,
+    return {"mpix_s": width * height / dt / 1e6,
             "mtri_s": interior.nfaces / dt / 1e6,
             "dispatch": {str(k): v for k, v in decision.items()},
-            "compile_s": compile_s}
+            **_timing_fields(dt, compile_s, rtt)}
 
 
 def bench_sharded_mesh1(width, height, warmup, frames):
@@ -357,9 +369,9 @@ def bench_sharded_mesh1(width, height, warmup, frames):
             mesh, passes, width, height, strict_capacity=False)
         return dist.tiles_to_buffers_sharded(mesh, ft, width, height).color
 
-    dt, compile_s = _time_frames(frame, warmup, frames)
-    return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
-            "mpix_s": width * height / dt / 1e6, "compile_s": compile_s}
+    dt, compile_s, rtt = _time_frames(frame, warmup, frames)
+    return {"mpix_s": width * height / dt / 1e6,
+            **_timing_fields(dt, compile_s, rtt)}
 
 
 def bench_animation(width, height, frames):
@@ -446,6 +458,11 @@ def bench_animation_tga(width, height, frames):
 def main() -> int:
     import jax
 
+    if os.environ.get("JAX_PLATFORM_NAME") == "cpu":
+        # env var alone still lets the axon TPU plugin initialize, which
+        # can HANG while the tunnel is degraded (docs/PERFORMANCE.md);
+        # the config update is the reliable CPU-forcing form
+        jax.config.update("jax_platforms", "cpu")
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     if on_tpu:

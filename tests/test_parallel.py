@@ -583,3 +583,26 @@ def test_shadows_through_sharded_backend(meshes):
     np.testing.assert_array_equal(fin, np.isfinite(map_b))
     assert np.abs(map_a[fin] - map_b[fin]).max() <= 4 * np.finfo(
         np.float32).eps
+
+
+def test_sharded_backends_all_passes_culled(meshes):
+    """Every pass frustum-culled -> background frame on both sharded
+    backends (regression: the geometry branch indexed visible[-1])."""
+    from tinyrenderder_tpu import math3d
+    from tinyrenderder_tpu.camera import Camera
+    from tinyrenderder_tpu.scene import Scene
+
+    cam = Camera()
+    cam.set_eye(math3d.vec3(0, 0, 3))
+    cam.set_target(math3d.vec3(0, 0, 0))
+    cam.set_fov(40.0)
+    cam.set_aspect(1.0)
+    cam.set_clipping(0.1, 10.0)
+    for backend in ("sharded", "sharded-geometry"):
+        s = Scene(camera=cam, width=128, height=128)
+        # translate the mesh far behind the camera: culled
+        m = math3d.translation_matrix(0.0, 0.0, 500.0)
+        s.add(meshes["head"], m, PhongShader(KEY, FILL, RIM), name="head")
+        out = s.render(backend=backend, frustum_cull=True)
+        assert np.asarray(out.color).sum() == 0
+        assert not np.isfinite(np.asarray(out.full_depth)).any()

@@ -110,3 +110,28 @@ def test_cli_end_to_end(tmp_path):
     from tinyrenderder_tpu.utils import tga
     img = tga.read(tmp_path / "phong.tga")
     assert img.width == 64 and img.height == 48
+
+
+def test_device_uniform_cache_lru_and_byte_bound(monkeypatch):
+    """Large uniforms are cached by identity (hits return the SAME device
+    buffer and refresh recency); one-shot arrays age out by total-byte
+    eviction instead of displacing long-lived textures (LRU)."""
+    import tinyrenderder_tpu.scene as scene_mod
+    monkeypatch.setattr(scene_mod, "_DEVICE_UNIFORM_CACHE",
+                        type(scene_mod._DEVICE_UNIFORM_CACHE)())
+    monkeypatch.setattr(scene_mod, "_DEVICE_UNIFORM_CACHE_BYTES", 3 * 8192)
+    tex = np.zeros(8192, np.uint8)           # the long-lived "texture"
+    dev_tex = scene_mod._to_device_cached(tex)
+    assert scene_mod._to_device_cached(tex) is dev_tex       # identity hit
+    # churn one-shot arrays (per-frame shadow maps): the texture stays
+    # cached because every hit refreshes its recency
+    for _ in range(8):
+        scene_mod._to_device_cached(np.ones(8192, np.uint8))
+        assert scene_mod._to_device_cached(tex) is dev_tex
+    # total bytes stay bounded
+    total = sum(e[0].nbytes
+                for e in scene_mod._DEVICE_UNIFORM_CACHE.values())
+    assert total <= 3 * 8192
+    # small arrays bypass the cache entirely
+    small = np.zeros(16, np.float32)
+    assert scene_mod._to_device_cached(small) is small

@@ -76,9 +76,14 @@ def _load_checkpoint(cfg: AnimationConfig) -> int:
 def _save_checkpoint(cfg: AnimationConfig, next_frame: int) -> None:
     if not cfg.checkpoint:
         return
-    with open(_checkpoint_path(cfg), "w") as f:
+    # atomic write: a kill mid-dump (the exact event checkpointing
+    # exists to survive) must not truncate the previous checkpoint
+    path = _checkpoint_path(cfg)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"next_frame": next_frame, "frames": cfg.frames,
                    "orbit_degrees": cfg.orbit_degrees}, f)
+    os.replace(tmp, path)
 
 
 def render_animation(scene: Scene, cfg: AnimationConfig,
@@ -107,22 +112,24 @@ def render_animation(scene: Scene, cfg: AnimationConfig,
 
     t0 = time.perf_counter()
     rendered = 0
-    for i in range(start_frame, end_frame):
-        angle = math.radians(cfg.orbit_degrees) * i / cfg.frames
-        scene.camera.set_eye(orbit_eye(base_eye, base_target, angle))
-        result = scene.render(backend=cfg.backend,
-                              frustum_cull=cfg.frustum_cull,
-                              collect_stats=False)
-        path = os.path.join(cfg.outdir, cfg.frame_pattern % i)
-        tga.TGAImage.from_rgb(result.color).write_tga_file(path)
-        rendered += 1
-        _save_checkpoint(cfg, i + 1)
-        if i % 10 == 0:
-            log.info("frame %d/%d (%.2f s/frame)", i, cfg.frames,
-                     (time.perf_counter() - t0) / max(rendered, 1))
-
-    # restore the scene camera for the caller
-    scene.camera.set_eye(base_eye)
+    try:
+        for i in range(start_frame, end_frame):
+            angle = math.radians(cfg.orbit_degrees) * i / cfg.frames
+            scene.camera.set_eye(orbit_eye(base_eye, base_target, angle))
+            result = scene.render(backend=cfg.backend,
+                                  frustum_cull=cfg.frustum_cull,
+                                  collect_stats=False)
+            path = os.path.join(cfg.outdir, cfg.frame_pattern % i)
+            tga.TGAImage.from_rgb(result.color).write_tga_file(path)
+            rendered += 1
+            _save_checkpoint(cfg, i + 1)
+            if i % 10 == 0:
+                log.info("frame %d/%d (%.2f s/frame)", i, cfg.frames,
+                         (time.perf_counter() - t0) / max(rendered, 1))
+    finally:
+        # restore the scene camera even on a mid-loop exception: a same-
+        # process retry must not orbit around a mid-orbit base eye
+        scene.camera.set_eye(base_eye)
     dt = time.perf_counter() - t0
     return {"frames_rendered": rendered, "resumed_at": start_frame,
             "seconds": dt, "fps": rendered / dt if dt > 0 else 0.0}

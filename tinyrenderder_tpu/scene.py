@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import logging
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -141,7 +142,8 @@ def _pass_inputs(scene: Scene, p: ScenePass, dtype, device: bool = False):
 # device copies of big immutable uniforms (textures, shadow maps), keyed
 # by the host array's identity — re-uploading ~1 MB of textures per pass
 # per frame dominates animation loops on tunneled hosts
-_DEVICE_UNIFORM_CACHE: dict[int, tuple] = {}
+_DEVICE_UNIFORM_CACHE: "OrderedDict[int, tuple]" = OrderedDict()
+_DEVICE_UNIFORM_CACHE_BYTES = 256 << 20   # HBM+host bound for cached uniforms
 
 
 def _sync(x):
@@ -159,17 +161,28 @@ def _sync(x):
 
 
 def _to_device_cached(v):
+    """LRU device cache for large uniforms (textures, shadow maps).
+
+    LRU (hits refresh recency), bounded by total BYTES: one-shot arrays
+    like per-frame shadow maps age out quickly instead of (a) pinning
+    up to 256 dead device buffers and (b) FIFO-evicting the long-lived
+    textures the cache exists for."""
     if not isinstance(v, np.ndarray) or v.size < 4096:
         return v
     hit = _DEVICE_UNIFORM_CACHE.get(id(v))
     if hit is not None and hit[0] is v:
-        return hit[1]
-    import jax.numpy as jnp
-    if len(_DEVICE_UNIFORM_CACHE) >= 256:     # bound HBM held by the cache
-        _DEVICE_UNIFORM_CACHE.pop(next(iter(_DEVICE_UNIFORM_CACHE)))
-    dev = jnp.asarray(v)
-    _DEVICE_UNIFORM_CACHE[id(v)] = (v, dev)   # keep v alive: id stays valid
-    return dev
+        _DEVICE_UNIFORM_CACHE.move_to_end(id(v))
+    else:
+        import jax.numpy as jnp
+        dev = jnp.asarray(v)
+        _DEVICE_UNIFORM_CACHE[id(v)] = (v, dev)  # keep v alive: id stays valid
+        hit = (v, dev)
+        total = sum(e[0].nbytes for e in _DEVICE_UNIFORM_CACHE.values())
+        while total > _DEVICE_UNIFORM_CACHE_BYTES and len(
+                _DEVICE_UNIFORM_CACHE) > 1:
+            _, (old_v, _) = _DEVICE_UNIFORM_CACHE.popitem(last=False)
+            total -= old_v.nbytes
+    return hit[1]
 
 
 def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
@@ -227,7 +240,14 @@ def _render_sharded(scene, visible, dtype, stats, timings,
                 and scene.height % (n_dev * raster_tiled.TILE_H) == 0
                 and scene.width % raster_tiled.TILE_W == 0)
     t0 = time.perf_counter()
-    if geometry:
+    if not passes:
+        # every pass frustum-culled (or an empty scene): background frame,
+        # like the single-device backends — the geometry branch would
+        # otherwise index visible[-1]
+        from tinyrenderder_tpu.ops import raster
+        fb = raster.new_framebuffers(scene.width, scene.height)
+        out_depth = fb.depth
+    elif geometry:
         if (scene.width % raster_tiled.TILE_W == 0
                 and scene.height % raster_tiled.TILE_H == 0
                 and all(a["position"].shape[0] > 0 for a, *_ in passes)):

@@ -65,16 +65,31 @@ def light_camera_for_scene(scene: Scene, light_dir,
     fov = 2.0 * np.degrees(np.arctan2(radius, dist)) * settings.fov_margin
     cam.set_fov(float(np.clip(fov, 10.0, 120.0)))
     cam.set_aspect(1.0)
-    cam.set_clipping(dist - radius * 1.5, dist + radius * 1.5)
+    # distance_factor <= 1.5 would put the near plane at or behind the
+    # eye; clamp to a small positive near (valid perspective projection)
+    cam.set_clipping(max(dist - radius * 1.5, radius * 1e-3),
+                     dist + radius * 1.5)
     scene.__dict__["_shadow_light_cam"] = (ckey, cam)
     return cam
+
+
+def invalidate_caches(scene: Scene) -> None:
+    """Drop the per-scene shadow caches (light camera, merged mesh,
+    depth scene).  Call after mutating a mesh's ``positions`` IN PLACE:
+    the caches key on ``id(mesh)`` + model-matrix bytes, which cannot
+    see an in-place geometry edit.  (Rebinding a fresh Mesh or changing
+    a model matrix invalidates naturally.)"""
+    for k in ("_shadow_light_cam", "_shadow_merged",
+              "_shadow_depth_scene"):
+        scene.__dict__.pop(k, None)
 
 
 def _merged_world_mesh(scene: Scene):
     """All scene meshes merged into one, model matrices baked into the
     positions — the light's depth pass has no per-mesh state (DepthShader
     uses no lights/materials), so one pass replaces len(passes) passes.
-    Cached on the scene keyed by the pass list and matrices."""
+    Cached on the scene keyed by the pass list and matrices (an IN-PLACE
+    positions edit is invisible to this key — see invalidate_caches)."""
     from tinyrenderder_tpu.models.mesh import Mesh
 
     key = tuple((id(p.mesh), p.model_matrix.tobytes())
@@ -118,8 +133,11 @@ def render_depth_from_light(scene: Scene, light_cam: Camera,
         depth_scene.add(merged, np.eye(4), DepthShader(),
                         name="lightdepth")
         scene.__dict__["_shadow_depth_scene"] = (ckey, depth_scene)
+    # collect_stats is always off: the depth pass returns only the map,
+    # and exact stats would replay a SECOND full depth resolve of the
+    # merged scene (plus per-pass host syncs) just to be discarded
     result = depth_scene.render(backend=backend, frustum_cull=False,
-                                collect_stats=transfer, transfer=transfer,
+                                collect_stats=False, transfer=transfer,
                                 strict_capacity=strict_capacity)
     if transfer:
         return np.asarray(result.full_depth, dtype=np.float32)
