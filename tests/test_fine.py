@@ -117,7 +117,8 @@ def test_fine_overflow_flag_fires_same_frame(meshes):
     import jax.numpy as jnp
     attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
     key = (attrs["position"].shape[0],
-           -(-w // raster_fine.TILE_W), -(-h // raster_fine.TILE_H))
+           -(-w // raster_fine.TILE_W), -(-h // raster_fine.TILE_H),
+           raster_fine.TILE_H, raster_fine.TILE_W)
     _clear_caches()
     ft = raster_sparse.new_frame_tiles(w, h)
     _, _, ovf = raster_fine.render_pass_fine(
@@ -140,7 +141,8 @@ def test_fine_strict_capacity_growth(meshes):
     import jax.numpy as jnp
     attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
     key = (attrs["position"].shape[0],
-           -(-w // raster_fine.TILE_W), -(-h // raster_fine.TILE_H))
+           -(-w // raster_fine.TILE_W), -(-h // raster_fine.TILE_H),
+           raster_fine.TILE_H, raster_fine.TILE_W)
     _clear_caches()
     raster_fine._FINE_CAPACITY[key] = (64, 16, 2)   # absurdly small
     ft = raster_sparse.new_frame_tiles(w, h)

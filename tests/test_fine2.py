@@ -122,7 +122,7 @@ def test_fine2_capacity_growth_strict(meshes):
     w, h = 160, 42
     p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
     attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
-    key = (attrs["position"].shape[0], -(-w // 128), -(-h // 16))
+    key = (attrs["position"].shape[0], -(-w // 128), -(-h // 16), 16, 128)
     ft0 = raster_sparse.new_frame_tiles(w, h)
     ft_ref, _, _ = raster_sparse.render_pass_tiles(
         ft0, attrs, p.shader, dict(p.uniforms), w, h)

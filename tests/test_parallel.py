@@ -455,8 +455,9 @@ def test_fused_sharded_async_capacity(meshes):
         assert (got == ref).all()
         assert not np.asarray(ovf).any()
     # the refinement shrank at least one pass's caps from the
-    # full-screen seed to band-local sizes
-    skeys = [k for k in dist._SHARD_FUSED_CAPS if k[3] == 8]
+    # full-screen seed to band-local sizes (key layout: f, ntx, nty,
+    # tile_h, tile_w, n_devices, mode, tag, interleave)
+    skeys = [k for k in dist._SHARD_FUSED_CAPS if k[5] == 8]
     assert skeys and any(k in dist._SHARD_FUSED_REFINED for k in skeys)
 
 
@@ -606,3 +607,90 @@ def test_sharded_backends_all_passes_culled(meshes):
         out = s.render(backend=backend, frustum_cull=True)
         assert np.asarray(out.color).sum() == 0
         assert not np.isfinite(np.asarray(out.full_depth)).any()
+
+
+def test_fold_fused_totals_depth_sentinel_and_lifecycle():
+    """Unit test of the sharded-fused caps folding: the depth-only
+    sentinel (wt<0) must keep the seeded won-tile cap and leave the
+    one-time w refinement unconsumed (regression: _band_quantized_caps
+    quantized the sentinel to the 8-floor, so a color pass sharing the
+    key shaded 8 won tiles forever); a real measurement then refines w
+    once; overflow grows from the CURRENT caps."""
+    key = ("unit-test-key",)
+    n_band = 64
+    try:
+        # seed: full-screen-probe caps (coarse: pair, active, won)
+        dist._SHARD_FUSED_CAPS[key] = (4096, 48, 40)
+        # fold 1: depth-only frame — pair/active shrink, w cap KEPT
+        over = dist._fold_fused_totals(key, "coarse",
+                                       np.array([500, 10, -1, -1]), n_band)
+        assert not over
+        caps = dist._SHARD_FUSED_CAPS[key]
+        assert caps[-1] == 40, "sentinel consumed the won-tile cap"
+        assert caps[0] < 4096 and caps[1] < 48      # refined band-local
+        assert key in dist._SHARD_FUSED_REFINED
+        assert key not in dist._SHARD_FUSED_W_REFINED
+        # fold 2: a real won-tile measurement refines w exactly once
+        over = dist._fold_fused_totals(key, "coarse",
+                                       np.array([500, 10, 12, -1]), n_band)
+        assert not over
+        caps = dist._SHARD_FUSED_CAPS[key]
+        assert caps[-1] < 40
+        assert key in dist._SHARD_FUSED_W_REFINED
+        # fold 3: overflow grows from the current caps and reports it
+        over = dist._fold_fused_totals(
+            key, "coarse", np.array([caps[0] + 1, 10, 12, -1]), n_band)
+        assert over
+        assert dist._SHARD_FUSED_CAPS[key][0] > caps[0]
+        assert dist._SHARD_FUSED_CAPS[key][-1] == caps[-1]   # w stable
+    finally:
+        dist._SHARD_FUSED_CAPS.pop(key, None)
+        dist._SHARD_FUSED_REFINED.discard(key)
+        dist._SHARD_FUSED_W_REFINED.discard(key)
+
+
+def test_geometry_tiles_caps_grow_under_motion(meshes):
+    """Geometry-parallel caps seed from the FIRST frame's view; a later
+    view with more pair demand must grow them (one frame late, like the
+    other async paths) instead of silently dropping triangles forever
+    (regression: the path had no overflow detection at all)."""
+    import jax.numpy as jnp
+    from tinyrenderder_tpu import math3d
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    w, h = 128, 128
+    proj = np.asarray(math3d.perspective(60.0, 1.0, 0.1, 50.0))
+    # view 1: far away — few (strip, tri) pairs
+    view_far = np.asarray(math3d.lookat((0, 0, 14.0), (0, 0, 0), (0, 1, 0)))
+    # view 2: close — the head fills the frame, many more pairs
+    view_near = np.asarray(math3d.lookat((0, 0, 1.6), (0, 0, 0), (0, 1, 0)))
+    mesh = dist.make_mesh(4)
+
+    def gpass(view):
+        p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM),
+                      view, proj)
+        return [({k: jnp.asarray(v) for k, v in p.attrs.items()},
+                 p.shader, p.uniforms, False)]
+
+    # clear any caps another test seeded for this (f, grid) key
+    f = gpass(view_far)[0][0]["position"].shape[0]
+    n = mesh.devices.size
+    f_pad = -(-f // n) * n
+    key = (f_pad, w // 128, h // 16, 16, 128)
+    raster_sparse._SPARSE_CAPACITY.pop(key, None)
+    raster_sparse._SPARSE_PENDING.pop(key, None)
+
+    ft, _ = dist.render_frame_geometry_tiles(mesh, gpass(view_far), w, h)
+    caps_far = raster_sparse._SPARSE_CAPACITY[key]
+    # frame 2 (near view): renders with stale caps (may drop — detected
+    # one frame late); frame 3 must be exact after the growth
+    dist.render_frame_geometry_tiles(mesh, gpass(view_near), w, h)
+    dist.render_frame_geometry_tiles(mesh, gpass(view_near), w, h)
+    ft3, _ = dist.render_frame_geometry_tiles(mesh, gpass(view_near), w, h)
+    caps_near = raster_sparse._SPARSE_CAPACITY[key]
+    assert caps_near[0] >= caps_far[0]
+    ref_ft, _, _ = raster_sparse.render_frame_fused(
+        gpass(view_near), w, h)
+    ref = np.asarray(raster_sparse.tiles_to_buffers(ref_ft, w, h).color)
+    got = np.asarray(raster_sparse.tiles_to_buffers(ft3, w, h).color)
+    assert (got == ref).all()

@@ -216,7 +216,8 @@ def test_async_capacity_grows_after_overflow(meshes):
     w, h = 64, 64
     from tinyrenderder_tpu.ops import raster_sparse
     key = (attrs["position"].shape[0],
-           -(-w // raster_tiled.TILE_W), -(-h // raster_tiled.TILE_H))
+           -(-w // raster_tiled.TILE_W), -(-h // raster_tiled.TILE_H),
+           raster_tiled.TILE_H, raster_tiled.TILE_W)
     raster_sparse._SPARSE_CAPACITY.pop(key, None)
     raster_sparse._SPARSE_PENDING.pop(key, None)
 

@@ -146,7 +146,8 @@ def test_overflow_flag_fires_same_frame(meshes):
     p = make_pass(meshes["soup"], GouraudShader(), view, proj)
     attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
     key = (attrs["position"].shape[0],
-           -(-w // raster_tiled.TILE_W), -(-h // raster_tiled.TILE_H))
+           -(-w // raster_tiled.TILE_W), -(-h // raster_tiled.TILE_H),
+           raster_tiled.TILE_H, raster_tiled.TILE_W)
     raster_sparse._SPARSE_CAPACITY.pop(key, None)
     raster_sparse._SPARSE_PENDING.pop(key, None)
     ft = raster_sparse.new_frame_tiles(w, h)
@@ -342,7 +343,8 @@ def test_won_tile_cap_refinement_bitwise(meshes, slab_sy, min_won):
             offset += attrs["position"].shape[0]
         return raster_sparse.tiles_to_buffers(ft, w, h)
 
-    key2 = (p2.attrs["position"].shape[0], 2, 8)
+    key2 = (p2.attrs["position"].shape[0], 2, 8,
+            raster_tiled.TILE_H, raster_tiled.TILE_W)
     raster_sparse._SPARSE_CAPACITY.pop(key2, None)
     raster_sparse._W_REFINED.discard(key2)    # other suites may share key
     fb_first = render()                       # seeds + refines w_cap
@@ -376,7 +378,8 @@ def test_depth_pass_does_not_consume_won_refinement(meshes):
     w, h = 256, 128
     p = make_pass(meshes["head"], DepthShader(), view, proj)
     attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
-    key = (attrs["position"].shape[0], 2, 8)
+    key = (attrs["position"].shape[0], 2, 8,
+           raster_tiled.TILE_H, raster_tiled.TILE_W)
     raster_sparse._SPARSE_CAPACITY.pop(key, None)
     raster_sparse._W_REFINED.discard(key)
     ft = raster_sparse.new_frame_tiles(w, h)

@@ -523,7 +523,8 @@ def _resolve_pending(key, n_tiles):
                 max(rc, _quantize_tight(rt)),
                 max(ac, qa(pa, n_tiles)),
                 max(min(wc, ac), qa(max(wt, 0), n_tiles)))
-            _W_REFINED.add(key)
+            if wt >= 0:       # the depth-only sentinel never consumes
+                _W_REFINED.add(key)       # the one-time w refinement
         else:
             raster_sparse._won_refine_once("fine", key, wt, n_tiles)
     else:
@@ -573,7 +574,7 @@ def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
                     (zero, jnp.float32(jnp.inf), jnp.float32(-jnp.inf)))
         return ft, empty, jnp.asarray(False)
 
-    key = (f, n_tiles_x, n_tiles_y)
+    key = (f, n_tiles_x, n_tiles_y, tile_h, tile_w)
 
     if not strict_capacity:
         _resolve_pending(key, n_tiles)
@@ -620,25 +621,39 @@ def render_pass_fine(ft, attrs: dict, shader, uniforms: dict,
             (pair_total, row_total, n_active, won_total)))
         qa = raster_sparse._quantize_active
         if pt > pair_cap or rt > row_cap or act > a_cap or wt > w_cap:
-            grown = (max(pair_cap, _quantize_tight(pt)),
-                     max(row_cap, _quantize_tight(rt)),
-                     max(a_cap, qa(act, n_tiles)),
-                     max(min(w_cap, a_cap), qa(max(wt, 0), n_tiles)))
+            # grow from the CURRENT store, not the plan snapshot
+            # (another same-key pass may have grown it — f67fb41)
+            cpc, crc, cac, *crest = _FINE_CAPACITY.get(
+                key, (pair_cap, row_cap, a_cap, w_cap))
+            cwc = crest[0] if crest else cac
+            grown = (max(cpc, _quantize_tight(pt)),
+                     max(crc, _quantize_tight(rt)),
+                     max(cac, qa(act, n_tiles)),
+                     max(min(cwc, cac), qa(max(wt, 0), n_tiles)))
             _FINE_CAPACITY[key] = grown
-            _W_REFINED.add(key)
+            if wt >= 0:       # the depth-only sentinel never consumes
+                _W_REFINED.add(key)       # the one-time w refinement
             return render_pass_fine(ft, attrs, shader, uniforms,
                                     width, height, winner_offset,
                                     tile_h, tile_w, strict_capacity,
                                     interpret, collect_stats, _caps=grown)
         raster_sparse._won_refine_once("fine", key, wt, n_tiles)
-    elif key not in _FINE_PENDING:
+    else:
         totals_dev = jnp.stack([pair_total, row_total, n_active,
                                 won_total])
-        try:
-            totals_dev.copy_to_host_async()
-        except AttributeError:
-            pass
-        _FINE_PENDING[key] = (totals_dev, caps, 0)
+        prev = _FINE_PENDING.get(key)
+        if prev is not None:
+            # fold into the waiting slot (element-wise max): a second
+            # same-key pass's overflow was invisible while the slot
+            # only ever held the first pass's totals
+            totals_dev = jnp.maximum(prev[0], totals_dev)
+            _FINE_PENDING[key] = (totals_dev, prev[1], prev[2])
+        else:
+            try:
+                totals_dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            _FINE_PENDING[key] = (totals_dev, caps, 0)
     if collect_stats:
         return new_ft, setup, overflowed, events
     return new_ft, setup, overflowed

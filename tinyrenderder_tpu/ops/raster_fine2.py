@@ -663,7 +663,7 @@ def render_pass_fine2(ft, attrs: dict, shader, uniforms: dict,
                     (zero, jnp.float32(jnp.inf), jnp.float32(-jnp.inf)))
         return ft, empty, jnp.asarray(False)
 
-    key = (f, n_tiles_x, n_tiles_y)
+    key = (f, n_tiles_x, n_tiles_y, tile_h, tile_w)
     if not strict_capacity:
         _resolve_pending(key, n_tiles)
     if _caps is not None:
@@ -705,22 +705,34 @@ def render_pass_fine2(ft, attrs: dict, shader, uniforms: dict,
             (pair_total, row_total, n_groups, n_active)))
         if pt > pair_cap or rt > row_cap or ng > g_cap or na > a_cap:
             from tinyrenderder_tpu.ops import raster_sparse as rs
-            grown = (max(pair_cap, _quantize_tight(pt)),
-                     max(row_cap, _quantize_tight(rt)),
-                     max(g_cap, _quantize_groups(ng, n_tiles)),
-                     max(a_cap, rs._quantize_active(na, n_tiles)))
+            # grow from the CURRENT store, not the plan snapshot
+            # (another same-key pass may have grown it — f67fb41)
+            cpc, crc, cgc, cac = _FINE2_CAPACITY.get(
+                key, (pair_cap, row_cap, g_cap, a_cap))
+            grown = (max(cpc, _quantize_tight(pt)),
+                     max(crc, _quantize_tight(rt)),
+                     max(cgc, _quantize_groups(ng, n_tiles)),
+                     max(cac, rs._quantize_active(na, n_tiles)))
             _FINE2_CAPACITY[key] = grown
             return render_pass_fine2(ft, attrs, shader, uniforms,
                                      width, height, winner_offset,
                                      tile_h, tile_w, strict_capacity,
                                      interpret, collect_stats, _caps=grown)
-    elif key not in _FINE2_PENDING:
+    else:
         totals_dev = jnp.stack([pair_total, row_total, n_groups, n_active])
-        try:
-            totals_dev.copy_to_host_async()
-        except AttributeError:
-            pass
-        _FINE2_PENDING[key] = (totals_dev, caps, 0)
+        prev = _FINE2_PENDING.get(key)
+        if prev is not None:
+            # fold into the waiting slot (element-wise max): a second
+            # same-key pass's overflow was invisible while the slot
+            # only ever held the first pass's totals
+            totals_dev = jnp.maximum(prev[0], totals_dev)
+            _FINE2_PENDING[key] = (totals_dev, prev[1], prev[2])
+        else:
+            try:
+                totals_dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            _FINE2_PENDING[key] = (totals_dev, caps, 0)
     if collect_stats:
         return new_ft, setup, overflowed, events
     return new_ft, setup, overflowed

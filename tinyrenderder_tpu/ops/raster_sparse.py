@@ -408,12 +408,10 @@ def _resolve_pending(key, n_tiles):
                 "sparse overflow (pairs %d/%d, tiles %d/%d, won %d/%d) "
                 "detected %d frame(s) late; capacity grown",
                 pt, cap, pa, a_cap, wt, w_cap, age + 1)
-            _SPARSE_CAPACITY[key] = (
-                max(cap, _quantize_soft(pt)),
-                max(a_cap, _quantize_active(pa, n_tiles)),
-                max(min(w_cap, a_cap),
-                    _quantize_active(max(wt, 0), n_tiles)))
-            _W_REFINED.add(key)
+            _SPARSE_CAPACITY[key] = _grow_caps(
+                "coarse", (cap, a_cap, w_cap), (pt, pa, wt), n_tiles)
+            if wt >= 0:       # the depth-only sentinel never consumes
+                _W_REFINED.add(key)       # the one-time w refinement
         else:
             _won_refine_once("coarse", key, wt, n_tiles)
     else:
@@ -482,7 +480,7 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
                     (zero, jnp.float32(jnp.inf), jnp.float32(-jnp.inf)))
         return ft, empty, jnp.asarray(False)
 
-    key = (f, n_tiles_x, n_tiles_y)
+    key = (f, n_tiles_x, n_tiles_y, tile_h, tile_w)
 
     if not strict_capacity:
         _resolve_pending(key, n_tiles)
@@ -529,24 +527,36 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
         tot, act, wt = (int(x) for x in
                         jax.device_get((total, n_active, won_total)))
         if tot > capacity or act > a_cap or wt > w_cap:
-            grown = (max(capacity, _quantize_soft(tot)),
-                     max(a_cap, _quantize_active(act, n_tiles)),
-                     max(min(w_cap, a_cap),
-                         _quantize_active(max(wt, 0), n_tiles)))
+            # grow from the CURRENT store (another same-key pass may
+            # have grown it since this plan was snapshot — f67fb41)
+            grown = _grow_caps("coarse",
+                               _SPARSE_CAPACITY.get(key, caps),
+                               (tot, act, wt), n_tiles)
             _SPARSE_CAPACITY[key] = grown
-            _W_REFINED.add(key)
+            if wt >= 0:
+                # only a real won-tile measurement consumes the one-time
+                # w refinement; the depth-only sentinel (wt<0) must not
+                _W_REFINED.add(key)
             return render_pass_tiles(ft, attrs, shader, uniforms,
                                      width, height, winner_offset,
                                      tile_h, tile_w, strict_capacity,
                                      interpret, collect_stats, _caps=grown)
         _won_refine_once("coarse", key, wt, n_tiles)
-    elif key not in _SPARSE_PENDING:
+    else:
         totals_dev = jnp.stack([total, n_active, won_total])
-        try:
-            totals_dev.copy_to_host_async()
-        except AttributeError:
-            pass
-        _SPARSE_PENDING[key] = (totals_dev, caps, 0)
+        prev = _SPARSE_PENDING.get(key)
+        if prev is not None:
+            # fold into the waiting slot (element-wise max): a second
+            # same-key pass's overflow was invisible while the slot only
+            # ever held the first pass's totals
+            totals_dev = jnp.maximum(prev[0], totals_dev)
+            _SPARSE_PENDING[key] = (totals_dev, prev[1], prev[2])
+        else:
+            try:
+                totals_dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            _SPARSE_PENDING[key] = (totals_dev, caps, 0)
     if collect_stats:
         return new_ft, setup, overflowed, events
     return new_ft, setup, overflowed
@@ -604,7 +614,8 @@ def _decide_mode(attrs, shader, uniforms, width, height,
     n_tiles_y = _cdiv(height, tile_h)
     n_vary = (sum(shader.varying_spec.values())
               if shader.writes_color else 0)
-    dkey = (f, n_tiles_x, n_tiles_y, shader.writes_color, n_vary)
+    dkey = (f, n_tiles_x, n_tiles_y, tile_h, tile_w,
+            shader.writes_color, n_vary)
     mode = _FINE_DECISION.get(dkey)
     if mode is None:
         if (not shader.writes_color or f < 512
@@ -632,7 +643,7 @@ def _decide_mode(attrs, shader, uniforms, width, height,
             r1, r2, ng, act, ct = (int(x) for x in
                                    jax.device_get((*probe, coarse_d)))
             n_tiles = n_tiles_x * n_tiles_y
-            key = (f, n_tiles_x, n_tiles_y)
+            key = (f, n_tiles_x, n_tiles_y, tile_h, tile_w)
             if r2 <= FINE2_RATIO * r1:
                 mode = "fine2" if r2 <= 0.45 * ct else "coarse"
                 if mode == "fine2":   # seed caps: probe paid the sync
@@ -932,7 +943,7 @@ def render_frame_fused(passes, width: int, height: int,
         uniforms = dict(uniforms)
         mode = _decide_mode(attrs, shader, uniforms, width, height,
                             tile_h, tile_w)
-        key = (f, n_tiles_x, n_tiles_y)
+        key = (f, n_tiles_x, n_tiles_y, tile_h, tile_w)
         if not strict_capacity:
             _resolve_pending_mode(mode, key, n_tiles)
         caps = _resolve_caps_mode(mode, key, attrs, uniforms, shader,
@@ -953,9 +964,16 @@ def render_frame_fused(passes, width: int, height: int,
         for (key, mode), (shader, md, caps, *_), t in zip(
                 keys, plan, tot_host):
             if not _caps_fit(mode, caps, t):
-                _mode_stores(mode)[0][key] = _grow_caps(mode, caps, t,
-                                                        n_tiles)
-                if mode != "fine2":
+                store = _mode_stores(mode)[0]
+                # grow from the CURRENT store, not the plan snapshot:
+                # an earlier same-key pass may have grown it this frame
+                # already and the snapshot write would revert it
+                store[key] = _grow_caps(mode, store.get(key, caps), t,
+                                        n_tiles)
+                if mode != "fine2" and _won_of(mode, t) >= 0:
+                    # a real won-tile measurement is folded in by the
+                    # growth; the depth-only sentinel (wt<0) must not
+                    # consume the one-time w refinement
                     _w_refined_set(mode).add(key)
                 grown = True
             else:
@@ -964,11 +982,19 @@ def render_frame_fused(passes, width: int, height: int,
             return render_frame_fused(passes, width, height, tile_h,
                                       tile_w, strict_capacity, interpret)
     else:
+        # merge same-key same-mode passes within this frame before
+        # staging: a pending slot that held only the FIRST pass's totals
+        # made a later same-key pass's overflow invisible to the resolve
+        staged: dict = {}
         for i, ((key, mode), (shader, md, caps, *_)) in enumerate(
                 zip(keys, plan)):
+            tslice = totals[i, :_mode_stores(mode)[2]]
+            prev = staged.get((key, mode))
+            staged[(key, mode)] = (caps, tslice if prev is None
+                                   else jnp.maximum(prev[1], tslice))
+        for (key, mode), (caps, tslice) in staged.items():
             pending = _mode_stores(mode)[1]
             if key not in pending:
-                tslice = totals[i, :_mode_stores(mode)[2]]
                 try:
                     tslice.copy_to_host_async()
                 except AttributeError:

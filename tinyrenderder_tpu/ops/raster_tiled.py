@@ -259,7 +259,8 @@ def bin_triangles_csr(setup, width: int, height: int,
     """
     n_tiles_x = _cdiv(width, tile_w)
     n_tiles_y = _cdiv(height, tile_h)
-    key = (int(setup["valid"].shape[0]), n_tiles_x, n_tiles_y)
+    key = (int(setup["valid"].shape[0]), n_tiles_x, n_tiles_y,
+           tile_h, tile_w)
     tx0, ty0, span_x, spans, total = _tile_spans(setup, tile_w, tile_h)
     if capacity is None:
         capacity = _PAIR_CAPACITY.get(key)

@@ -170,7 +170,10 @@ def render_frame_sharded(mesh: Mesh, passes, width: int, height: int,
             tiled = (height % (mesh.shape[AXIS_Y] * raster_tiled.TILE_H) == 0
                      and width % (mesh.shape[AXIS_X] * raster_tiled.TILE_W) == 0)
         else:
-            tiled = height % (mesh.devices.size * raster_tiled.TILE_H) == 0
+            # width alignment matters too: the tiled path needs whole
+            # tile columns, else fall back to the scan path
+            tiled = (height % (mesh.devices.size * raster_tiled.TILE_H) == 0
+                     and width % raster_tiled.TILE_W == 0)
     if two_d and not tiled:
         raise ValueError("2-D meshes require the tiled pipeline "
                          "(tile-aligned blocks)")
@@ -209,6 +212,7 @@ def render_frame_sharded(mesh: Mesh, passes, width: int, height: int,
 # Geometry (triangle) parallelism: the collectives-based SPMD analogue
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
 def _geometry_pass_fn(mesh: Mesh, shader, width: int, height: int,
                       chunk: int, f_shard: int):
     """SPMD triangle parallelism (SURVEY.md §2 parallelism checklist):
@@ -533,6 +537,7 @@ def _resolve_sharded_tiled_pending(key):
 _SHARD_FUSED_CAPS: dict = {}
 _SHARD_FUSED_PENDING: dict = {}
 _SHARD_FUSED_REFINED: set = set()   # keys whose caps are band-local
+_SHARD_FUSED_W_REFINED: set = set()  # keys whose won-tile cap was measured
 
 
 @functools.lru_cache(maxsize=None)
@@ -580,6 +585,46 @@ def _band_quantized_caps(mode, t_max, n_tiles_band):
     the single-device caches)."""
     from tinyrenderder_tpu.ops import raster_sparse
     return raster_sparse._caps_from_totals(mode, t_max, n_tiles_band)
+
+
+def _fold_fused_totals(key, mode, t_max, n_tiles_band) -> bool:
+    """Fold one measured per-band totals max into the caps store.
+
+    Mirrors the single-device rules exactly: the first fold shrinks the
+    full-screen-seeded caps to band-local sizes (once, _SHARD_FUSED_
+    REFINED); the won-tile slot refines SEPARATELY and only from a real
+    measurement — a depth-only pass reports the wt<0 sentinel
+    (raster_sparse._post_sparse_jit) and must keep the seeded w_cap, or
+    a color pass sharing the key would shade 8 won tiles forever; after
+    refinement caps only grow, always from the CURRENT store (another
+    same-key pass may have grown them since this frame ran — f67fb41).
+    Returns True when t_max overflowed the current caps (the frame that
+    measured it dropped work: strict mode re-renders, async mode warns).
+    """
+    from tinyrenderder_tpu.ops import raster_sparse
+    cur = _SHARD_FUSED_CAPS[key]
+    fit = _caps_fit(mode, cur, t_max)
+    wt = raster_sparse._won_of(mode, t_max)
+    if key not in _SHARD_FUSED_REFINED:
+        q = _band_quantized_caps(mode, t_max, n_tiles_band)
+        if mode != "fine2":
+            if wt < 0:
+                q = (*q[:-1], cur[-1])          # sentinel: keep seeded w
+            else:
+                _SHARD_FUSED_W_REFINED.add(key)
+        _SHARD_FUSED_CAPS[key] = q
+        _SHARD_FUSED_REFINED.add(key)
+        return not fit
+    if mode != "fine2" and wt >= 0 and key not in _SHARD_FUSED_W_REFINED:
+        w_new = min(cur[-1], max(8, raster_sparse._quantize_active(
+            wt, n_tiles_band)))
+        if w_new < cur[-1]:
+            cur = (*cur[:-1], w_new)
+            _SHARD_FUSED_CAPS[key] = cur
+        _SHARD_FUSED_W_REFINED.add(key)
+    if not fit:
+        _SHARD_FUSED_CAPS[key] = _grow_caps(mode, cur, t_max, n_tiles_band)
+    return not fit
 
 
 def _caps_fit(mode, caps, t_max):
@@ -671,7 +716,8 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
         uniforms = dict(uniforms)
         mode = raster_sparse._decide_mode(
             attrs, shader, uniforms, width, height, tile_h, tile_w)
-        key = (f, n_tiles_x, nty, n, mode, "fused-sharded", interleave)
+        key = (f, n_tiles_x, nty, tile_h, tile_w, n, mode,
+               "fused-sharded", interleave)
         caps = _SHARD_FUSED_CAPS.get(key)
         if caps is None:
             # seed from the full-screen totals: an upper bound for any
@@ -697,29 +743,27 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
 
     if strict_capacity:
         tot_host = np.asarray(jax.device_get(totals))
-        t_max = tot_host.max(axis=0)              # (n_passes, 3)
+        t_max = tot_host.max(axis=0)              # (n_passes, 4)
         grown = False
-        for (key, mode), (sh, md, caps, *_), t in zip(
-                keys, plan, t_max):
-            if not _caps_fit(mode, caps, t):
-                _SHARD_FUSED_CAPS[key] = _grow_caps(
-                    mode, caps, t, n_tiles_band)
-                _SHARD_FUSED_REFINED.add(key)
-                grown = True
-            elif key not in _SHARD_FUSED_REFINED:
-                # shrink the full-screen-seeded caps to band-local
-                # sizes for the NEXT frame (this one was exact anyway)
-                _SHARD_FUSED_CAPS[key] = _band_quantized_caps(
-                    mode, t, n_tiles_band)
-                _SHARD_FUSED_REFINED.add(key)
+        for (key, mode), t in zip(keys, t_max):
+            grown |= _fold_fused_totals(key, mode, t, n_tiles_band)
         if grown:
             return render_frame_fused_sharded(
                 mesh, passes, width, height, tile_h, tile_w,
                 strict_capacity, interleave)
     else:
+        # merge same-key passes within this frame (element-wise max)
+        # BEFORE staging: a key's pending slot held only the FIRST
+        # pass's totals, so a later same-key pass's overflow was
+        # invisible to the resolve forever
+        staged: dict = {}
         for i, (key, mode) in enumerate(keys):
+            tslice = totals[:, i]
+            prev = staged.get(key)
+            staged[key] = (mode, tslice if prev is None
+                           else jnp.maximum(prev[1], tslice))
+        for key, (mode, tslice) in staged.items():
             if key not in _SHARD_FUSED_PENDING:
-                tslice = totals[:, i]
                 try:
                     tslice.copy_to_host_async()
                 except AttributeError:
@@ -743,20 +787,11 @@ def _resolve_fused_pending(key, mode, n_tiles_band):
     if ready or age >= 8:
         _SHARD_FUSED_PENDING.pop(key)
         t_max = np.asarray(totals_dev).max(axis=0)
-        cur = _SHARD_FUSED_CAPS.get(key, prev_caps)
-        if key not in _SHARD_FUSED_REFINED:
-            # first refinement: shrink from the full-screen bound to
-            # the band-local sizes (pre-stage work scales with caps)
-            _SHARD_FUSED_CAPS[key] = _band_quantized_caps(
-                mode, t_max, n_tiles_band)
-            _SHARD_FUSED_REFINED.add(key)
-        elif not _caps_fit(mode, cur, t_max):
+        if _fold_fused_totals(key, mode, t_max, n_tiles_band):
             import logging
             logging.getLogger(__name__).warning(
                 "sharded fused overflow detected %d frame(s) late; "
                 "capacity grown", age + 1)
-            _SHARD_FUSED_CAPS[key] = _grow_caps(
-                mode, cur, t_max, n_tiles_band)
     else:
         _SHARD_FUSED_PENDING[key] = (totals_dev, prev_caps, age + 1)
 
@@ -951,8 +986,15 @@ def _geometry_tiles_fn(mesh: Mesh, shader, width: int, height: int,
             new_color = jnp.where(drawn, col, ft.color)
         else:
             new_color = ft.color
+        # shard-max demand totals (pair, active, w-sentinel): the caps
+        # were seeded from a first-frame full-geometry probe, which is
+        # an upper bound only for THAT frame's view — camera motion can
+        # outgrow them, so the caller stages these for the same
+        # one-frame-late growth every other capacity path gets
+        totals = jax.lax.pmax(
+            jnp.stack([total, na, jnp.int32(-1)]), AXIS)
         return raster_sparse.FrameTiles(color=new_color, depth=new_depth,
-                                        winner=new_winner)
+                                        winner=new_winner), totals
 
     ft_spec = P()                         # frame replicated on all devices
     from tinyrenderder_tpu.ops.raster_sparse import FrameTiles
@@ -960,7 +1002,7 @@ def _geometry_tiles_fn(mesh: Mesh, shader, width: int, height: int,
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(fspec, P(AXIS), P(), P()),
-        out_specs=fspec,
+        out_specs=(fspec, P()),
         check_vma=False)
     return jax.jit(mapped)
 
@@ -974,8 +1016,11 @@ def render_pass_geometry_tiles(mesh: Mesh, ft, attrs: dict, shader,
     production binned/Pallas pipeline (see _geometry_tiles_fn).  The
     tiled frame is replicated; face arrays pad to a device multiple
     with degenerate (w=0, auto-rejected) triangles so contiguous blocks
-    preserve submission order.  Capacities come from the full-geometry
-    probe — an upper bound for every shard, so overflow cannot occur."""
+    preserve submission order.  Capacities seed from a full-geometry
+    probe (an upper bound for every shard ON THAT FRAME); later frames'
+    demand is staged through the shared coarse pending machinery, so
+    growth under camera motion lands one frame late with a warning —
+    the same contract as the single-device async paths."""
     from tinyrenderder_tpu.ops import raster_sparse
     from tinyrenderder_tpu.ops.raster_tiled import TILE_H, TILE_W, _cdiv
 
@@ -997,14 +1042,26 @@ def render_pass_geometry_tiles(mesh: Mesh, ft, attrs: dict, shader,
     uniforms = dict(uniforms)
     ntx, nty = _cdiv(width, tile_w), _cdiv(height, tile_h)
     n_tiles = ntx * nty
-    key = (f_shard * n, ntx, nty)
+    key = (f_shard * n, ntx, nty, tile_h, tile_w)
+    raster_sparse._resolve_pending(key, n_tiles)
     caps = raster_sparse._resolve_caps(
         key, attrs, uniforms, shader, width, height, tile_h, tile_w,
         n_tiles)
     interpret = jax.default_backend() != "tpu"
     fn = _geometry_tiles_fn(mesh, shader, width, height, caps, f_shard,
                             tile_h, tile_w, interpret)
-    return fn(ft, attrs, uniforms, jnp.int32(winner_offset))
+    ft_out, totals_dev = fn(ft, attrs, uniforms, jnp.int32(winner_offset))
+    prev = raster_sparse._SPARSE_PENDING.get(key)
+    if prev is not None:
+        totals_dev = jnp.maximum(prev[0], totals_dev)
+        raster_sparse._SPARSE_PENDING[key] = (totals_dev, prev[1], prev[2])
+    else:
+        try:
+            totals_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        raster_sparse._SPARSE_PENDING[key] = (totals_dev, caps, 0)
+    return ft_out
 
 
 def render_frame_geometry_tiles(mesh: Mesh, passes, width: int,

@@ -294,7 +294,7 @@ def _render_with_shadows_fused(scene: Scene, light_dir, light_cam,
             f = attrs["position"].shape[0]
             uniforms = dict(uniforms)
             mode = rs._decide_mode(attrs, shader, uniforms, width, height)
-            key = (f, ntx, nty)
+            key = (f, ntx, nty, rs.TILE_H, rs.TILE_W)
             if not strict_capacity:
                 rs._resolve_pending_mode(mode, key, n_tiles)
             caps = rs._resolve_caps_mode(mode, key, attrs, uniforms,
