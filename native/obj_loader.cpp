@@ -47,7 +47,24 @@ struct ObjData {
     std::vector<std::string> material_names;
     std::vector<std::string> mtllibs;
     bool any_uv = false, any_norm = false;
+    // set when a numeric token fails to parse fully: the Python
+    // fallback raises ValueError there, so the wrapper must too —
+    // which loader a user gets must not change load semantics
+    bool parse_error = false;
 };
+
+
+// strict numeric token: parses like Python float(token) — the token
+// must begin a number and the number must run to whitespace / line end
+static inline double num3(const char* s, const char* line_end, char** e,
+                          ObjData* d) {
+    double r = strtod(s, e);
+    if (*e == s) { d->parse_error = true; return r; }
+    if (*e < line_end && **e != ' ' && **e != '\t' && **e != '\r'
+        && **e != '\n')
+        d->parse_error = true;
+    return r;
+}
 
 inline const char* skip_ws(const char* p, const char* end) {
     while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
@@ -146,22 +163,23 @@ void* trd_obj_parse(const char* path, const char* default_group) {
 
         if (len == 1 && tok[0] == 'v') {
             char* e;
-            double x = strtod(q, &e);
-            double y = strtod(e, &e);
-            double z = strtod(e, &e);
+            double x = num3(q, line_end, &e, d);
+            double y = num3(e, line_end, &e, d);
+            double z = num3(e, line_end, &e, d);
             positions.insert(positions.end(), {x, y, z});
         } else if (len == 2 && tok[0] == 'v' && tok[1] == 't') {
             char* e;
-            double u = strtod(q, &e);
+            double u = num3(q, line_end, &e, d);
             const char* after = skip_ws(e, line_end);
-            double v = (after < line_end && *after != '\n') ? strtod(e, &e) : 0.0;
+            double v = (after < line_end && *after != '\n')
+                ? num3(e, line_end, &e, d) : 0.0;
             // aiProcess_FlipUVs (model.cpp:93)
             texcoords.insert(texcoords.end(), {u, 1.0 - v});
         } else if (len == 2 && tok[0] == 'v' && tok[1] == 'n') {
             char* e;
-            double x = strtod(q, &e);
-            double y = strtod(e, &e);
-            double z = strtod(e, &e);
+            double x = num3(q, line_end, &e, d);
+            double y = num3(e, line_end, &e, d);
+            double z = num3(e, line_end, &e, d);
             normals.insert(normals.end(), {x, y, z});
         } else if (len == 1 && tok[0] == 'f') {
             corner_ids.clear();
@@ -195,6 +213,7 @@ void* trd_obj_parse(const char* path, const char* default_group) {
                 // as missing — same rules as the Python loader, and a
                 // malformed file ("f 1/999999", "f 1/0") must never
                 // read past the raw-directive buffers
+                if (e != ct + cl) d->parse_error = true;  // "1x/2/3"
                 if (vi < 0 || vi >= (int64_t)(positions.size() / 3)) continue;
                 if (ti < 0 || ti >= (int64_t)(texcoords.size() / 2)) ti = -1;
                 if (ni < 0 || ni >= (int64_t)(normals.size() / 3)) ni = -1;
@@ -271,7 +290,8 @@ long long trd_obj_nmaterials(void* h) {
 }
 int trd_obj_flags(void* h) {
     auto* d = (ObjData*)h;
-    return (d->any_uv ? 1 : 0) | (d->any_norm ? 2 : 0);
+    return (d->any_uv ? 1 : 0) | (d->any_norm ? 2 : 0)
+        | (d->parse_error ? 4 : 0);
 }
 
 void trd_obj_copy(void* h, double* pos, double* uv, double* nrm,

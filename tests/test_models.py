@@ -225,3 +225,28 @@ f -999 1 2
         assert np.array_equal(a.faces, b.faces)
         assert np.array_equal(a.uvs, b.uvs)
         assert np.array_equal(a.normals, b.normals)
+
+
+def test_native_rejects_malformed_numbers_like_python(tmp_path):
+    """A malformed numeric token raises on BOTH loader paths — which
+    parser a user gets (native .so built or not) must not change load
+    semantics (regression: strtod silently parsed prefixes)."""
+    from tinyrenderder_tpu.utils import native
+    for bad in ("v 0.5 abc 1\nv 0 0 0\nv 1 0 0\nf 1 2 3\n",
+                "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1x 2 3\n",
+                "v 0 0 0\nvt 0.5 zz\nv 1 0 0\nv 0 1 0\nf 1/1 2/1 3/1\n"):
+        p = tmp_path / "bad.obj"
+        p.write_text(bad)
+        with pytest.raises((ValueError, IndexError)):
+            load_obj(str(p), load_textures=False, use_native=False)
+        if native.obj_available():
+            with pytest.raises(ValueError):
+                load_obj(str(p), load_textures=False, use_native=True)
+    # a well-formed file still loads identically on both paths
+    p = tmp_path / "good.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    a = load_obj(str(p), load_textures=False, use_native=False)
+    if native.obj_available():
+        b = load_obj(str(p), load_textures=False, use_native=True)
+        np.testing.assert_array_equal(a.faces, b.faces)
+        np.testing.assert_allclose(a.positions, b.positions)

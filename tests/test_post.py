@@ -106,3 +106,28 @@ def test_ssao_jnp_matches_numpy():
     i_np = post.zbuffer_to_image(z, np)
     i_j = np.asarray(post.zbuffer_to_image(jnp.asarray(z), jnp))
     assert np.abs(i_np.astype(int) - i_j.astype(int)).max() <= 1
+
+
+def test_composite_exhaustive_contract():
+    """All 65536 byte pairs: the integer composite matches the
+    reference's f64 formula except on the 12 double-rounding pairs
+    (products divisible by 255), where it differs by exactly 1 LSB —
+    within the engine's <=1-LSB color contract.  And the numpy path is
+    BITWISE-identical to the jitted device path (regression: the old
+    f64-host/f32-device split disagreed on e.g. c=3, ao=170)."""
+    c = np.arange(256, dtype=np.uint8)
+    a = np.arange(256, dtype=np.uint8)
+    cc, aa = np.meshgrid(c, a)
+    ref = np.trunc(np.minimum(
+        cc.astype(np.float64) * (aa.astype(np.float64) / 255.0),
+        255.0)).astype(np.int64)
+    color = np.repeat(cc[..., None], 3, axis=-1)
+    out = post.composite(color, aa, np)
+    diff = out[..., 0].astype(np.int64) - ref
+    assert np.abs(diff).max() <= 1
+    assert np.count_nonzero(diff) <= 12   # the divisible-product pairs
+
+    import jax.numpy as jnp
+    out_dev = np.asarray(post.composite(jnp.asarray(color),
+                                        jnp.asarray(aa), jnp))
+    np.testing.assert_array_equal(out, out_dev)

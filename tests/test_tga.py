@@ -110,3 +110,45 @@ def test_rgb_conversion():
     assert rgb[0, 0].tolist() == [30, 0, 10]
     back = tga.TGAImage.from_rgb(rgb)
     assert np.array_equal(back.data, bgr)
+
+
+def test_rle_byte_exact_reference_vectors():
+    """Hand-traced byte streams of the reference greedy encoder
+    (tgaimage.cpp:193-242): raw chunks extend while the candidate
+    differs from its PREDECESSOR, so the first pixel of an equal pair
+    still joins the raw chunk.  Pins byte-identity beyond round-trips."""
+    from tinyrenderder_tpu.utils.tga import _encode_rle
+    # A,B,B  -> raw(2)[A,B] + raw(1)[B]
+    flat = np.array([[0x41], [0x42], [0x42]], np.uint8)
+    assert _encode_rle(flat, 1) == bytes([0x01, 0x41, 0x42, 0x00, 0x42])
+    # A,B,B,B -> raw(2)[A,B] + rle(2)[B]
+    flat = np.array([[0x41], [0x42], [0x42], [0x42]], np.uint8)
+    assert _encode_rle(flat, 1) == bytes([0x01, 0x41, 0x42, 0x81, 0x42])
+    # A,A,B -> rle(2)[A] + raw(1)[B]
+    flat = np.array([[0x41], [0x41], [0x42]], np.uint8)
+    assert _encode_rle(flat, 1) == bytes([0x81, 0x41, 0x00, 0x42])
+
+
+def test_gaussian_blur_matches_take_formulation():
+    """The blocked sliding-window blur is bitwise-identical to the
+    direct np.take formulation (same f32 window*kernel sum order)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (21, 35, 3), np.uint8)
+    radius = 4
+    i = np.arange(-radius, radius + 1, dtype=np.float32)
+    sigma = np.float32(radius) / np.float32(2.0)
+    kernel = np.exp(-(i * i) / (2 * sigma * sigma)).astype(np.float32)
+    kernel /= kernel.sum()
+
+    def take_pass(data, axis):
+        n = data.shape[axis]
+        idx = np.clip(np.arange(n)[:, None]
+                      + np.arange(-radius, radius + 1)[None, :], 0, n - 1)
+        taken = np.moveaxis(np.take(data, idx, axis=axis),
+                            axis + 1, -1).astype(np.float32)
+        return (taken * kernel).sum(axis=-1).astype(np.uint8)
+
+    ref = take_pass(take_pass(img, 1), 0)
+    t = tga.TGAImage(data=img.copy())
+    t.gaussian_blur(radius)
+    np.testing.assert_array_equal(t.data, ref)

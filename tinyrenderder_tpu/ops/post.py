@@ -38,7 +38,13 @@ AO_INTENSITY = 0.35
 
 
 def zbuffer_to_image(zbuffer, xp) -> "xp.ndarray":
-    """Grayscale (H, W) uint8 view of a depth buffer (main.cpp:269-314)."""
+    """Grayscale (H, W) uint8 view of a depth buffer (main.cpp:269-314).
+
+    NOTE the reference's comment says "nearer = darker" but its CODE
+    (value = 255*(1-normalized), main.cpp:306-307) maps the NEAREST
+    depth to 255 (white, same as the infinite background) and the
+    farthest to 0.  Parity targets the code, not the comment — this
+    deliberately reproduces the inverted-looking gradient."""
     finite = xp.isfinite(zbuffer)
     any_finite = xp.any(finite)
     big = xp.asarray(1e9, dtype=zbuffer.dtype)
@@ -138,8 +144,16 @@ def composite(color, ao_intensity_u8, xp):
     color: (H, W, 3) uint8; ao_intensity_u8: (H, W) uint8 — the composite
     reads the *quantized* AO image back like the reference does
     (main.cpp:774-775).
-    """
-    dtype = np.float64 if xp is np else xp.float32
-    factor = ao_intensity_u8.astype(dtype) / 255.0
-    scaled = color.astype(factor.dtype) * factor[..., None]
-    return xp.trunc(xp.minimum(scaled, 255.0)).astype(xp.uint8)
+
+    Computed in INTEGER math ((c*a) // 255), which makes the numpy and
+    device paths BITWISE-IDENTICAL (the previous formulation used f64
+    on host but f32 on device — TPU has no fast f64 — and the two could
+    disagree by 1 LSB, falsifying postprocess_device's byte-identity
+    claim).  Versus the reference's two-step f64 rounding
+    (main.cpp:774: ao/255.0 then *c) the integer floor differs on
+    exactly 12 of the 65536 byte pairs — products divisible by 255
+    where the double rounding lands epsilon below the integer — by
+    1 LSB, within the engine's documented <=1-LSB color contract
+    (README correctness contract); every other pair is exact."""
+    prod = color.astype(xp.int32) * ao_intensity_u8.astype(xp.int32)[..., None]
+    return (prod // 255).astype(xp.uint8)

@@ -356,7 +356,7 @@ def _post_sparse_jit(ft: FrameTiles, ids, kernel_ids, depth_c, winner_c,
 
 # capacity caches shared with raster_tiled's conventions: key ->
 # (pair capacity, active-tile capacity, won-tile capacity); async totals
-# resolve one frame later exactly like raster_tiled._PENDING_TOTALS
+# resolve one frame later (async capacity pattern: stage the device
 _SPARSE_CAPACITY: dict = {}
 _SPARSE_PENDING: dict = {}
 

@@ -238,15 +238,6 @@ def _build_bins(tx0, ty0, span_x, spans, pair_capacity: int,
 # overflow is detected after downstream dispatch via Bins.overflowed().
 _PAIR_CAPACITY: dict = {}
 
-# async-mode bookkeeping: key -> (device total of the last frame, capacity
-# it ran with).  The D2H starts at dispatch time and is resolved at the
-# START of the next frame, so steady-state loops never block on it.
-_PENDING_TOTALS: dict = {}
-
-# diagnostic: disable all overflow bookkeeping in non-strict mode
-_DISABLE_OVERFLOW_CHECKS = False
-
-
 def bin_triangles_csr(setup, width: int, height: int,
                       tile_w: int = TILE_W, tile_h: int = TILE_H,
                       capacity: int | None = None) -> Bins:
@@ -266,7 +257,14 @@ def bin_triangles_csr(setup, width: int, height: int,
         capacity = _PAIR_CAPACITY.get(key)
         if capacity is None:                      # first frame: sync once
             capacity = _quantize_capacity(int(jax.device_get(total)))
-    _PAIR_CAPACITY[key] = capacity
+        _PAIR_CAPACITY[key] = capacity
+    else:
+        # an explicit capacity only GROWS the shared cache entry: the
+        # overflow retry's next_pow2 must persist, but a forced-small
+        # test capacity must not poison later frames with the same key
+        prev = _PAIR_CAPACITY.get(key)
+        if prev is None or capacity > prev:
+            _PAIR_CAPACITY[key] = capacity
     sorted_tri, start, counts = _build_bins(
         tx0, ty0, span_x, spans, capacity, n_tiles_x, n_tiles_y)
     return Bins(sorted_tri, start, counts, n_tiles_x, n_tiles_y,
@@ -475,37 +473,6 @@ def _flatten_varyings(varyings, spec=None):
     return jnp.concatenate([varyings[n] for n in names], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "shader", "width", "height", "capacity", "tile_h", "tile_w"))
-def _pre_pallas_jit(attrs, uniforms, fb_depth, shader, width, height,
-                    capacity, tile_h, tile_w):
-    """Fused pre-kernel stage: vertex transform, triangle setup, binning,
-    pair records, depth tiling — one dispatch, fully fusable by XLA."""
-    from tinyrenderder_tpu.ops import raster_pallas
-
-    dtype = attrs["position"].dtype
-    clip, varyings = shader.vertex(uniforms, attrs, jnp)
-    vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
-    setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
-    n_tiles_x = _cdiv(width, tile_w)
-    n_tiles_y = _cdiv(height, tile_h)
-    tx0, ty0, span_x, spans, total = _tile_spans(setup, tile_w, tile_h)
-    sorted_tri, start, counts = _build_bins(
-        tx0, ty0, span_x, spans, capacity, n_tiles_x, n_tiles_y)
-    if shader.writes_color:
-        spec = tuple(shader.varying_spec.items())   # same order as post
-        if set(n for n, _ in spec) != set(varyings):
-            raise ValueError(f"{shader.name}.varying_spec "
-                             f"{sorted(dict(spec))} != vertex output "
-                             f"{sorted(varyings)}")
-        vary_corners = _flatten_varyings(varyings, spec)
-    else:
-        vary_corners = None                 # depth-only: skip loop 2
-    records = raster_pallas.build_pair_records(setup, sorted_tri, vary_corners)
-    init_tiles = _to_tiles(fb_depth, n_tiles_y, n_tiles_x, tile_h, tile_w,
-                           jnp.inf)
-    return setup, records, start[:-1], counts, init_tiles, total
-
 
 @functools.partial(jax.jit, static_argnames=(
     "shader", "spec", "width", "height", "tile_h", "tile_w"))
@@ -580,6 +547,9 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
     asynchronously at the *next* frame: steady-state loops never block;
     a frame whose pair count jumps past the cached capacity (+25%
     headroom) may drop triangles once, after which the capacity grows.
+    The async contract applies to the Pallas/sparse branch (the
+    production path); the XLA fallback branch always validates its bins
+    host-side — it is the CPU debug path, not a benchmark target.
     """
     height, width = fb.color.shape[:2]
     uniforms = dict(uniforms)
@@ -626,5 +596,5 @@ def render_pass_tiled(fb: FrameBuffers, attrs: dict, shader, uniforms: dict,
         grown = _quantize_capacity(int(jax.device_get(bins.total_pairs)))
         return render_pass_tiled(fb, attrs, shader, uniforms, winner_offset,
                                  tile_h, tile_w, chunk, use_pallas,
-                                 _capacity=grown)
+                                 strict_capacity, _capacity=grown)
     return new_fb, setup

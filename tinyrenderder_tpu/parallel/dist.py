@@ -402,7 +402,7 @@ def _sharded_tiled_fn(mesh: Mesh, shader, width: int, height: int,
 
 
 # legacy sharded per-pass path: async pending totals, (key) ->
-# (device totals, capacity, age) — mirrors raster_tiled._PENDING_TOTALS
+# (device totals, capacity, age) — the shared async-capacity pattern
 _SHARDED_TILED_PENDING: dict = {}
 
 

@@ -123,10 +123,12 @@ def sample_specular(tex, u, v, xp):
 
 
 def sample_emission(tex, u, v, xp):
-    """RGB in 0..255; black fallback (model.cpp:461-472)."""
+    """RGB in 0..255; black fallback (model.cpp:461-472).  Grayscale
+    maps follow the zero-filled TGAColor rule like every other sampler
+    (_texel_rgb): gray lands in the blue channel, R=G=0."""
     if tex is None:
         return xp.zeros(xp.shape(u) + (3,), dtype=u.dtype)
-    return _gather_texel(tex, u, v, xp)[..., :3].astype(u.dtype)
+    return _texel_rgb(_gather_texel(tex, u, v, xp), xp, u.dtype)
 
 
 def pack_material_textures(material: "Material | None") -> np.ndarray | None:

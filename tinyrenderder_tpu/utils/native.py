@@ -110,6 +110,11 @@ def parse_obj(path: str, default_group: str):
         ni = lib.trd_obj_nindices(h)
         ns = lib.trd_obj_nsubmeshes(h)
         flags = lib.trd_obj_flags(h)
+        if flags & 4:
+            # a numeric token failed to parse fully — the Python
+            # fallback raises ValueError there, so the native path must
+            # behave the same (loader choice must not change semantics)
+            raise ValueError(f"malformed numeric token in OBJ: {path}")
         pos = np.empty((nv, 3), np.float64)
         uv = np.empty((nv, 2), np.float64)
         nrm = np.empty((nv, 3), np.float64)

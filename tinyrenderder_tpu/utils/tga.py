@@ -290,13 +290,25 @@ class TGAImage:
         kernel /= kernel.sum()
 
         def one_pass(data: np.ndarray, axis: int) -> np.ndarray:
-            n = data.shape[axis]
-            idx = np.clip(np.arange(n)[:, None] + np.arange(-radius, radius + 1)[None, :],
-                          0, n - 1)
-            taken = np.take(data, idx, axis=axis)  # (..., n, taps, ...)
-            taken = np.moveaxis(taken, axis + 1, -1).astype(np.float32)
-            accum = (taken * kernel).sum(axis=-1)
-            return accum.astype(np.uint8)  # C-style truncation
+            # edge-clamped windows over a VIEW, accumulated in bounded
+            # row blocks: the previous np.take formulation materialized
+            # an O(H*W*C*taps) float copy (~1.7 GB at 2048² radius 16).
+            # The per-window math — f32 (window * kernel).sum(-1) with
+            # the taps axis last — is unchanged, so results are bitwise
+            # identical.
+            pad = [(0, 0)] * data.ndim
+            pad[axis] = (radius, radius)
+            padded = np.pad(data, pad, mode="edge")
+            win = np.lib.stride_tricks.sliding_window_view(
+                padded, 2 * radius + 1, axis=axis)   # (..., n, ..., taps)
+            out = np.empty(data.shape, np.uint8)
+            block = max(1, (64 << 20) // max(
+                data[0].size * (2 * radius + 1) * 4, 1))
+            for r0 in range(0, data.shape[0], block):
+                w = win[r0:r0 + block].astype(np.float32)
+                accum = (w * kernel).sum(axis=-1)
+                out[r0:r0 + block] = accum.astype(np.uint8)  # C trunc
+            return out
 
         self.data = one_pass(self.data, axis=1)   # horizontal
         self.data = one_pass(self.data, axis=0)   # vertical
