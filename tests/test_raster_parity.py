@@ -172,3 +172,21 @@ def test_depth_only_shader_skips_color():
         d = np.asarray(fb.depth)
         assert (np.isfinite(d) == np.isfinite(frame.zbuffer)).all(), backend
         assert (np.asarray(fb.color) == 0).all(), backend
+
+
+def test_build_pair_records_zero_faces():
+    """A zero-face pass must not crash the public record builder
+    (regression: the gather from a 0-row table failed at trace time)."""
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.ops import raster_pallas
+    setup = {"valid": jnp.zeros((0,), bool),
+             "screen": jnp.zeros((0, 3, 2), jnp.float32),
+             "ndc_z": jnp.zeros((0, 3), jnp.float32),
+             "clip_w": jnp.zeros((0, 3), jnp.float32),
+             "bbox": jnp.zeros((0, 4), jnp.int32)}
+    rec = raster_pallas.build_pair_records(
+        setup, jnp.full((8,), -1, jnp.int32), None)
+    assert rec.shape[1] == raster_pallas.REC
+    # dead records: id column 0 rows, never matched as winners
+    assert float(jnp.abs(rec).max()) == 0.0

@@ -59,6 +59,11 @@ class Camera:
 
     # -- presets (camera.h:39-82) -------------------------------------------
     def set_preset(self, preset: Preset, aspect: float = 16.0 / 9.0) -> None:
+        """NOTE (replicated reference quirk, camera.h:39-82): only the
+        OVERVIEW preset assigns ``up``; switching OVERVIEW -> any other
+        preset leaves up=(0,0,-1), exactly like the C++ — which can
+        degenerate the view (up parallel to eye-target).  Set ``up``
+        explicitly after leaving OVERVIEW if that matters."""
         p = self.params
         p.aspect = aspect
         if preset == Preset.SPONZA_SCENE:

@@ -91,6 +91,11 @@ def depth_resolve_xla(setup: dict, height: int, width: int, chunk: int = 8,
     (used by the sharded path, where each device owns a row band but the
     viewport/bbox stay in global coordinates).  May be traced scalars.
     Returns (depth (H, W), winner (H, W) int32).
+    
+
+    LOCKSTEP WARNING: pass_events_xla duplicates this step's
+    coverage/merge sequence (it must stay bitwise-identical; see
+    its docstring).  Edit both or neither.
     """
     f = setup["valid"].shape[0]
     dtype = setup["screen"].dtype
@@ -177,6 +182,14 @@ def pass_events_xla(setup: dict, init_depth, height: int, width: int,
     max_z); depth/winner equal depth_resolve_xla's on every backend
     tested, but callers should keep using the frame path's outputs for
     the frame.
+    
+
+    LOCKSTEP WARNING: the per-chunk coverage/merge sequence below
+    (padding, tcoord, barycentric, affine_z, finiteness, bbox,
+    argmin merge) must stay op-for-op identical to
+    depth_resolve_xla's step — the exact-stats contract asserts
+    their depth/winner agree bitwise on every backend.  Edit both
+    or neither.
     """
     f = setup["valid"].shape[0]
     dtype = setup["screen"].dtype
@@ -231,7 +244,10 @@ def pass_events_xla(setup: dict, init_depth, height: int, width: int,
             axis=0)
         thresh = jnp.minimum(excl, zbuf[None])
         events = zc < thresh
-        frags = frags + jnp.sum(events.astype(jnp.float32))
+        # int32 accumulation: the counter is documented EXACT and f32
+        # loses integer exactness past 2^24 events (a heavy-overdraw
+        # 2048-square pass exceeds that); int32 is exact to 2^31
+        frags = frags + jnp.sum(events.astype(jnp.int32))
         max_z = jnp.maximum(
             max_z, jnp.max(jnp.where(events, zc, -jnp.inf)))
 
@@ -246,7 +262,7 @@ def pass_events_xla(setup: dict, init_depth, height: int, width: int,
     init_winner = jnp.full((height, width), BACKGROUND, jnp.int32)
     (depth, winner, frags, max_z), _ = jax.lax.scan(
         step, (init_depth.astype(dtype), init_winner,
-               jnp.float32(0), jnp.float32(-jnp.inf)),
+               jnp.int32(0), jnp.float32(-jnp.inf)),
         (ids_c, valid_c, screen_c, z_c, bbox_c))
     min_z = jnp.min(jnp.where(winner >= 0, depth, jnp.inf))
     return depth, winner, frags, min_z, max_z

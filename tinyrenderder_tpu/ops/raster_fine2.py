@@ -743,7 +743,7 @@ def _reduce_events2_jit(ev_g, d_g, w_g):
     """Exact counters from the stats launch's group planes: the launch
     is init-seeded, so group blocks hold running-depth-correct events;
     unscheduled/empty slots produced no events and lost every pixel."""
-    frags = jnp.sum(ev_g[:, 0])
+    frags = jnp.sum(ev_g[:, 0].astype(jnp.int32))   # exact past 2^24
     max_z = jnp.max(ev_g[:, 1])
     won = w_g.astype(jnp.int32) >= 0
     min_z = jnp.min(jnp.where(won, d_g, jnp.inf))

@@ -70,7 +70,14 @@ def build_pair_records(setup, sorted_tri, vary_corners=None):
     dominates, so one P-row gather beats five narrow ones.  The extra
     zero rows keep fixed-size chunk DMAs in bounds.
     """
-    f = max(setup["valid"].shape[0], 1)
+    F = setup["valid"].shape[0]
+    if F > 1 << 24:
+        # ids ride the records as f32 (exact only below 2^24); above
+        # that, loop 2's winner==id equality would match collided rows
+        # and silently sum two triangles' varyings — fail loudly instead
+        raise ValueError(f"{F} faces exceeds the 2^24 f32-exact id range;"
+                         " split the mesh into submesh passes")
+    f = max(F, 1)
     cols = [
         setup["screen"].reshape(-1, 6).astype(jnp.float32),
         setup["ndc_z"].astype(jnp.float32),
@@ -88,6 +95,11 @@ def build_pair_records(setup, sorted_tri, vary_corners=None):
                     .transpose(0, 2, 1).reshape(-1, 3 * vary_corners.shape[-1]))
     tri_rec = jnp.concatenate(cols, axis=1)
     tri_rec = jnp.pad(tri_rec, ((0, 0), (0, REC - tri_rec.shape[1])))
+    if F == 0:
+        # keep the gather in range for a zero-face pass (callers guard
+        # f == 0, but the function is public API): one zero row whose
+        # id column stays 0 = a dead record
+        tri_rec = jnp.zeros((1, REC), jnp.float32)
 
     safe = jnp.clip(sorted_tri, 0, f - 1)
     rec = tri_rec[safe]                              # ONE P-row gather
@@ -309,6 +321,10 @@ def _untile_vary_jit(tiles, ty, tx, th, tw, h, w):
 def _pallas_call_jit(start, counts, records, init_tiles,
                      n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary,
                      interpret, origin=None, dma_chunk=DMA_CHUNK, sub=SUB):
+    if dma_chunk > DMA_CHUNK:
+        # build_pair_records pads exactly DMA_CHUNK trailing rows; a
+        # larger chunk would DMA past the records array
+        raise ValueError(f"dma_chunk {dma_chunk} > padded {DMA_CHUNK}")
     n_tiles = n_tiles_x * n_tiles_y
     if origin is None:
         origin = jnp.zeros((2,), jnp.int32)
@@ -363,6 +379,8 @@ def _pallas_call_sparse_jit(ids, start, counts, records, depth_tiles,
     are never touched — neither kernel time nor HBM write bandwidth
     (validated on real TPU by scripts/probe_inplace_blocks.py)."""
     a_cap = ids.shape[0]
+    if dma_chunk > DMA_CHUNK:
+        raise ValueError(f"dma_chunk {dma_chunk} > padded {DMA_CHUNK}")
     if origin is None:
         origin = jnp.zeros((2,), jnp.int32)
     kernel = functools.partial(_tile_kernel, n_tiles_x=n_tiles_x,

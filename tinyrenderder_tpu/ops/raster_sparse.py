@@ -771,7 +771,9 @@ def _reduce_events_jit(ev_c, depth_c, winner_c, ids, n_tiles):
     a pixel is its final pass depth (events strictly decrease), so
     min_z = min over won pixels of the resolved depth."""
     live = (ids < n_tiles)[:, None, None]
-    frags = jnp.sum(jnp.where(live, ev_c[:, 0], 0.0))
+    # per-pixel event counts are small (f32-exact); the SUM can pass
+    # 2^24 on heavy overdraw — accumulate in int32 (exact to 2^31)
+    frags = jnp.sum(jnp.where(live, ev_c[:, 0], 0.0).astype(jnp.int32))
     max_z = jnp.max(jnp.where(live, ev_c[:, 1], -jnp.inf))
     won = live & (winner_c.astype(jnp.int32) >= 0)
     min_z = jnp.min(jnp.where(won, depth_c, jnp.inf))
