@@ -73,7 +73,7 @@ def main():
     # warm once through the public entry (resolves capacities)
     out = raster_sparse.render_pass_tiles(ft, attrs, shader, uniforms, W, H)
     jax.block_until_ready(out[0])
-    key = (attrs["position"].shape[0], ntx, nty)
+    key = (attrs["position"].shape[0], ntx, nty, th, tw)
     capacity, a_cap = raster_sparse._SPARSE_CAPACITY[key][:2]
     spec = (tuple(shader.varying_spec.items())
             if shader.writes_color else ())
