@@ -242,19 +242,15 @@ void* trd_obj_parse(const char* path, const char* default_group) {
                 open_submesh();
             }
         } else if (len == 6 && !memcmp(tok, "mtllib", 6)) {
-            // python uses the LAST token of the line
-            const char* lt = nullptr;
-            size_t ll = 0;
-            const char* c = q;
-            while (true) {
-                const char* ct;
-                size_t cl;
-                c = next_token(c, line_end, &ct, &cl);
-                if (cl == 0) break;
-                lt = ct;
-                ll = cl;
-            }
-            if (ll) d->mtllibs.emplace_back(lt, ll);
+            // store the trimmed rest-of-line VERBATIM: the Python side
+            // (_mtllib_paths) decides between one spaced filename and
+            // multiple libraries — keeping that rule in one place
+            const char* b = skip_ws(q, line_end);
+            const char* e2 = line_end;
+            while (e2 > b && (e2[-1] == ' ' || e2[-1] == '\t'
+                              || e2[-1] == '\r' || e2[-1] == '\n'))
+                --e2;
+            if (e2 > b) d->mtllibs.emplace_back(b, (size_t)(e2 - b));
         } else if (len == 1 && (tok[0] == 'g' || tok[0] == 'o')) {
             const char* nt;
             size_t nl;

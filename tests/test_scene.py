@@ -135,3 +135,31 @@ def test_device_uniform_cache_lru_and_byte_bound(monkeypatch):
     # small arrays bypass the cache entirely
     small = np.zeros(16, np.float32)
     assert scene_mod._to_device_cached(small) is small
+
+
+def test_sponza_standin_normals_face_inward():
+    """The asset-less default scene's room box must have vertex normals
+    agreeing with its (flipped, inward) winding — regression: flipping
+    faces after cube() authored outward normals left every visible wall
+    lit from behind."""
+    from tinyrenderder_tpu.cli import _load_or_procedural
+    from tinyrenderder_tpu.models.manager import ModelManager
+    room = _load_or_procedural(ModelManager(), "/nonexistent/sponza.obj",
+                               "sponza")
+    p, f, n = room.positions, room.faces, room.normals
+    geom = np.cross(p[f[:, 1]] - p[f[:, 0]], p[f[:, 2]] - p[f[:, 0]])
+    geom /= np.linalg.norm(geom, axis=-1, keepdims=True)
+    corner_dot = (n[f] * geom[:, None, :]).sum(-1)
+    assert (corner_dot > 0.99).all()
+
+
+def test_cli_explicit_model_parse_failure_is_fatal(tmp_path):
+    """An explicitly-passed model path that EXISTS but fails to load
+    must error out, not silently render a procedural stand-in."""
+    import pytest as _pytest
+
+    from tinyrenderder_tpu import cli
+    bad = tmp_path / "broken.obj"
+    bad.write_text("v 0 0 abc\nf 1 2 3\n")
+    with _pytest.raises(SystemExit):
+        cli.build_default_scene(str(bad), 64, 48)

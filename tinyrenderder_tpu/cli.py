@@ -38,16 +38,27 @@ log = logging.getLogger("tinyrenderder_tpu.cli")
 WIDTH = 1200
 HEIGHT = 800
 DEFAULT_MODEL_PATH = "obj/african_head/african_head.obj"
+# the default scene's key light (main.cpp:615): ONE constant so the
+# shadow pass always casts from the same direction the shaders light
+KEY_LIGHT_DIR = math3d.normalized(math3d.vec3(1.0, 1.4, 1.0))
 EYES_MODEL_PATH = "obj/african_head/african_head_eye_inner.obj"
 SPONZA_MODEL_PATH = "obj/sponza/sponza.obj"
 
 
-def _load_or_procedural(manager: ModelManager, path: str, kind: str) -> Mesh:
+def _load_or_procedural(manager: ModelManager, path: str, kind: str,
+                        explicit: bool = False) -> Mesh:
     if os.path.exists(path):
         mesh = manager.load_model(path)
         if mesh is not None:
             return mesh
-    log.warning("%s not found — using procedural stand-in", path)
+        if explicit:
+            # the user pointed at a real file that failed to parse:
+            # silently rendering a stand-in sphere would be a lie
+            raise SystemExit(f"error: failed to load model: {path}")
+        log.warning("%s exists but failed to load — using procedural "
+                    "stand-in", path)
+    else:
+        log.warning("%s not found — using procedural stand-in", path)
     if kind == "head":
         mesh = procedural.bumpy_head(n_lat=32, n_lon=48)
         mesh.materials = [procedural.default_head_material()]
@@ -60,10 +71,13 @@ def _load_or_procedural(manager: ModelManager, path: str, kind: str) -> Mesh:
         return eyes
     # sponza stand-in: a big inward-facing box room; sized so that the
     # reference's 0.014 sponza scale (main.cpp:506-507) leaves a ~56-unit
-    # room enclosing the default camera
-    room = procedural.cube(size=4000.0, name="sponza_standin")
-    room.faces = room.faces[:, ::-1].copy()        # flip inward
-    room.finalize()
+    # room enclosing the default camera.  Rebuild WITHOUT cube()'s
+    # authored (outward) normals so finalize() regenerates them from the
+    # flipped winding — flipping faces alone left every wall lit from
+    # behind (normals opposite the visible side)
+    out = procedural.cube(size=4000.0)
+    room = Mesh(positions=out.positions, faces=out.faces[:, ::-1].copy(),
+                uvs=out.uvs, name="sponza_standin").finalize()
     room.materials = [procedural.default_head_material(128)]
     return room
 
@@ -75,7 +89,8 @@ def build_default_scene(head_path: str | None = None,
     camera (main.cpp:585-597), lights (main.cpp:615-617), shader
     assignments (main.cpp:655-657, :688-689, :711-712)."""
     manager = manager or ModelManager.instance()
-    head = _load_or_procedural(manager, head_path or DEFAULT_MODEL_PATH, "head")
+    head = _load_or_procedural(manager, head_path or DEFAULT_MODEL_PATH,
+                               "head", explicit=head_path is not None)
     eyes = _load_or_procedural(manager, EYES_MODEL_PATH, "eyes")
     sponza = _load_or_procedural(manager, SPONZA_MODEL_PATH, "sponza")
 
@@ -92,7 +107,7 @@ def build_default_scene(head_path: str | None = None,
     camera.set_aspect(width / height)
     camera.set_clipping(0.05, 500.0)
 
-    key_light = math3d.normalized(math3d.vec3(1.0, 1.4, 1.0))
+    key_light = KEY_LIGHT_DIR
     fill_light = math3d.normalized(math3d.vec3(-0.3, 0.5, 0.2))
     rim_light = math3d.normalized(math3d.vec3(-1.0, 0.8, -1.5))
 
@@ -159,6 +174,11 @@ def run(argv=None) -> int:
     scene.camera.print_info()
 
     if args.animate:
+        for flag, on in (("--shadows", args.shadows),
+                         ("--profile", args.profile)):
+            if on:
+                log.warning("%s is not supported with --animate and is "
+                            "ignored", flag)
         from tinyrenderder_tpu.animation import AnimationConfig, render_animation
         cfg = AnimationConfig(frames=args.animate, backend=args.backend,
                               outdir=args.outdir,
@@ -175,11 +195,22 @@ def run(argv=None) -> int:
         profiler_cm = jax.profiler.trace(os.path.join(args.outdir, "trace"))
         profiler_cm.__enter__()
 
+    try:
+        return _render_and_write(args, scene)
+    finally:
+        # finalize the trace even when the render raises — the trace of
+        # a failing run is exactly the artifact worth keeping
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
+            log.info("Saved profiler trace to %s/trace", args.outdir)
+
+
+def _render_and_write(args, scene) -> int:
     t0 = time.perf_counter()
     if args.shadows:
         from tinyrenderder_tpu.shadows import ShadowSettings, render_with_shadows
-        key_light = math3d.normalized(math3d.vec3(1.0, 1.4, 1.0))
-        result, _shadow_map = render_with_shadows(
+        key_light = KEY_LIGHT_DIR       # the scene's key light: shadows
+        result, _shadow_map = render_with_shadows(      # track it always
             scene, key_light, ShadowSettings(size=args.shadow_size),
             backend=args.backend, frustum_cull=not args.no_cull)
     else:
@@ -225,10 +256,6 @@ def run(argv=None) -> int:
             tga.TGAImage.from_rgb(np.asarray(final)).write_tga_file(
                 os.path.join(outdir, "final.tga"))
             log.info("Saved: final.tga")
-
-    if profiler_cm is not None:
-        profiler_cm.__exit__(None, None, None)
-        log.info("Saved profiler trace to %s/trace", outdir)
 
     log.info("%s", result.stats.describe())
     log.info("%s", result.stats.culling_report())

@@ -115,6 +115,11 @@ def _read_ascii_element(f, el: _Element):
         for name, is_list in el.order:
             if is_list:
                 n = int(tokens[k])
+                if len(tokens) < k + 1 + n:
+                    raise ValueError(
+                        f"truncated PLY list row in element {el.name}: "
+                        f"{n} entries declared, {len(tokens) - k - 1} "
+                        "present")
                 lists[name].append([int(float(t))
                                     for t in tokens[k + 1:k + 1 + n]])
                 k += 1 + n
@@ -136,6 +141,12 @@ def _read_binary_element(f, el: _Element, endian: str):
         # common case (face element): sniff the first count byte(s); if all
         # rows share one arity the whole block parses as one structured view
         name, cnt_t, item_t = el.list_props[0]
+        if el.count == 0:
+            # valid zero-count elements (point clouds declare
+            # 'element face 0'): nothing to read — the sniff below
+            # would consume the NEXT element's first byte and f.read a
+            # negative length
+            return ({}, {name: []})
         cdt = np.dtype(endian + cnt_t)
         idt = np.dtype(endian + item_t)
         pos = f.tell()
@@ -149,7 +160,12 @@ def _read_binary_element(f, el: _Element, endian: str):
             dt = np.dtype([("n", endian + cnt_t), ("idx", endian + item_t,
                                                    (arity,))])
             arr = np.frombuffer(raw, dtype=dt, count=el.count)
-            if (arr["n"] == arity).all():
+            # uniform counts AND plausible index values: a mixed-arity
+            # block misaligned under the sniffed stride would interpret
+            # index bytes as counts — requiring every index word to be
+            # non-negative too makes a coincidental misparse vanishingly
+            # unlikely (the per-row fallback below is always correct)
+            if (arr["n"] == arity).all() and (arr["idx"] >= 0).all():
                 return ({}, {name: arr["idx"].astype(np.int64).tolist()})
         f.seek(pos)                      # mixed arity: slow per-row path
         rows = []

@@ -18,7 +18,7 @@ from tinyrenderder_tpu.models.mesh import Material, Mesh
 __all__ = ["uv_sphere", "bumpy_head", "plane", "cube", "triangle_soup",
            "head_wall",
            "checker_texture", "noise_texture", "gradient_specular_texture",
-           "sphere_normal_texture", "default_head_material"]
+           "sphere_normal_texture", "default_head_material", "mixed_interior"]
 
 
 def uv_sphere(n_lat: int = 16, n_lon: int = 24, radius: float = 1.0,
