@@ -1,5 +1,5 @@
 """Loader robustness fuzz: random truncations and byte corruptions of
-valid OBJ/PLY/STL/glTF/COLLADA/FBX files must raise a clean exception (ValueError /
+valid OBJ/PLY/STL/glTF/COLLADA/FBX/OFF files must raise a clean exception (ValueError /
 OSError / KeyError / UnicodeError family) or return a mesh — never hang,
 crash the interpreter, or leak numpy broadcasting errors from
 unvalidated shapes.
@@ -18,6 +18,7 @@ import pytest
 from tinyrenderder_tpu.models.collada import load_collada
 from tinyrenderder_tpu.models.fbx import load_fbx
 from tinyrenderder_tpu.models.gltf import load_gltf
+from tinyrenderder_tpu.models.off import load_off
 from tinyrenderder_tpu.models.obj import load_obj
 from tinyrenderder_tpu.models.ply import load_ply
 from tinyrenderder_tpu.models.stl import load_stl
@@ -127,6 +128,10 @@ def _quad_fbx():
     return out + b"\x00" * 13 + b"\xfa" * 16
 
 
+def _quad_off():
+    return (b"OFF\n4 1 0\n0 0 0\n1 0 0\n1 1 0\n0 1 0\n4 0 1 2 3\n")
+
+
 LOADERS = {
     "stl": (_quad_stl, load_stl),
     "ply": (_quad_ply, load_ply),
@@ -134,6 +139,7 @@ LOADERS = {
     "glb": (_quad_glb, load_gltf),
     "dae": (_quad_dae, load_collada),
     "fbx": (_quad_fbx, load_fbx),
+    "off": (_quad_off, load_off),
 }
 
 

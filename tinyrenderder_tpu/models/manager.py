@@ -28,7 +28,8 @@ def load_mesh(path: str, load_textures: bool = True) -> Mesh:
     """Format-dispatched load (the Assimp-style single entry point the
     reference gets from ReadFile, model.cpp:91-99): .ply -> PLY loader,
     .stl -> STL loader, .gltf/.glb -> glTF loader, .dae -> COLLADA
-    loader, .fbx -> FBX loader, anything else -> OBJ."""
+    loader, .fbx -> FBX loader, .off -> OFF loader, anything else ->
+    OBJ."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".ply":
         from tinyrenderder_tpu.models.ply import load_ply
@@ -45,6 +46,9 @@ def load_mesh(path: str, load_textures: bool = True) -> Mesh:
     if ext == ".fbx":
         from tinyrenderder_tpu.models.fbx import load_fbx
         return load_fbx(path, load_textures=load_textures)
+    if ext == ".off":
+        from tinyrenderder_tpu.models.off import load_off
+        return load_off(path, load_textures=load_textures)
     return load_obj(path, load_textures=load_textures)
 
 
