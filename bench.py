@@ -374,6 +374,32 @@ def bench_sharded_mesh1(width, height, warmup, frames):
             **_timing_fields(dt, compile_s, rtt)}
 
 
+def bench_reference_pipeline(width, height, warmup, frames):
+    """The reference's ACTUAL default output pipeline (main.cpp:743-786)
+    at its default frame size (1200x800, main.cpp:26-27): the 3-pass
+    multi-mesh scene render plus z-buffer visualization, full-frame
+    64-tap SSAO, and the multiply composite — post stages in one fused
+    device dispatch (ops/post.postprocess_device), everything device-
+    resident.  SSAO reads the OUTPUT depth, i.e. the no-eyes snapshot
+    (main.cpp:700,730 semantics), which scene.render's
+    exclude_from_output_depth plumbing reproduces.  Ragged tile edges
+    (1200 = 9.375 x 128) are padded by the tiled path."""
+    from tinyrenderder_tpu.ops import post
+
+    scene = _scene(width, height, meshes=3)
+
+    def frame():
+        result = scene.render(backend="tiled", frustum_cull=False,
+                              collect_stats=False, transfer=False,
+                              strict_capacity=False)
+        _, _, final = post.postprocess_device(result.color, result.depth)
+        return final
+
+    dt, compile_s, rtt = _time_frames(frame, warmup, frames)
+    return {"mpix_s": width * height / dt / 1e6,
+            **_timing_fields(dt, compile_s, rtt)}
+
+
 def bench_animation(width, height, frames):
     """Config #5: multi-mesh orbit; reports steady fps over `frames`
     orbit steps (no disk writes — render throughput only)."""
@@ -539,6 +565,9 @@ def main() -> int:
                          "phong", big, big, warmup, frames))
     run(f"shadow_phong_{mid}", bench_shadows, mid, mid,
         max(warmup - 1, 1), max(frames // 2, 1), 1024 if on_tpu else 128)
+    run("reference_default_1200x800" if on_tpu else "reference_default_cpu",
+        bench_reference_pipeline, 1200 if on_tpu else 120,
+        800 if on_tpu else 80, max(warmup - 1, 1), max(frames // 2, 1))
     run(f"animation_multimesh_{big}", bench_animation, big, big, anim_frames)
     run(f"animation_tga_writes_{big}", bench_animation_tga, big, big,
         anim_frames)
