@@ -505,7 +505,26 @@ def _bounded_backend_probe(tries: int = 3, timeout_s: int = 240) -> bool:
     return False
 
 
+def _ensure_native() -> None:
+    """Best-effort build of native/libtinyrenderder_native.so (gitignored
+    — a fresh checkout or VM migration loses it).  The TGA codec falls
+    back to Python silently, which is correct but turns the animation
+    TGA config's encode from ~21 ms into ~500 ms/frame (measured,
+    session 5); build it so the artifact measures the shipped codec."""
+    import subprocess
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        r = subprocess.run(["make", "-C", os.path.join(root, "native")],
+                           capture_output=True, timeout=120)
+        if r.returncode != 0:
+            log(f"native build failed (rc={r.returncode}) — Python "
+                "codec fallback in effect")
+    except (OSError, subprocess.TimeoutExpired) as e:
+        log(f"native build skipped ({e}) — Python codec fallback")
+
+
 def main() -> int:
+    _ensure_native()
     if os.environ.get("JAX_PLATFORM_NAME") != "cpu" and \
             not _bounded_backend_probe():
         # record an honest unreachable artifact instead of hanging the

@@ -112,20 +112,43 @@ def render_animation(scene: Scene, cfg: AnimationConfig,
 
     t0 = time.perf_counter()
     rendered = 0
+    # one-frame write pipeline: frame i renders (and starts its D2H)
+    # while frame i-1's bytes are encoded + written on the host.  TGA
+    # files and checkpoints still land strictly in frame order; a kill
+    # mid-loop leaves the unwritten frame to the resume path.
+    pending: "tuple[int, object] | None" = None
+
+    def _write(idx, color) -> None:
+        path = os.path.join(cfg.outdir, cfg.frame_pattern % idx)
+        tga.TGAImage.from_rgb(np.asarray(color)).write_tga_file(path)
+        _save_checkpoint(cfg, idx + 1)
+
     try:
         for i in range(start_frame, end_frame):
             angle = math.radians(cfg.orbit_degrees) * i / cfg.frames
             scene.camera.set_eye(orbit_eye(base_eye, base_target, angle))
+            # device-resident render: only the color plane crosses to the
+            # host.  transfer=True would also pull two full f32 depth
+            # planes through the ~20 MB/s device tunnel — ~3.6x the bytes
+            # the TGA write needs (measured 1634 -> ~700 ms/frame at
+            # 2048^2, docs/PERFORMANCE.md session 5).
             result = scene.render(backend=cfg.backend,
                                   frustum_cull=cfg.frustum_cull,
-                                  collect_stats=False)
-            path = os.path.join(cfg.outdir, cfg.frame_pattern % i)
-            tga.TGAImage.from_rgb(result.color).write_tga_file(path)
-            rendered += 1
-            _save_checkpoint(cfg, i + 1)
+                                  collect_stats=False, transfer=False)
+            color = result.color
+            if hasattr(color, "copy_to_host_async"):
+                color.copy_to_host_async()
+            if pending is not None:
+                _write(*pending)
+                rendered += 1
+            pending = (i, color)
             if i % 10 == 0:
                 log.info("frame %d/%d (%.2f s/frame)", i, cfg.frames,
                          (time.perf_counter() - t0) / max(rendered, 1))
+        if pending is not None:
+            _write(*pending)
+            pending = None
+            rendered += 1
     finally:
         # restore the scene camera even on a mid-loop exception: a same-
         # process retry must not orbit around a mid-orbit base eye
