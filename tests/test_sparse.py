@@ -390,3 +390,87 @@ def test_depth_pass_does_not_consume_won_refinement(meshes):
         "depth-only pass consumed the once-only won-tile refinement")
     assert caps[2] == caps[1], (
         f"depth-only pass shrank w_cap to {caps[2]} (a_cap {caps[1]})")
+
+
+def test_staged_totals_lazy_view():
+    """_StagedTotals defers the per-pass row slice (and the same-key
+    element-wise max merge) to resolve time as host numpy — staging must
+    not dispatch device ops (session-5 host-overhead fix) — while
+    honoring the resolver protocol (is_ready/copy_to_host_async/
+    __array__)."""
+    import jax.numpy as jnp
+    arr = jnp.asarray(np.array([[5, 2, 9, -1],
+                                [3, 7, 1, -1],
+                                [4, 4, 4, -1]], np.int32))
+    st = raster_sparse._StagedTotals(arr, 0)
+    st.merge_row(2)
+    st.copy_to_host_async()               # protocol no-ops must not raise
+    assert st.is_ready() in (True, False)
+    np.testing.assert_array_equal(np.asarray(st), [5, 4, 9, -1])
+    # sharded layout: (bands, passes, w) with axis=1 row selection keeps
+    # the band axis for the resolver's own per-band max
+    arr3 = jnp.asarray(np.arange(24, dtype=np.int32).reshape(2, 3, 4))
+    st2 = raster_sparse._StagedTotals(arr3, 1, axis=1)
+    np.testing.assert_array_equal(np.asarray(st2), np.asarray(arr3)[:, 1])
+
+
+def test_fused_async_same_key_passes_fold_into_one_pending(meshes):
+    """Two same-capacity-key passes in one fused async frame must stage
+    ONE pending entry carrying BOTH rows: resolving it must grow the
+    caps to the per-element max demand of the two passes (a single-row
+    slot made the second pass's overflow invisible forever)."""
+    import jax.numpy as jnp
+    proj = np.asarray(math3d.perspective(60.0, 1.0, 0.1, 50.0))
+    view_far = np.asarray(math3d.lookat((0, 0, 14.0), (0, 0, 0),
+                                        (0, 1, 0)))
+    view_near = np.asarray(math3d.lookat((0, 0, 1.6), (0, 0, 0),
+                                         (0, 1, 0)))
+    w, h = 128, 128
+    p_far = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM),
+                      view_far, proj)
+    p_near = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM),
+                       view_near, proj)
+    attrs = {k: jnp.asarray(v) for k, v in p_far.attrs.items()}
+    fused = [(attrs, p_far.shader, dict(p_far.uniforms), False),
+             (attrs, p_near.shader, dict(p_near.uniforms), False)]
+    key = (attrs["position"].shape[0], 1, 8,
+           raster_tiled.TILE_H, raster_tiled.TILE_W)
+    mode = raster_sparse._decide_mode(attrs, p_far.shader,
+                                      dict(p_far.uniforms), w, h,
+                                      raster_tiled.TILE_H,
+                                      raster_tiled.TILE_W)
+    store, pending, _ = raster_sparse._mode_stores(mode)
+    store.pop(key, None)
+    pending.pop(key, None)
+    raster_sparse._w_refined_set(mode).discard(key)
+
+    # frame 1 (async): caps seed from the FAR pass (first same-key pass
+    # probed); the near pass's bigger totals ride the same pending slot
+    raster_sparse.render_frame_fused(fused, w, h, strict_capacity=False)
+    entry = pending.get(key)
+    assert entry is not None, "fused async frame staged no pending entry"
+    assert getattr(entry[0], "rows", None) == [0, 1], (
+        f"pending slot holds rows {getattr(entry[0], 'rows', None)}, "
+        "expected both same-key passes")
+    # the staged view materializes to the element-wise max of both rows
+    np.testing.assert_array_equal(
+        np.asarray(entry[0]),
+        np.asarray(entry[0].arr)[[0, 1]].max(axis=0))
+    caps_seeded = store[key]
+
+    # frame 2: the pending resolves; pair/row caps must now cover the
+    # NEAR pass's demand (a single-row slot only ever saw the far pass)
+    raster_sparse.render_frame_fused(fused, w, h, strict_capacity=False)
+    store_after = store[key]
+    assert all(a >= b for a, b in zip(store_after, caps_seeded))
+    # near-only async frames must not detect any pair/row overflow: the
+    # fold already grew the caps to the max demand.  (Indices beyond the
+    # first two — won tiles — legitimately differ solo vs competing.)
+    near_only = [(attrs, p_near.shader, dict(p_near.uniforms), False)]
+    raster_sparse.render_frame_fused(near_only, w, h,
+                                     strict_capacity=False)
+    raster_sparse.render_frame_fused(near_only, w, h,
+                                     strict_capacity=False)   # resolves
+    assert store[key][:2] == store_after[:2], (
+        "async fold under-grew: near-only frames grew pair/row caps "
+        f"further ({store_after[:2]} -> {store[key][:2]})")

@@ -915,6 +915,47 @@ def _frame_fused_jit(attrs_t, uniforms_t, plan, width, height,
                              tile_h, tile_w, interpret)
 
 
+class _StagedTotals:
+    """Zero-dispatch staging view of per-pass rows of a device totals
+    array.
+
+    Async-mode staging used to slice each pass's row out of the fused
+    program's stacked totals eagerly (``totals[i, :w]``) — two XLA host
+    dispatches per pass per frame of pure overhead (~4 ms on a 3-pass
+    1200x800 frame, measured session 5).  Staging the WHOLE array plus
+    row indices defers the slice (and the same-frame same-key
+    element-wise max merge) to resolve time as a host numpy op.
+    Duck-typed like a jax.Array for the resolvers' existing protocol:
+    ``is_ready`` / ``copy_to_host_async`` / ``__array__``.
+    """
+
+    __slots__ = ("arr", "axis", "rows")
+
+    def __init__(self, arr, row: int, axis: int = 0):
+        self.arr = arr
+        self.axis = axis
+        self.rows = [row]
+
+    def merge_row(self, row: int) -> None:
+        """Fold another same-key pass of the SAME frame (same ``arr``)
+        into this entry; the element-wise max happens at resolve."""
+        self.rows.append(row)
+
+    def is_ready(self) -> bool:
+        f = getattr(self.arr, "is_ready", None)
+        return True if f is None else f()
+
+    def copy_to_host_async(self) -> None:
+        f = getattr(self.arr, "copy_to_host_async", None)
+        if f is not None:
+            f()
+
+    def __array__(self, dtype=None, copy=None):
+        h = np.take(np.asarray(self.arr), self.rows, axis=self.axis)
+        h = h.max(axis=self.axis)
+        return h if dtype is None else h.astype(dtype)
+
+
 def render_frame_fused(passes, width: int, height: int,
                        tile_h: int = TILE_H, tile_w: int = TILE_W,
                        strict_capacity: bool = True,
@@ -990,18 +1031,16 @@ def render_frame_fused(passes, width: int, height: int,
         staged: dict = {}
         for i, ((key, mode), (shader, md, caps, *_)) in enumerate(
                 zip(keys, plan)):
-            tslice = totals[i, :_mode_stores(mode)[2]]
             prev = staged.get((key, mode))
-            staged[(key, mode)] = (caps, tslice if prev is None
-                                   else jnp.maximum(prev[1], tslice))
-        for (key, mode), (caps, tslice) in staged.items():
+            if prev is None:
+                staged[(key, mode)] = (caps, _StagedTotals(totals, i))
+            else:
+                prev[1].merge_row(i)
+        for (key, mode), (caps, st) in staged.items():
             pending = _mode_stores(mode)[1]
             if key not in pending:
-                try:
-                    tslice.copy_to_host_async()
-                except AttributeError:
-                    pass
-                pending[key] = (tslice, caps, 0)
+                st.copy_to_host_async()
+                pending[key] = (st, caps, 0)
     return ft, out_depth, overflow
 
 

@@ -758,18 +758,19 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
         # invisible to the resolve forever
         staged: dict = {}
         for i, (key, mode) in enumerate(keys):
-            tslice = totals[:, i]
             prev = staged.get(key)
-            staged[key] = (mode, tslice if prev is None
-                           else jnp.maximum(prev[1], tslice))
-        for key, (mode, tslice) in staged.items():
+            if prev is None:
+                # axis=1: totals is (n_bands, n_passes, w) — the view
+                # keeps the band axis for the resolver's per-band max
+                staged[key] = (mode, raster_sparse._StagedTotals(
+                    totals, i, axis=1))
+            else:
+                prev[1].merge_row(i)
+        for key, (mode, st) in staged.items():
             if key not in _SHARD_FUSED_PENDING:
-                try:
-                    tslice.copy_to_host_async()
-                except AttributeError:
-                    pass
+                st.copy_to_host_async()
                 _SHARD_FUSED_PENDING[key] = (
-                    tslice, _SHARD_FUSED_CAPS[key], 0)
+                    st, _SHARD_FUSED_CAPS[key], 0)
     return ft, out_depth, overflow
 
 

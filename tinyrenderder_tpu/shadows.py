@@ -324,6 +324,7 @@ def _render_with_shadows_fused(scene: Scene, light_dir, light_cam,
             grown = False
             tot_host = (np.asarray(jax.device_get(totals))
                         if strict_capacity else None)
+            staged: dict = {}
             for i, ((key, mode, n_tiles), (sh, md, caps, *_)) in \
                     enumerate(zip(keys, plans)):
                 if strict_capacity:
@@ -338,14 +339,20 @@ def _render_with_shadows_fused(scene: Scene, light_dir, light_cam,
                             mode, key, rs._won_of(mode, tot_host[i]),
                             n_tiles)
                 else:
-                    pending = rs._mode_stores(mode)[1]
-                    if key not in pending:
-                        tslice = totals[i, :rs._mode_stores(mode)[2]]
-                        try:
-                            tslice.copy_to_host_async()
-                        except AttributeError:
-                            pass
-                        pending[key] = (tslice, caps, 0)
+                    # zero-dispatch staging (rs._StagedTotals): the row
+                    # slice + same-key element-wise max fold both happen
+                    # on the host copy at resolve time
+                    prev = staged.get((key, mode))
+                    if prev is None:
+                        staged[(key, mode)] = (caps,
+                                               rs._StagedTotals(totals, i))
+                    else:
+                        prev[1].merge_row(i)
+            for (key, mode), (caps, st) in staged.items():
+                pending = rs._mode_stores(mode)[1]
+                if key not in pending:
+                    st.copy_to_host_async()
+                    pending[key] = (st, caps, 0)
             return grown
 
         grown = _book(dkeys, list(dplan), tot_d)
