@@ -129,9 +129,9 @@ def render_animation(scene: Scene, cfg: AnimationConfig,
             scene.camera.set_eye(orbit_eye(base_eye, base_target, angle))
             # device-resident render: only the color plane crosses to the
             # host.  transfer=True would also pull two full f32 depth
-            # planes through the ~20 MB/s device tunnel — ~3.6x the bytes
-            # the TGA write needs (measured 1634 -> ~700 ms/frame at
-            # 2048^2, docs/PERFORMANCE.md session 5).
+            # planes through the ~20-35 MB/s device tunnel — ~3.6x the
+            # bytes the TGA write needs (with the native TGA codec:
+            # 1634 -> 386 ms/frame at 2048^2, docs/PERFORMANCE.md).
             result = scene.render(backend=cfg.backend,
                                   frustum_cull=cfg.frustum_cull,
                                   collect_stats=False, transfer=False)
