@@ -474,3 +474,61 @@ def test_fused_async_same_key_passes_fold_into_one_pending(meshes):
     assert store[key][:2] == store_after[:2], (
         "async fold under-grew: near-only frames grew pair/row caps "
         f"further ({store_after[:2]} -> {store[key][:2]})")
+
+
+def test_per_pass_fold_into_fused_staged_pending(meshes):
+    """A per-pass async render whose capacity key holds an UNRESOLVED
+    fused-staged pending entry (_StagedTotals) must fold its totals in
+    without materializing or crashing (session-5 review finding:
+    jnp.maximum(prev[0], vec) rejects the duck-typed view), and the
+    eventual resolve must apply the element-wise max of both — across
+    the width mismatch (fused coarse rows carry a trailing filler the
+    per-pass (pairs, active, won) vector doesn't)."""
+    import jax.numpy as jnp
+    view, proj = default_view()
+    w, h = 128, 128
+    p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
+    attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+    key = (attrs["position"].shape[0], 1, 8,
+           raster_tiled.TILE_H, raster_tiled.TILE_W)
+    n_tiles = 8
+    raster_sparse._SPARSE_CAPACITY.pop(key, None)
+    raster_sparse._SPARSE_PENDING.pop(key, None)
+    raster_sparse._W_REFINED.discard(key)
+
+    # seed caps without staging a pending entry (strict mode)
+    ft = raster_sparse.new_frame_tiles(w, h)
+    raster_sparse.render_pass_tiles(ft, attrs, p.shader, dict(p.uniforms),
+                                    w, h, strict_capacity=True)
+    caps0 = raster_sparse._SPARSE_CAPACITY[key]
+
+    class _Stuck(raster_sparse._StagedTotals):
+        """Simulates an in-flight D2H (through the tunnel the copy
+        regularly lags a frame)."""
+
+        def is_ready(self):
+            return False
+
+    big = caps0[0] * 4
+    fused_row = jnp.asarray(np.array([[big, 3, 2, -1]], np.int32))
+    raster_sparse._SPARSE_PENDING[key] = (_Stuck(fused_row, 0), caps0, 0)
+
+    # the per-pass async render must fold into the stuck entry, not crash
+    raster_sparse.render_pass_tiles(ft, attrs, p.shader, dict(p.uniforms),
+                                    w, h, strict_capacity=False)
+    entry = raster_sparse._SPARSE_PENDING.get(key)
+    assert entry is not None and isinstance(
+        entry[0], raster_sparse._StagedTotals)
+    assert len(entry[0].extras) == 1, "per-pass totals were not folded"
+    merged = np.asarray(entry[0])
+    assert merged[0] == big, "fused row's pair demand lost in the fold"
+    assert merged[1] >= 1, "per-pass active count lost in the fold"
+
+    # age the entry out (is_ready stays False) -> forced materialize
+    # applies the max: the pair cap must grow to cover the fused row
+    for _ in range(9):
+        raster_sparse._resolve_pending(key, n_tiles)
+    assert key not in raster_sparse._SPARSE_PENDING
+    assert raster_sparse._SPARSE_CAPACITY[key][0] >= big
+    raster_sparse._SPARSE_CAPACITY.pop(key, None)
+    raster_sparse._W_REFINED.discard(key)

@@ -143,8 +143,11 @@ def render_animation(scene: Scene, cfg: AnimationConfig,
                 rendered += 1
             pending = (i, color)
             if i % 10 == 0:
+                # divide by DISPATCHED frames: the write pipeline keeps
+                # `rendered` one behind, which overstated s/frame
                 log.info("frame %d/%d (%.2f s/frame)", i, cfg.frames,
-                         (time.perf_counter() - t0) / max(rendered, 1))
+                         (time.perf_counter() - t0)
+                         / max(i - start_frame + 1, 1))
         if pending is not None:
             _write(*pending)
             pending = None

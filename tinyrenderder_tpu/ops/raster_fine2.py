@@ -719,20 +719,9 @@ def render_pass_fine2(ft, attrs: dict, shader, uniforms: dict,
                                      tile_h, tile_w, strict_capacity,
                                      interpret, collect_stats, _caps=grown)
     else:
-        totals_dev = jnp.stack([pair_total, row_total, n_groups, n_active])
-        prev = _FINE2_PENDING.get(key)
-        if prev is not None:
-            # fold into the waiting slot (element-wise max): a second
-            # same-key pass's overflow was invisible while the slot
-            # only ever held the first pass's totals
-            totals_dev = jnp.maximum(prev[0], totals_dev)
-            _FINE2_PENDING[key] = (totals_dev, prev[1], prev[2])
-        else:
-            try:
-                totals_dev.copy_to_host_async()
-            except AttributeError:
-                pass
-            _FINE2_PENDING[key] = (totals_dev, caps, 0)
+        raster_sparse._fold_or_stage_pending(
+            _FINE2_PENDING, key,
+            jnp.stack([pair_total, row_total, n_groups, n_active]), caps)
     if collect_stats:
         return new_ft, setup, overflowed, events
     return new_ft, setup, overflowed

@@ -543,20 +543,9 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
                                      interpret, collect_stats, _caps=grown)
         _won_refine_once("coarse", key, wt, n_tiles)
     else:
-        totals_dev = jnp.stack([total, n_active, won_total])
-        prev = _SPARSE_PENDING.get(key)
-        if prev is not None:
-            # fold into the waiting slot (element-wise max): a second
-            # same-key pass's overflow was invisible while the slot only
-            # ever held the first pass's totals
-            totals_dev = jnp.maximum(prev[0], totals_dev)
-            _SPARSE_PENDING[key] = (totals_dev, prev[1], prev[2])
-        else:
-            try:
-                totals_dev.copy_to_host_async()
-            except AttributeError:
-                pass
-            _SPARSE_PENDING[key] = (totals_dev, caps, 0)
+        _fold_or_stage_pending(_SPARSE_PENDING, key,
+                               jnp.stack([total, n_active, won_total]),
+                               caps)
     if collect_stats:
         return new_ft, setup, overflowed, events
     return new_ft, setup, overflowed
@@ -929,31 +918,82 @@ class _StagedTotals:
     ``is_ready`` / ``copy_to_host_async`` / ``__array__``.
     """
 
-    __slots__ = ("arr", "axis", "rows")
+    __slots__ = ("arr", "axis", "rows", "extras")
 
     def __init__(self, arr, row: int, axis: int = 0):
         self.arr = arr
         self.axis = axis
         self.rows = [row]
+        self.extras: list = []
 
     def merge_row(self, row: int) -> None:
         """Fold another same-key pass of the SAME frame (same ``arr``)
         into this entry; the element-wise max happens at resolve."""
         self.rows.append(row)
 
-    def is_ready(self) -> bool:
-        f = getattr(self.arr, "is_ready", None)
-        return True if f is None else f()
-
-    def copy_to_host_async(self) -> None:
-        f = getattr(self.arr, "copy_to_host_async", None)
+    def merge_array(self, vec) -> None:
+        """Fold a LATER frame's device totals vector into this
+        unresolved entry (the per-pass async drivers' same-key fold).
+        Widths may differ — the per-pass coarse vector is (pairs,
+        active, won) while the fused row carries a trailing filler;
+        the shared prefix folds, the rest is kept from the base."""
+        f = getattr(vec, "copy_to_host_async", None)
         if f is not None:
             f()
+        self.extras.append(vec)
+
+    def is_ready(self) -> bool:
+        for a in (self.arr, *self.extras):
+            f = getattr(a, "is_ready", None)
+            if f is not None and not f():
+                return False
+        return True
+
+    def copy_to_host_async(self) -> None:
+        for a in (self.arr, *self.extras):
+            f = getattr(a, "copy_to_host_async", None)
+            if f is not None:
+                f()
 
     def __array__(self, dtype=None, copy=None):
         h = np.take(np.asarray(self.arr), self.rows, axis=self.axis)
         h = h.max(axis=self.axis)
+        for e in self.extras:
+            ev = np.asarray(e)
+            w = min(h.shape[-1], ev.shape[-1])
+            h[..., :w] = np.maximum(h[..., :w], ev[..., :w])
         return h if dtype is None else h.astype(dtype)
+
+
+def _stage_pending(pending: dict, key, view, caps) -> None:
+    """Stage a totals view for next-frame resolution unless the key
+    already has an unresolved entry (shared by the fused, sharded-fused
+    and fused-shadow drivers so their staging cannot drift)."""
+    if key not in pending:
+        view.copy_to_host_async()
+        pending[key] = (view, caps, 0)
+
+
+def _fold_or_stage_pending(pending: dict, key, totals_dev, caps) -> None:
+    """Per-pass async staging: fold ``totals_dev`` (a device totals
+    vector) into an existing unresolved pending slot — element-wise
+    max: a second same-key pass's overflow was invisible while the slot
+    only ever held the first pass's totals — else stage it fresh.  The
+    existing slot may hold a plain device vector (staged by a per-pass
+    driver) or a _StagedTotals view (staged by a fused driver); both
+    fold WITHOUT materializing, so this never blocks on a D2H."""
+    prev = pending.get(key)
+    if prev is None:
+        try:
+            totals_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        pending[key] = (totals_dev, caps, 0)
+    elif isinstance(prev[0], _StagedTotals):
+        prev[0].merge_array(totals_dev)
+    else:
+        pending[key] = (jnp.maximum(prev[0], totals_dev),
+                        prev[1], prev[2])
 
 
 def render_frame_fused(passes, width: int, height: int,
@@ -1037,10 +1077,7 @@ def render_frame_fused(passes, width: int, height: int,
             else:
                 prev[1].merge_row(i)
         for (key, mode), (caps, st) in staged.items():
-            pending = _mode_stores(mode)[1]
-            if key not in pending:
-                st.copy_to_host_async()
-                pending[key] = (st, caps, 0)
+            _stage_pending(_mode_stores(mode)[1], key, st, caps)
     return ft, out_depth, overflow
 
 

@@ -767,10 +767,8 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
             else:
                 prev[1].merge_row(i)
         for key, (mode, st) in staged.items():
-            if key not in _SHARD_FUSED_PENDING:
-                st.copy_to_host_async()
-                _SHARD_FUSED_PENDING[key] = (
-                    st, _SHARD_FUSED_CAPS[key], 0)
+            raster_sparse._stage_pending(_SHARD_FUSED_PENDING, key, st,
+                                         _SHARD_FUSED_CAPS[key])
     return ft, out_depth, overflow
 
 
@@ -1052,16 +1050,8 @@ def render_pass_geometry_tiles(mesh: Mesh, ft, attrs: dict, shader,
     fn = _geometry_tiles_fn(mesh, shader, width, height, caps, f_shard,
                             tile_h, tile_w, interpret)
     ft_out, totals_dev = fn(ft, attrs, uniforms, jnp.int32(winner_offset))
-    prev = raster_sparse._SPARSE_PENDING.get(key)
-    if prev is not None:
-        totals_dev = jnp.maximum(prev[0], totals_dev)
-        raster_sparse._SPARSE_PENDING[key] = (totals_dev, prev[1], prev[2])
-    else:
-        try:
-            totals_dev.copy_to_host_async()
-        except AttributeError:
-            pass
-        raster_sparse._SPARSE_PENDING[key] = (totals_dev, caps, 0)
+    raster_sparse._fold_or_stage_pending(raster_sparse._SPARSE_PENDING,
+                                         key, totals_dev, caps)
     return ft_out
 
 

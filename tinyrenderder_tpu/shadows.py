@@ -349,10 +349,7 @@ def _render_with_shadows_fused(scene: Scene, light_dir, light_cam,
                     else:
                         prev[1].merge_row(i)
             for (key, mode), (caps, st) in staged.items():
-                pending = rs._mode_stores(mode)[1]
-                if key not in pending:
-                    st.copy_to_host_async()
-                    pending[key] = (st, caps, 0)
+                rs._stage_pending(rs._mode_stores(mode)[1], key, st, caps)
             return grown
 
         grown = _book(dkeys, list(dplan), tot_d)
