@@ -576,10 +576,12 @@ def main() -> int:
 
     resamples = [run(f"phong_{big}", bench_single_pass, "phong", big, big,
                      warmup, frames)]
-    run(f"gouraud_{mid}", bench_single_pass, "gouraud", mid, mid,
-        warmup, frames)
-    run(f"textured_{mid}", bench_single_pass, "textured", mid, mid,
-        warmup, frames)
+    mid_samples = {
+        "gouraud": [run(f"gouraud_{mid}", bench_single_pass, "gouraud",
+                        mid, mid, warmup, frames)],
+        "textured": [run(f"textured_{mid}", bench_single_pass, "textured",
+                         mid, mid, warmup, frames)],
+    }
     resamples.append(run(f"phong_{big}_resample1", bench_single_pass,
                          "phong", big, big, warmup, frames))
     run(f"shadow_phong_{mid}", bench_shadows, mid, mid,
@@ -608,6 +610,18 @@ def main() -> int:
     rates = sorted(r["mpix_s"] for r in resamples)
     mpix = rates[len(rates) // 2]
     report["headline"] = {"median_mpix_s": mpix, "best_mpix_s": rates[-1]}
+    # sub-5 ms frames swing far more than the 2048 configs with the
+    # same windows (their frame time is comparable to per-dispatch
+    # tunnel jitter: observed 3.2-6.4 ms on identical code minutes
+    # apart) — resample them once at suite end and record the median
+    # and best alongside the first sample
+    for name in ("gouraud", "textured"):
+        mid_samples[name].append(run(f"{name}_{mid}_resample1",
+                                     bench_single_pass, name, mid, mid,
+                                     warmup, frames))
+        vals = sorted(round(r["mpix_s"], 1) for r in mid_samples[name])
+        report["configs"][f"{name}_{mid}"]["samples_mpix_s"] = vals
+        report["configs"][f"{name}_{mid}"]["best_mpix_s"] = vals[-1]
 
     with open("bench_report.json", "w") as f:
         json.dump(report, f, indent=2)
