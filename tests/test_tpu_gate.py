@@ -234,3 +234,41 @@ def test_fused_frame_matches_loop_on_tpu(meshes):
             np.asarray(getattr(ft_l, field)),
             np.asarray(getattr(ft_f, field)))
     np.testing.assert_array_equal(np.asarray(od_l), np.asarray(od_f))
+
+
+def test_postprocess_device_matches_host_on_tpu(meshes):
+    """The fused z-viz + 64-tap SSAO + composite dispatch compiled for
+    this chip vs the host numpy reference path (main.cpp:743-786
+    semantics): SSAO taps and the z normalization are compare/affine
+    f32 math, composite is exact integer math — so the device images
+    must match the f32 host path bitwise except where the z-gradient
+    quantization rounds differently (allow <=1 LSB, same bound the
+    golden suite pins on CPU)."""
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.ops import post
+
+    view, proj = default_view()
+    w, h = 256, 128
+    fb = raster.new_framebuffers(w, h)
+    for p in _passes(meshes, view, proj):
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        fb, _ = raster_tiled.render_pass_tiled(
+            fb, attrs, p.shader, p.uniforms, use_pallas=True)
+    color = np.asarray(fb.color)
+    depth = np.asarray(fb.depth, dtype=np.float32)
+
+    zimg_d, ao_d, final_d = post.postprocess_device(color, depth)
+
+    # host reference in f32 to isolate TPU-compilation differences (the
+    # f32-vs-f64 SSAO question is pinned separately by the CPU golden)
+    zimg_h = post.zbuffer_to_image(depth, np)
+    ao_h = post.ssao_image(post.ssao_map(depth, np), np)
+    final_h = post.composite(color, ao_h, np)
+
+    assert np.abs(np.asarray(zimg_d).astype(int)
+                  - zimg_h.astype(int)).max() <= 1
+    assert np.abs(np.asarray(ao_d).astype(int)
+                  - ao_h.astype(int)).max() <= 1
+    assert np.abs(np.asarray(final_d).astype(int)
+                  - final_h.astype(int)).max() <= 2   # z/ao LSB compound
