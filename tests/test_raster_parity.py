@@ -190,3 +190,59 @@ def test_build_pair_records_zero_faces():
     assert rec.shape[1] == raster_pallas.REC
     # dead records: id column 0 rows, never matched as winners
     assert float(jnp.abs(rec).max()) == 0.0
+
+
+def test_random_soup_parity_sweep():
+    """Seeded random-soup property sweep (normal + sliver regimes):
+    engine matches the oracle under assert_parity across many
+    geometries, not just the fixed standard meshes.  Face count is
+    constant so every seed reuses one compiled program.  A 100-seed x
+    3-regime sweep of this generator passed at HEAD (session 5); the
+    committed test keeps a few seeds per regime for suite time."""
+    from tinyrenderder_tpu.models import procedural
+    view, proj = default_view()
+    w, h = 96, 64
+    for kw in (dict(spread=1.0, tri_size=0.3),
+               dict(spread=0.8, tri_size=0.01)):
+        for seed in (1003, 1017, 1029):
+            soup = procedural.triangle_soup(48, seed=seed, **kw)
+            p = make_pass(soup, GouraudShader(light_world=KEY), view, proj)
+            frame = render_oracle([p], w, h)
+            fb = render_engine([p], w, h)
+            assert_parity(frame, fb)
+
+
+def test_near_plane_crossers_deterministic_not_oracle_exact():
+    """The f32 exactness BOUNDARY, pinned (found by a session-5 random
+    sweep): a triangle with a vertex at w -> 0+ renders (the reference
+    clips nothing at the near plane, our_gl.cpp:94-106) with NDC z
+    magnitudes in the tens; affine-z interpolation across that range
+    amplifies f32 evaluation-ORDER differences between the oracle's
+    scalar sum and the engine's fused grouping by the magnitude ratio
+    (observed 1260 ulps at seed 1026, vertex w = 0.0059, ndc z -33).
+
+    What MUST still hold there — and what this test asserts:
+    * coverage identical to the oracle (coverage is sign-based shared
+      semantics, immune to the amplification),
+    * the XLA scan and tiled/Pallas backends bitwise-identical to each
+      other on depth AND winner (determinism and cross-backend
+      exactness are unconditional; only oracle-vs-engine depth VALUES
+      lose the 8-ulp bound, and neither ordering is more correct).
+    The <=1-LSB reference contract (BASELINE.md) is defined on real
+    scenes, which have no near-plane crossers."""
+    from tinyrenderder_tpu.models import procedural
+    view, proj = default_view()
+    w, h = 96, 64
+    for seed in (1025, 1026, 1031):        # 1025/1026: known divergers
+        soup = procedural.triangle_soup(48, seed=seed,
+                                        spread=2.5, tri_size=2.0)
+        p = make_pass(soup, GouraudShader(light_world=KEY), view, proj)
+        frame = render_oracle([p], w, h)
+        fx = render_engine([p], w, h, backend="xla")
+        ft = render_engine([p], w, h, backend="tiled")
+        dx, dt = np.asarray(fx.depth), np.asarray(ft.depth)
+        cov = np.isfinite(dx)
+        np.testing.assert_array_equal(np.isfinite(frame.zbuffer), cov)
+        np.testing.assert_array_equal(dx[cov], dt[cov])
+        np.testing.assert_array_equal(np.asarray(fx.winner),
+                                      np.asarray(ft.winner))
