@@ -214,12 +214,16 @@ def test_random_soup_parity_sweep():
 
 def test_near_plane_crossers_deterministic_not_oracle_exact():
     """The f32 exactness BOUNDARY, pinned (found by a session-5 random
-    sweep): a triangle with a vertex at w -> 0+ renders (the reference
-    clips nothing at the near plane, our_gl.cpp:94-106) with NDC z
-    magnitudes in the tens; affine-z interpolation across that range
-    amplifies f32 evaluation-ORDER differences between the oracle's
-    scalar sum and the engine's fused grouping by the magnitude ratio
-    (observed 1260 ulps at seed 1026, vertex w = 0.0059, ndc z -33).
+    sweep): ILL-CONDITIONED triangles amplify f32 evaluation-ORDER
+    differences between the oracle's scalar affine-z sum and the
+    engine's fused grouping beyond the 8-ulp assert_parity bound.
+    Two mechanisms observed:
+    * near-plane crossers — a vertex at w -> 0+ renders (the reference
+      clips nothing at the near plane, our_gl.cpp:94-106) with NDC z
+      magnitudes in the tens; amplification = the z-magnitude ratio
+      (1260 ulps at seed 1026, vertex w = 0.0059, ndc z -33);
+    * sub-pixel slivers — screen 2x-area of 0.054 px^2 at seed 2005
+      conditions the barycentric divide by ~1/area (45 ulps).
 
     What MUST still hold there — and what this test asserts:
     * coverage identical to the oracle (coverage is sign-based shared
@@ -229,13 +233,17 @@ def test_near_plane_crossers_deterministic_not_oracle_exact():
       exactness are unconditional; only oracle-vs-engine depth VALUES
       lose the 8-ulp bound, and neither ordering is more correct).
     The <=1-LSB reference contract (BASELINE.md) is defined on real
-    scenes, which have no near-plane crossers."""
+    scenes, which have neither near-plane crossers nor sub-pixel
+    slivers that win pixels."""
     from tinyrenderder_tpu.models import procedural
     view, proj = default_view()
     w, h = 96, 64
-    for seed in (1025, 1026, 1031):        # 1025/1026: known divergers
-        soup = procedural.triangle_soup(48, seed=seed,
-                                        spread=2.5, tri_size=2.0)
+    cases = [(1025, dict(spread=2.5, tri_size=2.0)),   # near-plane
+             (1026, dict(spread=2.5, tri_size=2.0)),   # crossers
+             (1031, dict(spread=2.5, tri_size=2.0)),
+             (2005, dict(spread=1.0, tri_size=0.3))]   # sub-px sliver
+    for seed, kw in cases:
+        soup = procedural.triangle_soup(48, seed=seed, **kw)
         p = make_pass(soup, GouraudShader(light_world=KEY), view, proj)
         frame = render_oracle([p], w, h)
         fx = render_engine([p], w, h, backend="xla")
