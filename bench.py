@@ -623,6 +623,24 @@ def main() -> int:
         report["configs"][f"{name}_{mid}"]["samples_mpix_s"] = vals
         report["configs"][f"{name}_{mid}"]["best_mpix_s"] = vals[-1]
 
+    # Evidence-based multi-chip projection (this terminal has ONE chip;
+    # the 1 Gpix/s BASELINE bar is defined on a v5e-8): per-device XLA
+    # cost_analysis of the sharded fused program puts the interleaved
+    # row-band layout at 1.44x the 1/N-ideal per-device work at N=8 on
+    # this exact workload, i.e. ~69.4% parallel efficiency
+    # (scripts/analyze_sharded_cost.py; docs/PERFORMANCE.md round 3),
+    # and the mesh(1) sharded config above measures sharding itself as
+    # per-chip free.  Recorded as supporting evidence only — the
+    # headline metric line stays the measured single-chip number.
+    if on_tpu:
+        report["projected_v5e8"] = {
+            "method": "measured single-chip median x 8 chips x 0.694 "
+                      "(1/1.44 = N=8 interleaved per-device compiled-"
+                      "cost ratio vs ideal, scripts/analyze_sharded_"
+                      "cost.py)",
+            "mpix_s": round(mpix * 8 * 0.694, 1),
+            "vs_1gpix_s_target": round(mpix * 8 * 0.694 / 1000.0, 3),
+        }
     with open("bench_report.json", "w") as f:
         json.dump(report, f, indent=2)
     log("wrote bench_report.json")

@@ -163,3 +163,74 @@ def test_cli_explicit_model_parse_failure_is_fatal(tmp_path):
     bad.write_text("v 0 0 abc\nf 1 2 3\n")
     with _pytest.raises(SystemExit):
         cli.build_default_scene(str(bad), 64, 48)
+
+
+def test_pass_input_caches_never_go_stale():
+    """The per-frame host caches (frustum/cull decision, world AABBs,
+    device uniforms — scene._pass_inputs) must invalidate on every
+    mutation they key on: camera motion, in-place model-matrix edits,
+    shader light swaps, and pass-list changes.  Each mutated render is
+    compared against a freshly built scene with the same state — a
+    stale cache reproduces the PREVIOUS frame instead."""
+
+    def build(eye=(0, 0.8, 3.2), key=KEY, dx=0.0):
+        sc = small_scene()
+        sc.camera.set_eye(eye)
+        for p in sc.passes:
+            if p.name == "head":
+                p.model_matrix = np.asarray(
+                    math3d.translation_matrix(dx, 0, 0), dtype=np.float64)
+                p.shader = PhongShader(key, FILL, RIM)
+        return sc
+
+    sc = build()
+    base = sc.render(backend="xla").color
+    assert np.array_equal(base, build().render(backend="xla").color)
+
+    # camera motion
+    sc.camera.set_eye((0.4, 0.8, 3.0))
+    moved = sc.render(backend="xla").color
+    assert np.array_equal(
+        moved, build(eye=(0.4, 0.8, 3.0)).render(backend="xla").color)
+    assert not np.array_equal(moved, base)
+    sc.camera.set_eye((0, 0.8, 3.2))
+
+    # in-place model matrix mutation
+    for p in sc.passes:
+        if p.name == "head":
+            p.model_matrix[:] = math3d.translation_matrix(0.5, 0, 0)
+    shifted = sc.render(backend="xla").color
+    assert np.array_equal(
+        shifted, build(dx=0.5).render(backend="xla").color)
+    assert not np.array_equal(shifted, base)
+    for p in sc.passes:
+        if p.name == "head":
+            p.model_matrix[:] = np.eye(4)
+
+    # shader mutable-state change (light direction attribute)
+    new_key = math3d.normalized(math3d.vec3(-1.0, 0.2, 0.5))
+    for p in sc.passes:
+        if p.name == "head":
+            p.shader.key_light_world = new_key
+    relit = sc.render(backend="xla").color
+    assert np.array_equal(
+        relit, build(key=new_key).render(backend="xla").color)
+    assert not np.array_equal(relit, base)
+    for p in sc.passes:
+        if p.name == "head":
+            p.shader.key_light_world = KEY
+
+    # pass-list growth invalidates the cull cache
+    n_before = len(sc.passes)
+    extra = procedural.cube(size=0.4)
+    extra.finalize()
+    sc.add(extra, math3d.translation_matrix(1.0, 0.0, 0.0),
+           FlatShader(light_world=(0.2, 1, 0.3)), name="box")
+    grown = sc.render(backend="xla")
+    assert grown.stats.models_rendered == n_before + 1
+    assert not np.array_equal(grown.color, base)
+
+    # and back to the base state: caches must reproduce frame one
+    sc.passes.pop()
+    again = sc.render(backend="xla").color
+    assert np.array_equal(again, base)

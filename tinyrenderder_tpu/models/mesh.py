@@ -238,7 +238,23 @@ class Mesh:
         return self.local_aabb
 
     def get_world_aabb(self, model_matrix: np.ndarray) -> AABB:
-        return self.get_local_aabb().transform(model_matrix)
+        """World AABB (8-corner transform, geometry.h:297-327).
+
+        One-entry cache: per-frame culling re-derives this for every
+        pass even though model matrices are static across animation
+        loops (the camera orbits, the models don't — main.cpp:408-420),
+        and the 8 scalar corner transforms are ~0.1 ms of host Python
+        per pass.  Keyed on the local AABB's identity (compute_aabb
+        replaces the object) + the matrix bytes.  The cached AABB is
+        shared — callers must not mutate it."""
+        local = self.get_local_aabb()
+        mkey = np.asarray(model_matrix, dtype=np.float64).tobytes()
+        hit = self.__dict__.get("_world_aabb_cache")
+        if hit is not None and hit[0] is local and hit[1] == mkey:
+            return hit[2]
+        aabb = local.transform(model_matrix)
+        self.__dict__["_world_aabb_cache"] = (local, mkey, aabb)
+        return aabb
 
     def get_center(self) -> np.ndarray:
         return self.get_local_aabb().center()

@@ -27,6 +27,7 @@ from tinyrenderder_tpu.camera import Camera
 from tinyrenderder_tpu.math3d import Frustum
 from tinyrenderder_tpu.models.mesh import Mesh
 from tinyrenderder_tpu.shaders import Shader
+from tinyrenderder_tpu.shaders import tokens_match as Shader_tokens_match
 from tinyrenderder_tpu.utils.stats import RenderStats
 
 log = logging.getLogger("tinyrenderder_tpu.scene")
@@ -106,21 +107,57 @@ class Scene:
                             strict_capacity=strict_capacity)
 
 
+# one-entry frustum cache: plane extraction + normalization is ~0.1 ms
+# of host Python per frame, and bench/animation loops either keep the
+# camera fixed or change it every frame (either way one entry suffices)
+_FRUSTUM_CACHE: tuple | None = None
+
+
+def _frustum_cached(view_proj: np.ndarray) -> Frustum:
+    global _FRUSTUM_CACHE
+    key = view_proj.tobytes()
+    hit = _FRUSTUM_CACHE
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    f = Frustum.from_matrix(view_proj)
+    _FRUSTUM_CACHE = (key, f)
+    return f
+
+
 def _cull_passes(scene: Scene, frustum_cull: bool, stats: RenderStats):
-    """Per-model frustum culling (main.cpp:623-736)."""
-    frustum = Frustum.from_matrix(
-        scene.camera.projection_matrix @ scene.camera.view_matrix)
-    visible = []
-    for p in scene.passes:
-        if frustum_cull and not frustum.intersects(
-                p.mesh.get_world_aabb(p.model_matrix)):
-            stats.models_culled += 1
-            stats.culled_triangles += p.mesh.nfaces
-            log.info("%s CULLED by frustum", p.name or p.mesh.name)
-            continue
+    """Per-model frustum culling (main.cpp:623-736).
+
+    The cull decision is cached on the scene (one entry): it depends
+    only on the view-projection matrix and each pass's (mesh AABB,
+    model matrix, face count), all of which hold still across steady-
+    state render loops, while the 6-plane test costs ~0.2 host ms per
+    frame on multi-pass scenes."""
+    key = (scene.camera.projection_matrix @ scene.camera.view_matrix,
+           frustum_cull)
+    ckey = (key[0].tobytes(), frustum_cull,
+            tuple((id(p), id(p.mesh), p.mesh.nfaces,
+                   id(p.mesh.get_local_aabb()),
+                   p.model_matrix.tobytes()) for p in scene.passes))
+    hit = scene.__dict__.get("_cull_cache")
+    if hit is not None and hit[0] == ckey:
+        visible, culled = hit[1], hit[2]
+    else:
+        frustum = _frustum_cached(key[0])
+        visible, culled = [], []
+        for p in scene.passes:
+            if frustum_cull and not frustum.intersects(
+                    p.mesh.get_world_aabb(p.model_matrix)):
+                culled.append(p)
+                log.info("%s CULLED by frustum", p.name or p.mesh.name)
+                continue
+            visible.append(p)
+        scene.__dict__["_cull_cache"] = (ckey, visible, culled)
+    for p in culled:
+        stats.models_culled += 1
+        stats.culled_triangles += p.mesh.nfaces
+    for p in visible:
         stats.models_rendered += 1
         stats.total_triangles += p.mesh.nfaces
-        visible.append(p)
     return visible
 
 
@@ -130,13 +167,40 @@ def _pass_inputs(scene: Scene, p: ScenePass, dtype, device: bool = False):
     modelview = view @ p.model_matrix
     material = (p.mesh.materials[p.material_index]
                 if p.mesh.materials else None)
-    uniforms = p.shader.build_uniforms(modelview, persp, material, dtype)
     if device:
-        attrs = p.mesh.device_face_attributes(dtype)
-        uniforms = {k: _to_device_cached(v) for k, v in uniforms.items()}
-    else:
-        attrs = p.mesh.face_attributes(dtype)
-    return attrs, uniforms
+        # One-entry per-pass cache of the finished device uniforms dict:
+        # build_uniforms + the device-cache sweep cost a few tenths of a
+        # host ms per pass per frame, all of it identical across frames
+        # whenever the camera holds still (every steady-state bench
+        # config).  Keyed on everything build_uniforms reads: matrices
+        # by value, material/large arrays by kept-alive reference (the
+        # shader token, shaders.Shader.uniforms_token).  Downstream
+        # never mutates the dict in place (render_frame_fused and the
+        # shadow driver copy before editing), so sharing it is safe.
+        token = p.shader.uniforms_token()
+        key = (modelview.tobytes(), persp.tobytes(),
+               np.dtype(dtype).str)
+        hit = p.__dict__.get("_device_inputs_cache")
+        if (hit is not None and hit[0] == key and hit[1] is material
+                and hit[2] is p.shader
+                and Shader_tokens_match(hit[3], token)):
+            return p.mesh.device_face_attributes(dtype), hit[4]
+        uniforms = p.shader.build_uniforms(modelview, persp, material, dtype)
+        # big arrays through the keyed device cache; small ones (matrices,
+        # light dirs) uploaded here once — the dict persists across frames,
+        # so every dispatch passes ready device arrays (no per-frame H2D
+        # messages through the tunnel)
+        import jax.numpy as jnp
+        uniforms = {k: (_to_device_cached(v) if (isinstance(v, np.ndarray)
+                                                 and v.size >= 4096)
+                        else jnp.asarray(v) if isinstance(v, np.ndarray)
+                        else v)
+                    for k, v in uniforms.items()}
+        p.__dict__["_device_inputs_cache"] = (key, material, p.shader, token,
+                                              uniforms)
+        return p.mesh.device_face_attributes(dtype), uniforms
+    uniforms = p.shader.build_uniforms(modelview, persp, material, dtype)
+    return p.mesh.face_attributes(dtype), uniforms
 
 
 # device copies of big immutable uniforms (textures, shadow maps), keyed

@@ -220,6 +220,25 @@ def _material_textures(material: Material | None) -> dict:
     }
 
 
+def tokens_match(a, b) -> bool:
+    """Compare two ``Shader.uniforms_token`` snapshots.  Reference
+    entries compare with ``is`` (never stale: a swapped-in equal object
+    just misses); value entries compare with ``==``."""
+    if a is b:
+        return True
+    if len(a) != len(b):
+        return False
+    for ea, eb in zip(a, b):
+        if ea[0] != eb[0] or ea[1] != eb[1]:
+            return False
+        if ea[1] == "ref":
+            if ea[2] is not eb[2]:
+                return False
+        elif ea[2:] != eb[2:]:
+            return False
+    return True
+
+
 class Shader:
     """Base shader: standard vertex stage shared by Phong/Eye
     (main.cpp:71-90 == main.cpp:199-218).
@@ -242,6 +261,27 @@ class Shader:
 
     def _static_key(self) -> tuple:
         return (type(self),)
+
+    def uniforms_token(self) -> tuple:
+        """Snapshot of the instance state ``build_uniforms`` reads, for
+        the scene driver's per-pass uniform cache (build_uniforms is a
+        few tenths of a host millisecond per pass per frame — real money
+        on sub-15 ms frames).  Small ndarrays (light directions, shadow
+        matrices) snapshot by value; large ones (shadow maps) by object
+        reference — the cache compares references with ``is`` and keeps
+        them alive, so id-recycling cannot alias.  Compare tokens with
+        :func:`tokens_match`, not ``==`` (ndarray refs don't __eq__)."""
+        out = []
+        for k in sorted(self.__dict__):
+            if k.startswith("_"):
+                continue           # private caches don't feed uniforms
+            v = self.__dict__[k]
+            if isinstance(v, np.ndarray) and v.size <= 64:
+                v = (k, "nd", v.dtype.str, v.tobytes())
+            else:
+                v = (k, "ref", v)  # big arrays / objects: by reference
+            out.append(v)
+        return tuple(out)
 
     def __hash__(self) -> int:
         return hash(self._static_key())
