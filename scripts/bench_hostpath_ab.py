@@ -22,7 +22,13 @@ import numpy as np  # noqa: E402
 
 def _defeat_caches(scene):
     """Drop every session-6 host cache so the next frame rebuilds all
-    host-side state (what every frame paid before the caches)."""
+    host-side state.  NOTE this measures HEAD's cache-MISS path, not the
+    literal pre-cache code: a forced miss additionally pays the
+    uniforms_token snapshot and eager small-uniform device_puts that the
+    pre-1732903 code never did, so the cached-vs-defeated delta slightly
+    OVERSTATES the cache win vs the true before state.  The honest
+    before/after number is the stubbed host-floor measurement in
+    docs/PERFORMANCE.md (1.17 -> 0.41 ms/frame)."""
     from tinyrenderder_tpu import scene as scene_mod
     scene_mod._FRUSTUM_CACHE = None
     scene.__dict__.pop("_cull_cache", None)

@@ -220,6 +220,42 @@ def test_pass_input_caches_never_go_stale():
         if p.name == "head":
             p.shader.key_light_world = KEY
 
+    # in-place mutation of a small shader ndarray attribute (tokens
+    # snapshot sub-4096-element arrays by VALUE, so even sc's own
+    # array being edited under the cache must be seen)
+    for p in sc.passes:
+        if p.name == "head":
+            p.shader.key_light_world = np.array(p.shader.key_light_world)
+            p.shader.key_light_world[:] = new_key
+    relit2 = sc.render(backend="xla").color
+    assert np.array_equal(relit2, relit)
+    for p in sc.passes:
+        if p.name == "head":
+            p.shader.key_light_world = np.array(KEY)
+
+    # material texture rebinding (m.diffuse = new array) must miss both
+    # the packed-texture cache on the material and the per-pass device
+    # uniform cache (regression: session-6 caches keyed material by
+    # identity only, so device backends served the stale texture)
+    def red_tex():
+        t = np.zeros((8, 8, 3), dtype=np.uint8)
+        t[..., 0] = 255
+        return t
+
+    def rebind(s):
+        for p in s.passes:
+            if p.name == "head":
+                p.mesh.materials[0].diffuse = red_tex()
+        return s
+
+    head_mat = next(p for p in sc.passes if p.name == "head").mesh.materials[0]
+    orig_diffuse = head_mat.diffuse
+    rebind(sc)
+    retex = sc.render(backend="xla").color
+    assert np.array_equal(retex, rebind(build()).render(backend="xla").color)
+    assert not np.array_equal(retex, base)
+    head_mat.diffuse = orig_diffuse
+
     # pass-list growth invalidates the cull cache
     n_before = len(sc.passes)
     extra = procedural.cube(size=0.4)

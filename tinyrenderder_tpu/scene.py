@@ -132,9 +132,8 @@ def _cull_passes(scene: Scene, frustum_cull: bool, stats: RenderStats):
     model matrix, face count), all of which hold still across steady-
     state render loops, while the 6-plane test costs ~0.2 host ms per
     frame on multi-pass scenes."""
-    key = (scene.camera.projection_matrix @ scene.camera.view_matrix,
-           frustum_cull)
-    ckey = (key[0].tobytes(), frustum_cull,
+    vp = scene.camera.projection_matrix @ scene.camera.view_matrix
+    ckey = (vp.tobytes(), frustum_cull,
             tuple((id(p), id(p.mesh), p.mesh.nfaces,
                    id(p.mesh.get_local_aabb()),
                    p.model_matrix.tobytes()) for p in scene.passes))
@@ -142,7 +141,7 @@ def _cull_passes(scene: Scene, frustum_cull: bool, stats: RenderStats):
     if hit is not None and hit[0] == ckey:
         visible, culled = hit[1], hit[2]
     else:
-        frustum = _frustum_cached(key[0])
+        frustum = _frustum_cached(vp)
         visible, culled = [], []
         for p in scene.passes:
             if frustum_cull and not frustum.intersects(
@@ -161,6 +160,15 @@ def _cull_passes(scene: Scene, frustum_cull: bool, stats: RenderStats):
     return visible
 
 
+def _ref_tuples_match(a, b) -> bool:
+    """Element-wise ``is`` comparison of two same-arity tuples (or two
+    Nones) — identity keys with keep-alive semantics (the cached tuple
+    pins every element, so id recycling cannot alias)."""
+    if a is None or b is None:
+        return a is b
+    return len(a) == len(b) and all(x is y for x, y in zip(a, b))
+
+
 def _pass_inputs(scene: Scene, p: ScenePass, dtype, device: bool = False):
     view = scene.camera.view_matrix
     persp = scene.camera.projection_matrix
@@ -174,14 +182,20 @@ def _pass_inputs(scene: Scene, p: ScenePass, dtype, device: bool = False):
         # whenever the camera holds still (every steady-state bench
         # config).  Keyed on everything build_uniforms reads: matrices
         # by value, material/large arrays by kept-alive reference (the
-        # shader token, shaders.Shader.uniforms_token).  Downstream
-        # never mutates the dict in place (render_frame_fused and the
-        # shadow driver copy before editing), so sharing it is safe.
+        # shader token, shaders.Shader.uniforms_token; the material
+        # token pins each texture array so rebinding m.diffuse etc. is
+        # a cache miss).  Downstream never mutates the dict in place
+        # (render_frame_fused and the shadow driver copy before
+        # editing), so sharing it is safe.
         token = p.shader.uniforms_token()
+        mtok = (None if material is None else
+                (material, material.diffuse, material.normal,
+                 material.specular, material.emission))
         key = (modelview.tobytes(), persp.tobytes(),
                np.dtype(dtype).str)
         hit = p.__dict__.get("_device_inputs_cache")
-        if (hit is not None and hit[0] == key and hit[1] is material
+        if (hit is not None and hit[0] == key
+                and _ref_tuples_match(hit[1], mtok)
                 and hit[2] is p.shader
                 and Shader_tokens_match(hit[3], token)):
             return p.mesh.device_face_attributes(dtype), hit[4]
@@ -196,7 +210,7 @@ def _pass_inputs(scene: Scene, p: ScenePass, dtype, device: bool = False):
                         else jnp.asarray(v) if isinstance(v, np.ndarray)
                         else v)
                     for k, v in uniforms.items()}
-        p.__dict__["_device_inputs_cache"] = (key, material, p.shader, token,
+        p.__dict__["_device_inputs_cache"] = (key, mtok, p.shader, token,
                                               uniforms)
         return p.mesh.device_face_attributes(dtype), uniforms
     uniforms = p.shader.build_uniforms(modelview, persp, material, dtype)

@@ -207,16 +207,24 @@ def _light_dirs_eye(modelview64: np.ndarray, world_dirs: list[np.ndarray]) -> li
 
 def _material_textures(material: Material | None) -> dict:
     m = material or Material()
-    # cache the packed texture on the material: build_uniforms runs per
-    # frame and the device-upload cache is keyed by array identity
-    if "_packed" not in m.__dict__:
-        m.__dict__["_packed"] = pack_material_textures(m)
+    # cache the packed texture on the material, keyed by the identity of
+    # the four source arrays (the key tuple keeps them alive, so id
+    # recycling can't alias): build_uniforms runs per frame, and
+    # rebinding e.g. m.diffuse must rebuild the pack.  In-place writes
+    # INTO a texture array are out of contract (texture data is
+    # immutable once bound; rebind to update).
+    src = (m.diffuse, m.normal, m.specular, m.emission)
+    cached = m.__dict__.get("_packed")
+    if (cached is None
+            or any(a is not b for a, b in zip(cached[0], src))):
+        cached = (src, pack_material_textures(m))
+        m.__dict__["_packed"] = cached
     return {
         "tex_diffuse": m.diffuse,
         "tex_normal": m.normal,
         "tex_specular": m.specular,
         "tex_emission": m.emission,
-        "tex_packed": m.__dict__["_packed"],
+        "tex_packed": cached[1],
     }
 
 
@@ -266,18 +274,24 @@ class Shader:
         """Snapshot of the instance state ``build_uniforms`` reads, for
         the scene driver's per-pass uniform cache (build_uniforms is a
         few tenths of a host millisecond per pass per frame — real money
-        on sub-15 ms frames).  Small ndarrays (light directions, shadow
-        matrices) snapshot by value; large ones (shadow maps) by object
-        reference — the cache compares references with ``is`` and keeps
-        them alive, so id-recycling cannot alias.  Compare tokens with
-        :func:`tokens_match`, not ``==`` (ndarray refs don't __eq__)."""
+        on sub-15 ms frames).  Ndarrays below the device-upload-cache
+        threshold (4096 elements) snapshot by VALUE (shape + dtype +
+        bytes), so even in-place writes are seen — exactly the arrays the
+        pre-cache code re-read every frame.  Arrays at/above it (shadow
+        maps, textures) snapshot by object reference — the cache compares
+        references with ``is`` and keeps them alive, so id-recycling
+        cannot alias; in-place writes INTO such an array are out of
+        contract (they were already invisible to the identity-keyed
+        device-upload cache): rebind the attribute to update.  Compare
+        tokens with :func:`tokens_match`, not ``==`` (ndarray refs don't
+        __eq__)."""
         out = []
         for k in sorted(self.__dict__):
             if k.startswith("_"):
                 continue           # private caches don't feed uniforms
             v = self.__dict__[k]
-            if isinstance(v, np.ndarray) and v.size <= 64:
-                v = (k, "nd", v.dtype.str, v.tobytes())
+            if isinstance(v, np.ndarray) and v.size < 4096:
+                v = (k, "nd", v.shape, v.dtype.str, v.tobytes())
             else:
                 v = (k, "ref", v)  # big arrays / objects: by reference
             out.append(v)
