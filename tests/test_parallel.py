@@ -436,6 +436,51 @@ def test_fused_sharded_interleaved_bitwise(meshes, n_devices, kernel):
     assert len(shards) == n_devices
 
 
+@pytest.mark.parametrize("grid,kernel", [
+    ((2, 4), "fine"), ((2, 4), "coarse"), ((2, 2), "fine2")])
+def test_fused_sharded_2d_blocks_bitwise(meshes, grid, kernel):
+    """render_frame_fused_sharded on a 2-D ('ty','tx') mesh — the
+    production fused pipeline per screen BLOCK (binning clipped in both
+    axes, 2-D kernel pixel origin, flat tile axis sharded over both mesh
+    axes jointly) — is bitwise identical to the single-device fused
+    frame, including the excluded-pass output depth."""
+    n_rows, n_cols = grid
+    if len(jax.devices()) < n_rows * n_cols:
+        pytest.skip("not enough virtual devices")
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    w, h = 128 * n_cols, 16 * n_rows * 2      # 2 tile rows per band
+    view, proj = default_view()
+    passes = _fused_passes(meshes, view, proj)
+    saved = raster_sparse.FINE_MODE
+    raster_sparse.FINE_MODE = kernel
+    raster_sparse._FINE_DECISION.clear()
+    try:
+        ft1, od1, _ = raster_sparse.render_frame_fused(passes, w, h)
+        fb1 = raster_sparse.tiles_to_buffers(ft1, w, h)
+        mesh = dist.make_mesh_grid(n_rows, n_cols)
+        ft2, od2, _ = dist.render_frame_fused_sharded(mesh, passes, w, h)
+        fb2 = dist.tiles_to_buffers_sharded(mesh, ft2, w, h)
+        od2_hw = dist.untile_one_sharded(mesh, od2, w, h)
+    finally:
+        raster_sparse.FINE_MODE = saved
+        raster_sparse._FINE_DECISION.clear()
+
+    assert (np.asarray(fb1.winner) == np.asarray(fb2.winner)).all()
+    assert np.array_equal(np.asarray(fb1.depth), np.asarray(fb2.depth),
+                          equal_nan=True)
+    assert (np.asarray(fb1.color) == np.asarray(fb2.color)).all()
+    # flat-tile comparison through the device-major block reorder
+    flat_od2 = dist.blocks_to_flat_tiles(od2, w, h, n_rows, n_cols, 16, 128)
+    assert np.array_equal(flat_od2, np.asarray(od1), equal_nan=True)
+    od1_img = np.asarray(raster_sparse._untile_one_jit(
+        od1, w // 128, h // 16, 16, 128, True))
+    assert np.array_equal(od1_img, np.asarray(od2_hw), equal_nan=True)
+    # really distributed: one block shard per device
+    shards = {s.device for s in ft2.color.addressable_shards}
+    assert len(shards) == n_rows * n_cols
+
+
 def test_fused_sharded_async_capacity(meshes):
     """Async mode: no strict sync, capacities refine to band-local sizes
     next frame, output stays bitwise-exact across frames."""

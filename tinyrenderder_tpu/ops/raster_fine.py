@@ -107,10 +107,10 @@ def _loop2_cols(n_vary):
 
 @functools.partial(jax.jit, static_argnames=(
     "shader", "width", "height", "pair_cap", "row_cap", "rec_cap", "a_cap",
-    "tile_h", "tile_w", "nty_band", "ty_stride"))
+    "tile_h", "tile_w", "nty_band", "ty_stride", "ntx_band"))
 def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
                   row_cap, rec_cap, a_cap, tile_h, tile_w, ty_lo=None,
-                  nty_band=None, ty_stride=1):
+                  nty_band=None, ty_stride=1, tx_lo=None, ntx_band=None):
     """Fused pre-stage: vertex transform, setup, strip binning, slot
     interleave, record build, active-tile compaction — one dispatch.
 
@@ -121,24 +121,29 @@ def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
     ``ty_lo`` (traced tile-row offset) + ``nty_band`` (static tile-row
     count) restrict strip binning to a horizontal screen band for the
     sharded production path (parallel/dist.py); tile/strip ids are then
-    band-local (pair with an ``origin`` on the kernel call)."""
+    band-local (pair with an ``origin`` on the kernel call).
+    ``tx_lo``/``ntx_band`` clip columns the same way (2-D blocks)."""
     dtype = attrs["position"].dtype
     clip, varyings = shader.vertex(uniforms, attrs, jnp)
     vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
     setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
     f = max(setup["valid"].shape[0], 1)
-    ntx = _cdiv(width, tile_w)
+    ntx = ntx_band if ntx_band is not None else _cdiv(width, tile_w)
     nty = nty_band if nty_band is not None else _cdiv(height, tile_h)
     n_tiles = ntx * nty
     nsx = ntx * STRIPS
     n_strips = nsx * nty
     ty_hi = (None if ty_lo is None
              else (nty - 1 if ty_stride > 1 else ty_lo + (nty - 1)))
+    # column clip in STRIP units (the bins below are strip-granularity)
+    sx_lo = None if tx_lo is None else tx_lo * STRIPS
+    sx_hi = None if tx_lo is None else sx_lo + (nsx - 1)
 
     # strip-granularity bins; strip id = 8*tile + k (tile tx's strips are
     # columns tx*8..tx*8+7 of the strip grid)
     tx0, ty0, span_x, spans, pair_total = _tile_spans(
-        setup, STRIP_W, tile_h, ty_lo, ty_hi, ty_stride=ty_stride)
+        setup, STRIP_W, tile_h, ty_lo, ty_hi, sx_lo, sx_hi,
+        ty_stride=ty_stride)
     sorted_tri, start, counts, sorted_key = _build_bins(
         tx0, ty0, span_x, spans, pair_cap, nsx, nty, return_keys=True)
     counts_t = counts.reshape(n_tiles, STRIPS)

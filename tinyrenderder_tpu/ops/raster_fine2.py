@@ -85,16 +85,18 @@ __all__ = ["render_pass_fine2"]
 
 @functools.partial(jax.jit, static_argnames=(
     "shader", "width", "height", "pair_cap", "row_cap", "rec_cap", "g_cap",
-    "a_cap", "tile_h", "tile_w", "nty_band", "ty_stride"))
+    "a_cap", "tile_h", "tile_w", "nty_band", "ty_stride", "ntx_band"))
 def _pre_fine2_jit(attrs, uniforms, shader, width, height, pair_cap,
                    row_cap, rec_cap, g_cap, a_cap, tile_h, tile_w,
-                   ty_lo=None, nty_band=None, ty_stride=1):
+                   ty_lo=None, nty_band=None, ty_stride=1, tx_lo=None,
+                   ntx_band=None):
     """Fused pre-stage: vertex transform, setup, strip binning, class
     sort + group assignment, slot interleave, record build, active-tile
     mapping — one dispatch.
 
     ``ty_lo``/``nty_band`` band-clip the binning for the sharded path
-    (see raster_fine._pre_fine_jit)."""
+    (see raster_fine._pre_fine_jit); ``tx_lo``/``ntx_band`` clip
+    columns the same way (2-D blocks)."""
     if tile_w != TILE_W:
         raise ValueError("fine2 requires 128-lane tiles")
     dtype = attrs["position"].dtype
@@ -102,16 +104,19 @@ def _pre_fine2_jit(attrs, uniforms, shader, width, height, pair_cap,
     vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
     setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
     f = max(setup["valid"].shape[0], 1)
-    ntx = _cdiv(width, tile_w)
+    ntx = ntx_band if ntx_band is not None else _cdiv(width, tile_w)
     nty = nty_band if nty_band is not None else _cdiv(height, tile_h)
     n_tiles = ntx * nty
     nsx = ntx * STRIPS
     n_strips = nsx * nty
     ty_hi = (None if ty_lo is None
              else (nty - 1 if ty_stride > 1 else ty_lo + (nty - 1)))
+    sx_lo = None if tx_lo is None else tx_lo * STRIPS
+    sx_hi = None if tx_lo is None else sx_lo + (nsx - 1)
 
     tx0, ty0, span_x, spans, pair_total = _tile_spans(
-        setup, STRIP_W, tile_h, ty_lo, ty_hi, ty_stride=ty_stride)
+        setup, STRIP_W, tile_h, ty_lo, ty_hi, sx_lo, sx_hi,
+        ty_stride=ty_stride)
     sorted_tri, start, counts, sorted_key = _build_bins(
         tx0, ty0, span_x, spans, pair_cap, nsx, nty, return_keys=True)
 

@@ -225,10 +225,10 @@ def tiles_to_buffers(ft: FrameTiles, width: int, height: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "shader", "width", "height", "capacity", "rec_cap", "a_cap",
-    "tile_h", "tile_w", "nty_band", "ty_stride"))
+    "tile_h", "tile_w", "nty_band", "ty_stride", "ntx_band"))
 def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
                     a_cap, tile_h, tile_w, rec_cap=None, ty_lo=None,
-                    nty_band=None, ty_stride=1):
+                    nty_band=None, ty_stride=1, tx_lo=None, ntx_band=None):
     """Fused pre-kernel stage: vertex transform, setup, binning, pair
     records, and active-tile compaction — one dispatch.
 
@@ -240,19 +240,23 @@ def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
     count) restrict binning to a horizontal band of the screen — the
     sharded production path (parallel/dist.py) runs this per device with
     its own band; tile ids and the active-tile compaction are then
-    band-local (pair with an ``origin`` on the kernel call)."""
+    band-local (pair with an ``origin`` on the kernel call).
+    ``tx_lo``/``ntx_band`` clip columns the same way (2-D screen-block
+    sharding)."""
     dtype = attrs["position"].dtype
     clip, varyings = shader.vertex(uniforms, attrs, jnp)
     vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
     setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
-    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_x = ntx_band if ntx_band is not None else _cdiv(width, tile_w)
     n_tiles_y = nty_band if nty_band is not None else _cdiv(height, tile_h)
     n_tiles = n_tiles_x * n_tiles_y
     ty_hi = (None if ty_lo is None
              else (n_tiles_y - 1 if ty_stride > 1
                    else ty_lo + (n_tiles_y - 1)))
+    tx_hi = None if tx_lo is None else tx_lo + (n_tiles_x - 1)
     tx0, ty0, span_x, spans, total = _tile_spans(setup, tile_w, tile_h,
                                                  ty_lo, ty_hi,
+                                                 tx_lo, tx_hi,
                                                  ty_stride=ty_stride)
     sorted_tri, start, counts = _build_bins(
         tx0, ty0, span_x, spans, capacity, n_tiles_x, n_tiles_y)
@@ -794,16 +798,19 @@ def _count_active(setup, capacity, width, height, tile_h, tile_w):
 
 def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                       tile_h, tile_w, interpret, ty_lo=None,
-                      nty_band=None, origin=None, ty_stride=1):
+                      nty_band=None, origin=None, ty_stride=1,
+                      tx_lo=None, ntx_band=None):
     """Trace the whole multi-pass frame as one program (see
     _frame_fused_jit).  With ``ty_lo``/``nty_band``/``origin`` the frame
     is a horizontal band of the screen: binning is band-clipped, the
     FrameTiles cover only the band's tiles, and the kernels rasterize at
     global pixel coordinates via ``origin`` — this is the body the
     sharded production path (parallel/dist.py) runs per device inside
-    shard_map, making the fast path and the scaled path the same path."""
+    shard_map, making the fast path and the scaled path the same path.
+    ``tx_lo``/``ntx_band`` additionally clip columns: the frame is then
+    a 2-D screen block (('ty','tx') meshes)."""
     from tinyrenderder_tpu.ops import raster_fine
-    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_x = ntx_band if ntx_band is not None else _cdiv(width, tile_w)
     n_tiles_y = nty_band if nty_band is not None else _cdiv(height, tile_h)
     n = n_tiles_x * n_tiles_y
     ft = FrameTiles(
@@ -836,7 +843,8 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
              ) = raster_fine._pre_fine_jit(
                 attrs, uniforms, shader, width, height, pc, rc,
                 _next_pow2(rc), ac, tile_h, tile_w,
-                ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride)
+                ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride,
+                tx_lo=tx_lo, ntx_band=ntx_band)
             d_c, w_c, v_c, _ = raster_fine._fine_call_jit(
                 kernel_ids, rs, ra, rec, ft.depth,
                 n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
@@ -854,7 +862,8 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
              sid_of, pt, rt, ng, na, _) = raster_fine2._pre_fine2_jit(
                 attrs, uniforms, shader, width, height, pc, rc,
                 _next_pow2(rc), gc, ac, tile_h, tile_w,
-                ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride)
+                ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride,
+                tx_lo=tx_lo, ntx_band=ntx_band)
             d_g, w_g, v_g, _ = raster_fine2._fine2_call_jit(
                 sg, rg, rec, x0y0, tile_h, n_vary, interpret,
                 origin=origin)
@@ -871,7 +880,8 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                                  cap, ac, tile_h, tile_w,
                                  rec_cap=_next_pow2(cap),
                                  ty_lo=ty_lo, nty_band=nty_band,
-                                 ty_stride=ty_stride)
+                                 ty_stride=ty_stride,
+                                 tx_lo=tx_lo, ntx_band=ntx_band)
             d_c, w_c, v_c, _ = raster_pallas._pallas_call_sparse_jit(
                 kernel_ids, sa, ca, records, ft.depth,
                 n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,

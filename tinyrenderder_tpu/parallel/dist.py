@@ -546,20 +546,34 @@ def _sharded_fused_fn(mesh: Mesh, plan, width: int, height: int,
                       interleave: bool = False):
     from tinyrenderder_tpu.ops import raster_sparse
 
+    two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
     n = mesh.devices.size
+    n_rows = mesh.shape[AXIS_Y] if two_d else n
+    n_cols = mesh.shape[AXIS_X] if two_d else 1
     nty = height // tile_h
-    band_tiles_y = nty // n
+    band_tiles_y = nty // n_rows
+    band_tiles_x = (width // tile_w) // n_cols
 
     def shard_body(attrs_t, uniforms_t):
-        b = jax.lax.axis_index(AXIS)
-        if interleave:
+        tx_lo = None
+        if two_d:
+            iy = jax.lax.axis_index(AXIS_Y)
+            ix = jax.lax.axis_index(AXIS_X)
+            ty_lo = (iy * band_tiles_y).astype(jnp.int32)
+            tx_lo = (ix * band_tiles_x).astype(jnp.int32)
+            origin = jnp.stack([(tx_lo * tile_w).astype(jnp.int32),
+                                (ty_lo * tile_h).astype(jnp.int32)])
+            stride = 1
+        elif interleave:
             # device b owns tile rows b, b+n, b+2n, ... — coverage hot
             # spots (contiguous in y) spread evenly across devices
+            b = jax.lax.axis_index(AXIS)
             ty_lo = b.astype(jnp.int32)
             origin = jnp.stack([jnp.int32(0),
                                 (b * tile_h).astype(jnp.int32)])
             stride = n
         else:
+            b = jax.lax.axis_index(AXIS)
             ty_lo = (b * band_tiles_y).astype(jnp.int32)
             origin = jnp.stack([jnp.int32(0),
                                 (ty_lo * tile_h).astype(jnp.int32)])
@@ -567,15 +581,20 @@ def _sharded_fused_fn(mesh: Mesh, plan, width: int, height: int,
         ft, out_depth, overflow, totals = raster_sparse._fused_frame_body(
             attrs_t, uniforms_t, plan, width, height, tile_h, tile_w,
             interpret, ty_lo=ty_lo, nty_band=band_tiles_y, origin=origin,
-            ty_stride=stride)
+            ty_stride=stride,
+            tx_lo=tx_lo, ntx_band=band_tiles_x if two_d else None)
         return (ft, out_depth, overflow.reshape(1), totals[None])
 
-    ft_spec = raster_sparse.FrameTiles(color=P(AXIS), depth=P(AXIS),
-                                       winner=P(AXIS))
+    # on a 2-D mesh the flat band-tile axis shards over BOTH axes
+    # jointly: global device order is row-major (iy * n_cols + ix);
+    # blocks_to_flat_tiles / the 2-D untile reorder at the boundary
+    axes = (AXIS_Y, AXIS_X) if two_d else AXIS
+    ft_spec = raster_sparse.FrameTiles(color=P(axes), depth=P(axes),
+                                       winner=P(axes))
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(), P()),
-        out_specs=(ft_spec, P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(ft_spec, P(axes), P(axes), P(axes)),
         check_vma=False)          # pallas outputs carry no vma metadata
     return jax.jit(mapped)
 
@@ -680,7 +699,16 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
     render stays collective-free; the one global row reorder happens in
     tiles_to_buffers_sharded(interleave=True) at the transfer boundary.
     Output FrameTiles are in device-major band order — pass the same
-    ``interleave`` flag to the untile helpers."""
+    ``interleave`` flag to the untile helpers.
+
+    On a 2-D ``('ty','tx')`` mesh (make_mesh_grid) each device owns a
+    SCREEN BLOCK: binning is clipped in both axes, the kernels rasterize
+    at global pixel coordinates via the 2-D origin, and the flat tile
+    axis shards over both mesh axes jointly (device-major row-major
+    blocks — tiles_to_buffers_sharded assembles (H, W) without any
+    reorder; blocks_to_flat_tiles gives single-device tile order for
+    comparisons).  Bitwise-identical to the single-device fused frame,
+    like the 1-D path.  ``interleave`` is 1-D-only."""
     from tinyrenderder_tpu.ops import raster_fine, raster_sparse
     from tinyrenderder_tpu.ops.raster_tiled import TILE_H, TILE_W
 
@@ -688,17 +716,22 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
         tile_h = TILE_H
     if tile_w is None:
         tile_w = TILE_W
+    two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
     n = mesh.devices.size
-    if height % (n * tile_h):
-        raise ValueError(f"height {height} not divisible into {n} "
+    n_rows = mesh.shape[AXIS_Y] if two_d else n
+    n_cols = mesh.shape[AXIS_X] if two_d else 1
+    if two_d and interleave:
+        raise ValueError("interleave is only supported on 1-D row meshes")
+    if height % (n_rows * tile_h):
+        raise ValueError(f"height {height} not divisible into {n_rows} "
                          f"tile-aligned bands")
-    if width % tile_w:
-        raise ValueError(f"width {width} must be tile-aligned "
-                         f"(multiple of {tile_w})")
+    if width % (n_cols * tile_w):
+        raise ValueError(f"width {width} not divisible into {n_cols} "
+                         f"tile-aligned columns")
     n_tiles_x = width // tile_w
     nty = height // tile_h
-    band_tiles_y = nty // n
-    n_tiles_band = n_tiles_x * band_tiles_y
+    band_tiles_y = nty // n_rows
+    n_tiles_band = (n_tiles_x // n_cols) * band_tiles_y
     n_tiles_full = n_tiles_x * nty
     interpret = jax.default_backend() != "tpu"
 
@@ -716,7 +749,7 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
         uniforms = dict(uniforms)
         mode = raster_sparse._decide_mode(
             attrs, shader, uniforms, width, height, tile_h, tile_w)
-        key = (f, n_tiles_x, nty, tile_h, tile_w, n, mode,
+        key = (f, n_tiles_x, nty, tile_h, tile_w, n_rows, n_cols, mode,
                "fused-sharded", interleave)
         caps = _SHARD_FUSED_CAPS.get(key)
         if caps is None:
@@ -814,21 +847,28 @@ def _sharded_untile_fn(mesh: Mesh, width: int, height: int,
                        interleave: bool = False):
     from tinyrenderder_tpu.ops import raster_sparse
 
+    two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
     n = mesh.devices.size
-    ntx = width // tile_w
-    band_nty = (height // tile_h) // n
+    n_cols = mesh.shape[AXIS_X] if two_d else 1
+    band_ntx = (width // tile_w) // n_cols
+    band_nty = (height // tile_h) // (mesh.shape[AXIS_Y] if two_d else n)
 
     def shard_body(ft):
         color_p, depth, winner = raster_sparse._untile_call_jit(
-            ft.color, ft.depth, ft.winner, ntx, band_nty, tile_h, tile_w,
-            interpret)
+            ft.color, ft.depth, ft.winner, band_ntx, band_nty, tile_h,
+            tile_w, interpret)
         return FrameBuffers(
             color=raster_sparse._unpack_rgb(color_p),
             depth=depth, winner=winner)
 
-    ft_spec = raster_sparse.FrameTiles(color=P(AXIS), depth=P(AXIS),
-                                       winner=P(AXIS))
-    fb_spec = FrameBuffers(color=P(AXIS), depth=P(AXIS), winner=P(AXIS))
+    # 2-D blocks: each shard untiles to (band_h, band_w[, 3]) and the
+    # ('ty','tx') out-spec assembles the global (H, W) directly
+    axes = (AXIS_Y, AXIS_X) if two_d else AXIS
+    ft_spec = raster_sparse.FrameTiles(color=P(axes), depth=P(axes),
+                                       winner=P(axes))
+    fb_spec = FrameBuffers(color=P(*axes) if two_d else P(axes),
+                           depth=P(*axes) if two_d else P(axes),
+                           winner=P(*axes) if two_d else P(axes))
     mapped = jax.shard_map(shard_body, mesh=mesh, in_specs=(ft_spec,),
                            out_specs=fb_spec, check_vma=False)
     if not interleave:
@@ -841,6 +881,26 @@ def _sharded_untile_fn(mesh: Mesh, width: int, height: int,
             depth=_deinterleave_rows(fb.depth, n, band_nty, tile_h),
             winner=_deinterleave_rows(fb.winner, n, band_nty, tile_h))
     return jax.jit(full)
+
+
+def blocks_to_flat_tiles(x, width: int, height: int, n_rows: int,
+                         n_cols: int, tile_h: int, tile_w: int):
+    """Reorder a 2-D-block-sharded flat tile axis (device-major
+    row-major blocks, as render_frame_fused_sharded returns on a
+    ('ty','tx') mesh) into single-device global row-major tile order.
+    Host-side numpy; used for comparisons/tests — the production
+    transfer path goes through tiles_to_buffers_sharded, which needs no
+    reorder."""
+    x = np.asarray(x)
+    ntx = width // tile_w
+    nty = height // tile_h
+    band_ty = nty // n_rows
+    band_tx = ntx // n_cols
+    t = np.arange(nty * ntx)
+    ty, tx = t // ntx, t % ntx
+    dev = (ty // band_ty) * n_cols + (tx // band_tx)
+    local = (ty % band_ty) * band_tx + (tx % band_tx)
+    return x[dev * (band_ty * band_tx) + local]
 
 
 def tiles_to_buffers_sharded(mesh: Mesh, ft, width: int, height: int,
@@ -869,16 +929,20 @@ def _sharded_untile_one_fn(mesh: Mesh, width: int, height: int,
                            interleave: bool = False):
     from tinyrenderder_tpu.ops import raster_sparse
 
+    two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
     n = mesh.devices.size
-    ntx = width // tile_w
-    band_nty = (height // tile_h) // n
+    n_cols = mesh.shape[AXIS_X] if two_d else 1
+    band_ntx = (width // tile_w) // n_cols
+    band_nty = (height // tile_h) // (mesh.shape[AXIS_Y] if two_d else n)
 
     def shard_body(x):
-        return raster_sparse._untile_one_jit(x, ntx, band_nty, tile_h,
+        return raster_sparse._untile_one_jit(x, band_ntx, band_nty, tile_h,
                                              tile_w, interpret)
 
-    mapped = jax.shard_map(shard_body, mesh=mesh, in_specs=(P(AXIS),),
-                           out_specs=P(AXIS), check_vma=False)
+    in_spec = P((AXIS_Y, AXIS_X)) if two_d else P(AXIS)
+    out_spec = P(AXIS_Y, AXIS_X) if two_d else P(AXIS)
+    mapped = jax.shard_map(shard_body, mesh=mesh, in_specs=(in_spec,),
+                           out_specs=out_spec, check_vma=False)
     if not interleave:
         return jax.jit(mapped)
     return jax.jit(lambda x: _deinterleave_rows(mapped(x), n, band_nty,
