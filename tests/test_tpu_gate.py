@@ -209,6 +209,18 @@ def test_fused_sharded_mesh1_matches_fused_on_tpu(meshes):
     np.testing.assert_array_equal(np.asarray(fb1.color),
                                   np.asarray(fb2.color))
 
+    # the 2-D screen-block path in real Mosaic lowering: a (1,1) grid
+    # exercises the column-clipped pre-stages + 2-D kernel origin
+    grid = dist.make_mesh_grid(1, 1)
+    ft3, od3, _ = dist.render_frame_fused_sharded(grid, passes, w, h)
+    fb3 = dist.tiles_to_buffers_sharded(grid, ft3, w, h)
+    np.testing.assert_array_equal(np.asarray(fb1.winner),
+                                  np.asarray(fb3.winner))
+    assert np.array_equal(np.asarray(fb1.depth), np.asarray(fb3.depth),
+                          equal_nan=True)
+    np.testing.assert_array_equal(np.asarray(fb1.color),
+                                  np.asarray(fb3.color))
+
 
 def test_fused_frame_matches_loop_on_tpu(meshes):
     """The fused whole-frame program vs the per-pass loop with real

@@ -917,6 +917,8 @@ def tiles_to_buffers_sharded(mesh: Mesh, ft, width: int, height: int,
         tile_h = TILE_H
     if tile_w is None:
         tile_w = TILE_W
+    if interleave and mesh.axis_names == (AXIS_Y, AXIS_X):
+        raise ValueError("interleave is only supported on 1-D row meshes")
     interpret = jax.default_backend() != "tpu"
     fn = _sharded_untile_fn(mesh, width, height, tile_h, tile_w, interpret,
                             interleave)
@@ -958,6 +960,8 @@ def untile_one_sharded(mesh: Mesh, tiles, width: int, height: int,
         tile_h = TILE_H
     if tile_w is None:
         tile_w = TILE_W
+    if interleave and mesh.axis_names == (AXIS_Y, AXIS_X):
+        raise ValueError("interleave is only supported on 1-D row meshes")
     interpret = jax.default_backend() != "tpu"
     fn = _sharded_untile_one_fn(mesh, width, height, tile_h, tile_w,
                                 interpret, interleave)
