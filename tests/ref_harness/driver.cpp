@@ -14,6 +14,9 @@
 // Output (argv[2]): w*h f64   — zbuffer, index x + y*w (our_gl.cpp:162)
 //        (argv[3]): w*h int32 — winner map, 1-based triangle id,
 //                               0 = background
+//        (argv[4], optional): framebuffer through the REFERENCE TGA
+//                             encoder (write_tga_file defaults:
+//                             vflip + RLE) for codec byte-parity
 // stderr: HARNESS timing line + the reference's own DEBUG stats line
 //         (print_render_stats, our_gl.cpp:204-210)
 
@@ -49,8 +52,9 @@ double now_s() {
 }  // namespace
 
 int main(int argc, char** argv) {
-    if (argc != 4) {
-        std::fprintf(stderr, "usage: driver <in.bin> <z.out> <win.out>\n");
+    if (argc != 4 && argc != 5) {
+        std::fprintf(stderr,
+                     "usage: driver <in.bin> <z.out> <win.out> [fb.tga]\n");
         return 2;
     }
     std::FILE* in = std::fopen(argv[1], "rb");
@@ -102,6 +106,8 @@ int main(int argc, char** argv) {
     if (!wf) { std::perror("winout"); return 2; }
     std::fwrite(win.data(), 4, win.size(), wf);
     std::fclose(wf);
+
+    if (argc == 5) framebuffer.write_tga_file(argv[4]);
 
     std::fprintf(stderr, "HARNESS: triangles=%d rasterize_seconds=%.6f\n",
                  n, t1 - t0);

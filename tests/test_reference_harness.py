@@ -56,7 +56,8 @@ def _build_driver(tmpdir) -> str:
     return exe
 
 
-def _run_driver(exe, clip: np.ndarray, width: int, height: int, tmpdir):
+def _run_driver(exe, clip: np.ndarray, width: int, height: int, tmpdir,
+                tga_out: str | None = None):
     """Feed (F, 3, 4) float64 clip triangles to the reference rasterizer;
     return (zbuffer (H, W) f64, winner (H, W) i32 1-based, stats dict)."""
     inp = os.path.join(tmpdir, "tris.bin")
@@ -66,8 +67,8 @@ def _run_driver(exe, clip: np.ndarray, width: int, height: int, tmpdir):
     with open(inp, "wb") as f:
         f.write(struct.pack("<iii", width, height, clip.shape[0]))
         f.write(clip.tobytes())
-    proc = subprocess.run([exe, inp, zout, wout], check=True,
-                          capture_output=True, text=True)
+    cmd = [exe, inp, zout, wout] + ([tga_out] if tga_out else [])
+    proc = subprocess.run(cmd, check=True, capture_output=True, text=True)
     z = np.fromfile(zout, dtype=np.float64).reshape(height, width)
     win = np.fromfile(wout, dtype=np.int32).reshape(height, width)
     m = re.search(
@@ -123,9 +124,22 @@ def _decode_winner(color: np.ndarray) -> np.ndarray:
     return c[..., 0] + (c[..., 1] << 8) + (c[..., 2] << 16)
 
 
-def _compare(exe, clip, oracle_passes, width, height, tmpdir):
-    ref_z, ref_win, ref_stats = _run_driver(exe, clip, width, height, tmpdir)
+def _compare(exe, clip, oracle_passes, width, height, tmpdir,
+             check_tga: bool = False):
+    tga_out = os.path.join(tmpdir, "ref_fb.tga") if check_tga else None
+    ref_z, ref_win, ref_stats = _run_driver(exe, clip, width, height,
+                                            tmpdir, tga_out)
     frame = render_passes(oracle_passes, width, height, dtype=np.float64)
+
+    if check_tga:
+        # codec byte-parity: our encoder writing the oracle frame must
+        # reproduce the reference encoder's file exactly (vflip + RLE
+        # defaults, tgaimage.cpp:161-242)
+        from tinyrenderder_tpu.utils import tga
+        ours = os.path.join(tmpdir, "our_fb.tga")
+        tga.write(tga.TGAImage.from_rgb(frame.color), ours)
+        with open(tga_out, "rb") as a, open(ours, "rb") as b:
+            assert a.read() == b.read()
 
     # z-buffer: bitwise (covers coverage, depth values, z-order)
     assert np.array_equal(ref_z.view(np.uint64),
@@ -168,7 +182,7 @@ def test_reference_rasterizer_bitwise_on_mesh_scene(tmp_path):
     ref_z = _compare(_build_driver(tmp_path), np.asarray(clip),
                      [OraclePass(attrs=attrs, shader=shader,
                                  uniforms=uniforms)],
-                     width, height, tmp_path)
+                     width, height, tmp_path, check_tga=True)
     assert np.isfinite(ref_z).sum() > 500  # the scene really drew
 
 
@@ -238,3 +252,41 @@ def test_reference_rasterizer_bitwise_on_adversarial_clip(tmp_path):
                                  uniforms=uniforms)],
                      width, height, tmp_path)
     assert np.isfinite(ref_z).sum() > 100
+
+
+def test_reference_rasterizer_bitwise_on_random_fuzz(tmp_path):
+    """Seeded random clip-space triangles across every regime the
+    reject chain and per-pixel rules discriminate: random winding,
+    w spanning 1e-14..10 (the 1e-12 boundary inside the range), z
+    inside/outside [-1,1], occasional NaN/Inf, duplicates (z-ties),
+    slivers, and screen-filling spans — all bitwise vs the compiled
+    reference."""
+    width, height = 96, 80
+    rng = np.random.default_rng(20260819)
+    n = 400
+
+    xy = rng.uniform(-2.0, 2.0, size=(n, 3, 2))
+    z = rng.uniform(-1.6, 1.6, size=(n, 3, 1))
+    w = 10.0 ** rng.uniform(-14.0, 1.0, size=(n, 3, 1))
+    clip = np.concatenate([xy * w, z * w, w], axis=2)
+
+    # regime injections (seeded, deterministic)
+    idx = rng.permutation(n)
+    clip[idx[0:20]] = clip[idx[20:40]]              # duplicates: z-ties
+    clip[idx[40:50], :, 2] = 5.0                    # all z outside
+    clip[idx[50:60], 0, 0] = np.nan                 # NaN vertex
+    sl = idx[60:80]                                 # slivers
+    clip[sl, 2, :2] = (clip[sl, 0, :2]
+                       + (clip[sl, 1, :2] - clip[sl, 0, :2]) * 1.0001
+                       + 1e-7)
+    big = idx[80:90]                                # screen-filling
+    clip[big, :, :2] *= 50.0
+
+    shader = ClipShader()
+    uniforms = shader.build_uniforms(np.eye(4), np.eye(4), None, np.float64)
+
+    ref_z = _compare(_build_driver(tmp_path), clip,
+                     [OraclePass(attrs={"position": clip}, shader=shader,
+                                 uniforms=uniforms)],
+                     width, height, tmp_path, check_tga=True)
+    assert np.isfinite(ref_z).sum() > 200
