@@ -162,6 +162,46 @@ def test_scene_backend_sharded(meshes):
     assert dc.max() <= 1
 
 
+def test_scene_backend_sharded_2d(meshes):
+    """Scene.render(backend='sharded-2d') picks a tile-aligned
+    ('ty','tx') grid (here (4, 2) on 8 devices) and matches the 1-D
+    sharded backend BITWISE — both run the fused production pipeline,
+    each proven bitwise against the single-device fused frame.  (The
+    CPU 'tiled' backend resolves tiles in XLA, whose FMA grouping
+    differs from the kernels by ±1 ulp in affine z — the documented
+    cross-path depth variance — so the sharded backends are the
+    bitwise anchors here.)"""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough virtual devices")
+    from tinyrenderder_tpu import math3d
+    from tinyrenderder_tpu.camera import Camera
+    from tinyrenderder_tpu.scene import Scene
+
+    cam = Camera()
+    cam.set_eye(math3d.vec3(0, 0.5, 3))
+    cam.set_target(math3d.vec3(0, 0, 0))
+    cam.set_fov(60.0)
+    cam.set_aspect(2.0)
+    cam.set_clipping(0.1, 50.0)
+
+    def build():
+        s = Scene(camera=cam, width=256, height=128)
+        s.add(meshes["head"], math3d.identity4(),
+              PhongShader(KEY, FILL, RIM), name="head")
+        s.add(meshes["plane"], math3d.identity4(), TexturedShader(),
+              name="plane")
+        return s
+
+    a = build().render(backend="sharded", frustum_cull=False)
+    b = build().render(backend="sharded-2d", frustum_cull=False)
+    assert np.array_equal(a.color, np.asarray(b.color))
+    assert np.array_equal(a.depth, np.asarray(b.depth), equal_nan=True)
+    # and ≤ 1 LSB vs the single-device tiled backend like every backend
+    c = build().render(backend="tiled", frustum_cull=False)
+    dc = np.abs(c.color.astype(int) - np.asarray(b.color).astype(int))
+    assert dc.max() <= 1
+
+
 def test_sharded_eye_pass_depth_snapshot(meshes):
     """The full 3-pass eye scene (exclude_from_output_depth on the eye
     pass, main.cpp:700,730) sharded vs xla: bitwise output/full depth +

@@ -284,6 +284,10 @@ def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
         return _render_sharded(scene, visible, dtype, stats, timings,
                                transfer, collect_stats,
                                strict_capacity=strict_capacity)
+    if backend == "sharded-2d":
+        return _render_sharded(scene, visible, dtype, stats, timings,
+                               transfer, collect_stats,
+                               strict_capacity=strict_capacity, two_d=True)
     if backend == "sharded-geometry":
         return _render_sharded(scene, visible, dtype, stats, timings,
                                transfer, collect_stats, geometry=True,
@@ -291,14 +295,35 @@ def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
     raise ValueError(f"unknown backend: {backend}")
 
 
+def _pick_grid(n_dev: int, width: int, height: int, th: int, tw: int):
+    """Most-square (n_rows, n_cols) factorization of ``n_dev`` whose
+    blocks tile-align with the frame, or None."""
+    best = None
+    for n_cols in range(1, n_dev + 1):
+        if n_dev % n_cols:
+            continue
+        n_rows = n_dev // n_cols
+        if height % (n_rows * th) or width % (n_cols * tw):
+            continue
+        score = abs(n_rows - n_cols)
+        if best is None or score < best[0]:
+            best = (score, n_rows, n_cols)
+    return None if best is None else best[1:]
+
+
 def _render_sharded(scene, visible, dtype, stats, timings,
                     transfer=True, collect_stats=True,
-                    geometry=False, strict_capacity=True) -> RenderResult:
+                    geometry=False, strict_capacity=True,
+                    two_d=False) -> RenderResult:
     """Framebuffer row-sharded across every available device (the
     multi-chip production path; on one device it degenerates to tiled).
     ``geometry=True`` shards triangles instead of pixels and merges with
     pmin/psum collectives (backend "sharded-geometry" — the high-poly/
-    small-frame scaling axis).
+    small-frame scaling axis).  ``two_d=True`` (backend "sharded-2d")
+    shards the frame in BOTH screen axes over the most-square
+    tile-aligned ('ty','tx') grid — same fused production pipeline,
+    2-D block per device; falls back to row bands when no 2-D grid
+    divides the frame.
 
     Same semantics as the single-device backends, including the
     z-snapshot/restore around exclude_from_output_depth passes
@@ -308,15 +333,22 @@ def _render_sharded(scene, visible, dtype, stats, timings,
     from tinyrenderder_tpu.parallel import dist
 
     mesh = dist.make_mesh()
+    n_dev = mesh.devices.size
+    if two_d and not geometry:
+        grid = _pick_grid(n_dev, scene.width, scene.height,
+                          raster_tiled.TILE_H, raster_tiled.TILE_W)
+        if grid is not None and grid[1] > 1:
+            mesh = dist.make_mesh_grid(*grid)
     passes = []
     for p in visible:
         attrs, uniforms = _pass_inputs(scene, p, dtype, device=True)
         passes.append((attrs, p.shader, uniforms, p.exclude_from_output_depth))
-    n_dev = mesh.devices.size
+    two_d_mesh = mesh.axis_names != (dist.AXIS,)
     fused_ok = (not geometry and passes
                 and all(a["position"].shape[0] > 0 for a, *_ in passes)
-                and scene.height % (n_dev * raster_tiled.TILE_H) == 0
-                and scene.width % raster_tiled.TILE_W == 0)
+                and (two_d_mesh  # grid choice already proved divisibility
+                     or (scene.height % (n_dev * raster_tiled.TILE_H) == 0
+                         and scene.width % raster_tiled.TILE_W == 0)))
     t0 = time.perf_counter()
     if not passes:
         # every pass frustum-culled (or an empty scene): background frame,
@@ -358,7 +390,7 @@ def _render_sharded(scene, visible, dtype, stats, timings,
         # tile rows b, b+N, ...) so coverage hot spots — contiguous in y
         # on real scenes — split evenly across devices; on one device
         # this is the identity layout.
-        inter = SHARDED_INTERLEAVE and n_dev > 1
+        inter = SHARDED_INTERLEAVE and n_dev > 1 and not two_d_mesh
         ft, out_depth_t, _ = dist.render_frame_fused_sharded(
             mesh, passes, scene.width, scene.height,
             strict_capacity=strict_capacity, interleave=inter)
