@@ -91,6 +91,53 @@ def band_caps(setup, mode, n, width, height, interleave=False):
     return (cap, raster_sparse._quantize_active(act_max, n_tiles_band))
 
 
+def grid_caps(setup, n_rows, n_cols, width, height):
+    """Honest per-BLOCK capacities for a ('ty','tx') grid: max over all
+    blocks' pair totals / active tiles, quantized like the runtime."""
+    ntx = width // TILE_W
+    nty = height // TILE_H
+    b_ntx = ntx // n_cols
+    b_nty = nty // n_rows
+    n_tiles_band = b_ntx * b_nty
+
+    def clips():
+        for iy in range(n_rows):
+            for ix in range(n_cols):
+                yield (iy * b_nty, (iy + 1) * b_nty - 1,
+                       ix * b_ntx, (ix + 1) * b_ntx - 1)
+
+    pair_max = act_max = 0
+    for ty_lo, ty_hi, tx_lo, tx_hi in clips():
+        *_, total = _tile_spans(setup, TILE_W, TILE_H, ty_lo, ty_hi,
+                                tx_lo, tx_hi)
+        pair_max = max(pair_max, int(jax.device_get(total)))
+    cap = _quantize_soft(max(pair_max, 1))
+    for ty_lo, ty_hi, tx_lo, tx_hi in clips():
+        tx0, ty0, sx, spans, _ = _tile_spans(setup, TILE_W, TILE_H,
+                                             ty_lo, ty_hi, tx_lo, tx_hi)
+        _, _, counts = _build_bins(tx0, ty0, sx, spans, cap, b_ntx, b_nty)
+        n_act = jnp.sum((counts > 0).astype(jnp.int32))
+        act_max = max(act_max, int(jax.device_get(n_act)))
+    return (cap, raster_sparse._quantize_active(act_max, n_tiles_band))
+
+
+def cost_for_grid(n_rows, n_cols, width=2048, height=2048):
+    mesh = dist.make_mesh_grid(n_rows, n_cols)
+    attrs, s, u = bench_pass(width, height)
+    setup, _ = raster_sparse._vertex_setup(attrs, u, s, width, height)
+    caps = grid_caps(setup, n_rows, n_cols, width, height)
+    plan = ((s, "coarse", caps, False, 0),)
+    fn = dist._sharded_fused_fn(mesh, plan, width, height,
+                                TILE_H, TILE_W, True, False)
+    lowered = fn.lower((attrs,), (u,))
+    c = lowered.compile().cost_analysis()
+    if isinstance(c, list):
+        c = c[0]
+    return {"flops": c.get("flops", float("nan")),
+            "bytes": c.get("bytes accessed", float("nan")),
+            "caps": caps}
+
+
 def cost_for_mesh(n, width=2048, height=2048, interleave=False):
     mesh = dist.make_mesh(n)
     attrs, s, u = bench_pass(width, height)
@@ -141,6 +188,18 @@ def main():
               f"({pix / f1 * 100:.1f}% of mesh(1) work shards)")
         print(f"projected 8-chip parallel efficiency at this workload "
               f"({label}): {f1 / (8 * f8) * 100:.1f}%")
+
+    print("\n==== 2-D ('ty','tx') screen-block grids ====", flush=True)
+    base = cost_for_mesh(1)
+    print("| grid | per-device GFLOP | per-device GB | vs 1/N ideal |")
+    print("|---|---|---|---|")
+    for n_rows, n_cols in ((2, 2), (2, 4), (4, 2)):
+        n = n_rows * n_cols
+        r = cost_for_grid(n_rows, n_cols)
+        ideal = base["flops"] / n
+        print(f"| ({n_rows},{n_cols}) | {r['flops'] / 1e9:.3f} | "
+              f"{r['bytes'] / 1e9:.3f} | "
+              f"{r['flops'] / ideal:.2f}x |  caps={r['caps']}", flush=True)
 
 
 if __name__ == "__main__":

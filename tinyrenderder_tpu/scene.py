@@ -329,6 +329,8 @@ def _render_sharded(scene, visible, dtype, stats, timings,
     z-snapshot/restore around exclude_from_output_depth passes
     (main.cpp:700,730) — asserted sharded-vs-xla by tests/test_parallel.py.
     """
+    import jax
+
     from tinyrenderder_tpu.ops import raster_tiled
     from tinyrenderder_tpu.parallel import dist
 
@@ -344,6 +346,7 @@ def _render_sharded(scene, visible, dtype, stats, timings,
         attrs, uniforms = _pass_inputs(scene, p, dtype, device=True)
         passes.append((attrs, p.shader, uniforms, p.exclude_from_output_depth))
     two_d_mesh = mesh.axis_names != (dist.AXIS,)
+    overflowed = None          # non-fused branches have no device flag
     fused_ok = (not geometry and passes
                 and all(a["position"].shape[0] > 0 for a, *_ in passes)
                 and (two_d_mesh  # grid choice already proved divisibility
@@ -391,9 +394,13 @@ def _render_sharded(scene, visible, dtype, stats, timings,
         # on real scenes — split evenly across devices; on one device
         # this is the identity layout.
         inter = SHARDED_INTERLEAVE and n_dev > 1 and not two_d_mesh
-        ft, out_depth_t, _ = dist.render_frame_fused_sharded(
+        ft, out_depth_t, overflow_b = dist.render_frame_fused_sharded(
             mesh, passes, scene.width, scene.height,
             strict_capacity=strict_capacity, interleave=inter)
+        # same-frame device overflow flag (any band), like the
+        # single-device tiles path — part of the frame's own outputs
+        import jax.numpy as jnp
+        overflowed = jnp.any(overflow_b)
         fb = dist.tiles_to_buffers_sharded(mesh, ft, scene.width,
                                            scene.height, interleave=inter)
         in_excluded = visible[-1].exclude_from_output_depth
@@ -417,7 +424,8 @@ def _render_sharded(scene, visible, dtype, stats, timings,
     if collect_stats:
         _accumulate_exact_events(scene, passes, visible, stats)
     return RenderResult(color=color, depth=depth, full_depth=full_depth,
-                        stats=stats, pass_timings=timings)
+                        stats=stats, pass_timings=timings,
+                        overflowed=overflowed)
 
 
 def _accumulate_exact_events(scene, passes, visible, stats):
