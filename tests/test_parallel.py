@@ -662,6 +662,10 @@ def test_shadows_through_sharded_backend(meshes):
     ca, cb = np.asarray(ra.color), np.asarray(rb.color)
     assert (ca.sum(-1) > 0).sum() > 100          # scene actually covers
     np.testing.assert_array_equal(ca, cb)
+    # and through 2-D screen blocks (128x64 on 8 devices -> (2,1) or
+    # row fallback; either way it must match the 1-D sharded colors)
+    rc, _ = render_with_shadows(build(), light, st, backend="sharded-2d")
+    np.testing.assert_array_equal(cb, np.asarray(rc.color))
     # depth contract: identical coverage, values within a few ulps
     # (different compiled programs group FMAs differently)
     map_a, map_b = np.asarray(map_a), np.asarray(map_b)
