@@ -135,7 +135,7 @@ def run(argv=None) -> int:
     parser.add_argument("--height", type=int, default=HEIGHT)
     parser.add_argument("--backend", default=None,
                         choices=["xla", "tiled", "oracle", "sharded",
-                                 "sharded-geometry"],
+                                 "sharded-2d", "sharded-geometry"],
                         help="default: tiled (the production sparse/"
                              "Pallas pipeline) on TPU, xla elsewhere")
     parser.add_argument("--outdir", default=".")
