@@ -541,8 +541,36 @@ def test_fused_sharded_async_capacity(meshes):
         assert not np.asarray(ovf).any()
     # the refinement shrank at least one pass's caps from the
     # full-screen seed to band-local sizes (key layout: f, ntx, nty,
-    # tile_h, tile_w, n_devices, mode, tag, interleave)
-    skeys = [k for k in dist._SHARD_FUSED_CAPS if k[5] == 8]
+    # tile_h, tile_w, n_rows, n_cols, mode, tag, interleave)
+    skeys = [k for k in dist._SHARD_FUSED_CAPS
+             if k[5] == 8 and k[6] == 1]
+    assert skeys and any(k in dist._SHARD_FUSED_REFINED for k in skeys)
+
+
+def test_fused_sharded_async_capacity_2d(meshes):
+    """Async mode on a ('ty','tx') grid: the per-block totals array
+    keeps the 1-D rank (joint-axis sharding), so the same staging/
+    resolve machinery refines caps to block-local sizes; output stays
+    bitwise-exact across frames."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    w, h = 256, 16 * 4
+    view, proj = default_view()
+    passes = _fused_passes(meshes, view, proj)
+    mesh = dist.make_mesh_grid(2, 2)
+    ref_ft, _, _ = raster_sparse.render_frame_fused(passes, w, h)
+    ref = np.asarray(raster_sparse.tiles_to_buffers(ref_ft, w, h).color)
+    for _ in range(3):
+        ft, _, ovf = dist.render_frame_fused_sharded(
+            mesh, passes, w, h, strict_capacity=False)
+        got = np.asarray(dist.tiles_to_buffers_sharded(
+            mesh, ft, w, h).color)
+        assert (got == ref).all()
+        assert not np.asarray(ovf).any()
+    skeys = [k for k in dist._SHARD_FUSED_CAPS
+             if k[5] == 2 and k[6] == 2]
     assert skeys and any(k in dist._SHARD_FUSED_REFINED for k in skeys)
 
 
