@@ -88,6 +88,24 @@ def test_zbuffer_image_degenerate_range():
     assert (img == 255).all()        # all at min -> 1 - 0 = 1 -> 255
 
 
+def test_zbuffer_image_degenerate_range_f32_large_magnitude():
+    """All-equal depths at |z| > 2^4 in float32: the reference's
+    ``zmin + 1e-7`` range guard is below half an ulp there (a no-op),
+    which used to leave 0/0 = NaN bytes on the device path while the
+    f64 oracle yielded 255 — the clamped-denominator fix must keep both
+    at 255 (plus a mixed case where one pixel differs)."""
+    import jax.numpy as jnp
+    z32 = np.full((4, 8), 50.0, dtype=np.float32)
+    img_dev = np.asarray(post.zbuffer_to_image(jnp.asarray(z32), jnp))
+    img_host = post.zbuffer_to_image(z32.astype(np.float64), np)
+    np.testing.assert_array_equal(img_dev, img_host)
+    assert (img_dev == 255).all()
+    # non-degenerate at the same magnitude still produces a gradient
+    z32[0, 0] = 49.0
+    img_dev = np.asarray(post.zbuffer_to_image(jnp.asarray(z32), jnp))
+    assert img_dev[0, 0] == 255 and (img_dev.ravel()[1:] == 0).all()
+
+
 def test_composite_truncates():
     color = np.full((2, 2, 3), 200, dtype=np.uint8)
     ao = np.full((2, 2), 128, dtype=np.uint8)

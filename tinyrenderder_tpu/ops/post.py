@@ -50,9 +50,16 @@ def zbuffer_to_image(zbuffer, xp) -> "xp.ndarray":
     big = xp.asarray(1e9, dtype=zbuffer.dtype)
     zmin = xp.min(xp.where(finite, zbuffer, big))
     zmax = xp.max(xp.where(finite, zbuffer, -big))
-    # degenerate range guard (main.cpp:294-296)
+    # degenerate range guard (main.cpp:294-296).  The reference's
+    # ``zmin + 1e-7`` only works in double; in the device's float32 it
+    # is a NO-OP whenever |zmin| > ~2^4 (1e-7 < half an ulp), leaving
+    # 0/0 = NaN bytes where the f64 path yields 255 — so divide by a
+    # positive-clamped denominator instead: an all-equal buffer gets
+    # normalized = 0 -> 255 everywhere, exactly the f64 outcome.
     zmax = xp.where(zmax - zmin < 1e-7, zmin + 1e-7, zmax)
-    normalized = (zbuffer - zmin) / (zmax - zmin)
+    denom = zmax - zmin
+    denom = xp.where(denom > 0, denom, xp.ones_like(denom))
+    normalized = (zbuffer - zmin) / denom
     value = xp.trunc(255.0 * (1.0 - normalized))  # nearer = darker
     value = xp.where(finite, value, 255.0)
     value = xp.where(any_finite, value, xp.full_like(value, 255.0))
