@@ -641,6 +641,39 @@ def main() -> int:
             "mpix_s": round(mpix * 8 * 0.694, 1),
             "vs_1gpix_s_target": round(mpix * 8 * 0.694 / 1000.0, 3),
         }
+    # Live reference-CPU context: time the reference's own compiled hot
+    # loop (our_gl.cpp:89-201) on the SAME headline triangle stream,
+    # single thread, trivial shader (numbers flatter the reference —
+    # the derived speedup is conservative).  Fail-soft: absent
+    # reference tree / compiler just skips the block.
+    try:
+        if not on_tpu:
+            raise RuntimeError("reference context is a TPU-bench artifact")
+        import re as _re
+        import subprocess as _sp
+        p = _sp.run([sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "scripts", "bench_reference_cpu.py"),
+                    str(big), str(big), "3"],
+                    capture_output=True, text=True, timeout=600)
+        m = _re.search(r"best\): ([0-9.]+) ms/frame = ([0-9.]+) Mpix/s",
+                       p.stdout + p.stderr)
+        if m:
+            ref_mpix = float(m.group(2))
+            report["reference_cpu"] = {
+                "method": "reference our_gl.cpp compiled -O2, same "
+                          "triangle stream, IdShader (cheaper than its "
+                          "real Phong) — scripts/bench_reference_cpu.py",
+                "ms_per_frame": float(m.group(1)),
+                "mpix_s": ref_mpix,
+                "tpu_speedup_vs_reference_hot_loop":
+                    round(mpix / ref_mpix, 2),
+            }
+            log(f"reference CPU hot loop: {ref_mpix:.1f} Mpix/s -> "
+                f"TPU speedup {mpix / ref_mpix:.1f}x (conservative)")
+    except Exception as e:                            # noqa: BLE001
+        log(f"reference-cpu context skipped: {e}")
+
     with open("bench_report.json", "w") as f:
         json.dump(report, f, indent=2)
     log("wrote bench_report.json")
