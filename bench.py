@@ -136,16 +136,18 @@ def _measure_rtt():
     return float(np.median(ts))
 
 
-def _tunnel_gate(max_wait_s: float = 900.0, bad_rtt_s: float = 1.0):
+def _tunnel_gate(max_wait_s: float = 1800.0, bad_rtt_s: float = 0.2):
     """Refuse to bench through a degraded tunnel.
 
     The axon tunnel has been observed at ~100-250x latency for tens of
-    minutes (docs/PERFORMANCE.md infra notes, 2026-08-17); numbers taken
-    in such a window are fiction.  Probe the forced-fetch RTT; while it
-    exceeds ``bad_rtt_s`` (healthy is ~4-30 ms), wait and re-probe, up
-    to ``max_wait_s``.  Always proceeds eventually — but the returned
-    state is recorded in bench_report.json so a degraded run is flagged
-    instead of silently trusted."""
+    minutes (docs/PERFORMANCE.md infra notes, 2026-08-17; a ~465 ms-RTT
+    window was observed 2026-08-19 — well under the old 1.0 s bar yet
+    ~20-50x off healthy); numbers taken in such a window are fiction.
+    Probe the forced-fetch RTT; while it exceeds ``bad_rtt_s`` (healthy
+    is ~4-30 ms), wait and re-probe, up to ``max_wait_s``.  Always
+    proceeds eventually — but the returned state is recorded in
+    bench_report.json so a degraded run is flagged instead of silently
+    trusted."""
     import jax.numpy as jnp
     x = jnp.zeros((8,), jnp.float32)
     _force(x)                      # compile the probe (one fetch)
@@ -481,7 +483,7 @@ def bench_animation_tga(width, height, frames):
             "frames_written": written, "compile_s": 0.0}
 
 
-def _bounded_backend_probe(tries: int = 3, timeout_s: int = 240) -> bool:
+def _bounded_backend_probe(tries: int = 5, timeout_s: int = 240) -> bool:
     """Axon plugin init can HANG (not error) while the device tunnel is
     down — observed outages exceed 4 h (docs/PERFORMANCE.md).  Probe
     backend init in a killable subprocess first so the bench process

@@ -15,11 +15,13 @@ capacity probes), so it runs at the real bench scale: the flagship
 the exact headline workload of bench.py.
 
 Expected shape: per-device cost = replicated_geometry + pixel_work/N.
-The per-triangle stage (vertex transform, setup, span expansion) is
-deliberately replicated on every device (cheaper than an all-gather,
-see parallel/dist.py); only the per-pixel and per-band-pair work
-shards.  At 2048^2 the pixel term dominates, so the trend should sit
-near 1/N.
+Round-3 originally replicated the per-triangle stage (vertex
+transform, setup, span expansion) on every device; the model fit below
+measured that term as the ENTIRE residual at 8 devices, so the fused
+sharded path now also shards it (geom_shard=True: each device
+transforms F/N triangles and all_gathers the setup/varyings over ICI,
+bitwise-equal — raster_tiled._vertex_stage).  The geom_shard section
+quantifies what that removes.
 
 Run: python scripts/analyze_sharded_cost.py   (forces an 8-device
 virtual CPU platform; safe anywhere)
@@ -121,14 +123,15 @@ def grid_caps(setup, n_rows, n_cols, width, height):
     return (cap, raster_sparse._quantize_active(act_max, n_tiles_band))
 
 
-def cost_for_grid(n_rows, n_cols, width=2048, height=2048):
+def cost_for_grid(n_rows, n_cols, width=2048, height=2048,
+                  geom_shard=False):
     mesh = dist.make_mesh_grid(n_rows, n_cols)
     attrs, s, u = bench_pass(width, height)
     setup, _ = raster_sparse._vertex_setup(attrs, u, s, width, height)
     caps = grid_caps(setup, n_rows, n_cols, width, height)
     plan = ((s, "coarse", caps, False, 0),)
     fn = dist._sharded_fused_fn(mesh, plan, width, height,
-                                TILE_H, TILE_W, True, False)
+                                TILE_H, TILE_W, True, False, geom_shard)
     lowered = fn.lower((attrs,), (u,))
     c = lowered.compile().cost_analysis()
     if isinstance(c, list):
@@ -138,7 +141,8 @@ def cost_for_grid(n_rows, n_cols, width=2048, height=2048):
             "caps": caps}
 
 
-def cost_for_mesh(n, width=2048, height=2048, interleave=False):
+def cost_for_mesh(n, width=2048, height=2048, interleave=False,
+                  geom_shard=False):
     mesh = dist.make_mesh(n)
     attrs, s, u = bench_pass(width, height)
     setup, _ = raster_sparse._vertex_setup(attrs, u, s, width, height)
@@ -146,7 +150,8 @@ def cost_for_mesh(n, width=2048, height=2048, interleave=False):
     caps = band_caps(setup, mode, n, width, height, interleave)
     plan = ((s, mode, caps, False, 0),)
     fn = dist._sharded_fused_fn(mesh, plan, width, height,
-                                TILE_H, TILE_W, True, interleave)
+                                TILE_H, TILE_W, True, interleave,
+                                geom_shard)
     lowered = fn.lower((attrs,), (u,))
     c = lowered.compile().cost_analysis()
     if isinstance(c, list):
@@ -188,6 +193,30 @@ def main():
               f"({pix / f1 * 100:.1f}% of mesh(1) work shards)")
         print(f"projected 8-chip parallel efficiency at this workload "
               f"({label}): {f1 / (8 * f8) * 100:.1f}%")
+
+    print("\n==== geometry-sharded vertex stage (interleaved bands) ====",
+          flush=True)
+    base = None
+    rows = []
+    for n in (1, 2, 4, 8):
+        r = cost_for_mesh(n, interleave=(n > 1), geom_shard=True)
+        if base is None:
+            base = r
+        rows.append((n, r))
+        print(f"mesh({n}) geom_shard: per-device flops={r['flops']:.4e} "
+              f"bytes={r['bytes']:.4e} "
+              f"(vs mesh(1): flops x{r['flops'] / base['flops']:.3f})",
+              flush=True)
+    print("\n| mesh | per-device GFLOP | per-device GB | vs 1/N ideal |")
+    print("|---|---|---|---|")
+    for n, r in rows:
+        ideal = base["flops"] / n
+        print(f"| {n} | {r['flops'] / 1e9:.3f} | "
+              f"{r['bytes'] / 1e9:.3f} | "
+              f"{r['flops'] / ideal:.2f}x |")
+    f1, f8 = base["flops"], rows[-1][1]["flops"]
+    print(f"projected 8-chip parallel efficiency (geom-sharded, "
+          f"interleaved): {f1 / (8 * f8) * 100:.1f}%")
 
     print("\n==== 2-D ('ty','tx') screen-block grids ====", flush=True)
     base = cost_for_mesh(1)

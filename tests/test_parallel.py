@@ -476,6 +476,50 @@ def test_fused_sharded_interleaved_bitwise(meshes, n_devices, kernel):
     assert len(shards) == n_devices
 
 
+@pytest.mark.parametrize("kernel", ["coarse", "fine", "fine2"])
+def test_fused_sharded_geom_shard_flag_bitwise(meshes, kernel):
+    """Geometry sharding of the vertex stage (geom_shard, the default)
+    changes NOTHING in the output: each device transforms a contiguous
+    F/N slice and the all_gather restores exact submission order, with
+    zero-padded triangles rejected by the cross==0 backface test
+    (raster_tiled._vertex_stage).  The head mesh's F is not a multiple
+    of 8 (padding path) and the plane mesh has F < 8 (the tiny-pass
+    fallback), so both edge paths run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough virtual devices")
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    w, h = 128, 16 * 8
+    view, proj = default_view()
+    passes = _fused_passes(meshes, view, proj)
+    # drop one head triangle so F % 8 != 0 (the zero-padding path)
+    head_attrs = {k: v[:-1] for k, v in passes[0][0].items()}
+    passes[0] = (head_attrs, *passes[0][1:])
+    assert passes[0][0]["position"].shape[0] % 8 != 0  # padding engaged
+    assert passes[1][0]["position"].shape[0] < 8       # f < n fallback
+    saved = raster_sparse.FINE_MODE
+    raster_sparse.FINE_MODE = kernel
+    raster_sparse._FINE_DECISION.clear()
+    try:
+        mesh = dist.make_mesh(8)
+        ft1, od1, _ = dist.render_frame_fused_sharded(
+            mesh, passes, w, h, geom_shard=False)
+        fb1 = dist.tiles_to_buffers_sharded(mesh, ft1, w, h)
+        ft2, od2, _ = dist.render_frame_fused_sharded(
+            mesh, passes, w, h, geom_shard=True)
+        fb2 = dist.tiles_to_buffers_sharded(mesh, ft2, w, h)
+    finally:
+        raster_sparse.FINE_MODE = saved
+        raster_sparse._FINE_DECISION.clear()
+
+    assert (np.asarray(fb1.winner) == np.asarray(fb2.winner)).all()
+    assert np.array_equal(np.asarray(fb1.depth), np.asarray(fb2.depth),
+                          equal_nan=True)
+    assert (np.asarray(fb1.color) == np.asarray(fb2.color)).all()
+    assert np.array_equal(np.asarray(od1), np.asarray(od2),
+                          equal_nan=True)
+
+
 @pytest.mark.parametrize("grid,kernel", [
     ((2, 4), "fine"), ((2, 4), "coarse"), ((2, 2), "fine2")])
 def test_fused_sharded_2d_blocks_bitwise(meshes, grid, kernel):

@@ -70,7 +70,8 @@ from tinyrenderder_tpu.ops.raster import BACKGROUND
 from tinyrenderder_tpu.ops.raster_tiled import (TILE_H, TILE_W, _build_bins,
                                                 _cdiv, _next_pow2,
                                                 _quantize_soft,
-                                                _quantize_tight, _tile_spans)
+                                                _quantize_tight, _tile_spans,
+                                                _vertex_stage)
 
 __all__ = ["render_pass_fine", "STRIP_W", "STRIPS"]
 
@@ -107,10 +108,11 @@ def _loop2_cols(n_vary):
 
 @functools.partial(jax.jit, static_argnames=(
     "shader", "width", "height", "pair_cap", "row_cap", "rec_cap", "a_cap",
-    "tile_h", "tile_w", "nty_band", "ty_stride", "ntx_band"))
+    "tile_h", "tile_w", "nty_band", "ty_stride", "ntx_band", "geom_axis"))
 def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
                   row_cap, rec_cap, a_cap, tile_h, tile_w, ty_lo=None,
-                  nty_band=None, ty_stride=1, tx_lo=None, ntx_band=None):
+                  nty_band=None, ty_stride=1, tx_lo=None, ntx_band=None,
+                  geom_axis=None):
     """Fused pre-stage: vertex transform, setup, strip binning, slot
     interleave, record build, active-tile compaction — one dispatch.
 
@@ -122,11 +124,11 @@ def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
     count) restrict strip binning to a horizontal screen band for the
     sharded production path (parallel/dist.py); tile/strip ids are then
     band-local (pair with an ``origin`` on the kernel call).
-    ``tx_lo``/``ntx_band`` clip columns the same way (2-D blocks)."""
-    dtype = attrs["position"].dtype
-    clip, varyings = shader.vertex(uniforms, attrs, jnp)
-    vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
-    setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
+    ``tx_lo``/``ntx_band`` clip columns the same way (2-D blocks).
+    ``geom_axis`` shards the vertex stage over the shard_map mesh
+    (raster_tiled._vertex_stage — bitwise-equal, all_gather'ed)."""
+    setup, varyings = _vertex_stage(attrs, uniforms, shader, width,
+                                    height, geom_axis)
     f = max(setup["valid"].shape[0], 1)
     ntx = ntx_band if ntx_band is not None else _cdiv(width, tile_w)
     nty = nty_band if nty_band is not None else _cdiv(height, tile_h)

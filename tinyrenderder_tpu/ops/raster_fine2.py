@@ -64,7 +64,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tinyrenderder_tpu import math3d
 from tinyrenderder_tpu.ops import semantics
 from tinyrenderder_tpu.ops.raster import BACKGROUND
 from tinyrenderder_tpu.ops.raster_fine import (COL_ID, DMA_ROWS, LOOP1_COLS,
@@ -74,7 +73,8 @@ from tinyrenderder_tpu.ops.raster_fine import (COL_ID, DMA_ROWS, LOOP1_COLS,
 from tinyrenderder_tpu.ops.raster_tiled import (TILE_H, TILE_W, _build_bins,
                                                 _cdiv, _next_pow2,
                                                 _quantize_soft,
-                                                _quantize_tight, _tile_spans)
+                                                _quantize_tight, _tile_spans,
+                                                _vertex_stage)
 
 __all__ = ["render_pass_fine2"]
 
@@ -85,11 +85,12 @@ __all__ = ["render_pass_fine2"]
 
 @functools.partial(jax.jit, static_argnames=(
     "shader", "width", "height", "pair_cap", "row_cap", "rec_cap", "g_cap",
-    "a_cap", "tile_h", "tile_w", "nty_band", "ty_stride", "ntx_band"))
+    "a_cap", "tile_h", "tile_w", "nty_band", "ty_stride", "ntx_band",
+    "geom_axis"))
 def _pre_fine2_jit(attrs, uniforms, shader, width, height, pair_cap,
                    row_cap, rec_cap, g_cap, a_cap, tile_h, tile_w,
                    ty_lo=None, nty_band=None, ty_stride=1, tx_lo=None,
-                   ntx_band=None):
+                   ntx_band=None, geom_axis=None):
     """Fused pre-stage: vertex transform, setup, strip binning, class
     sort + group assignment, slot interleave, record build, active-tile
     mapping — one dispatch.
@@ -99,10 +100,8 @@ def _pre_fine2_jit(attrs, uniforms, shader, width, height, pair_cap,
     columns the same way (2-D blocks)."""
     if tile_w != TILE_W:
         raise ValueError("fine2 requires 128-lane tiles")
-    dtype = attrs["position"].dtype
-    clip, varyings = shader.vertex(uniforms, attrs, jnp)
-    vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
-    setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
+    setup, varyings = _vertex_stage(attrs, uniforms, shader, width,
+                                    height, geom_axis)
     f = max(setup["valid"].shape[0], 1)
     ntx = ntx_band if ntx_band is not None else _cdiv(width, tile_w)
     nty = nty_band if nty_band is not None else _cdiv(height, tile_h)

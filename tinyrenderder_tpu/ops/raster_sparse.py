@@ -46,7 +46,8 @@ from tinyrenderder_tpu.ops import raster, raster_pallas, semantics
 from tinyrenderder_tpu.ops.raster import BACKGROUND, FrameBuffers
 from tinyrenderder_tpu.ops.raster_tiled import (TILE_H, TILE_W, _build_bins,
                                                 _cdiv, _next_pow2,
-                                                _quantize_soft, _tile_spans)
+                                                _quantize_soft, _tile_spans,
+                                                _vertex_stage)
 from tinyrenderder_tpu.shaders import finalize_color
 
 __all__ = ["FrameTiles", "new_frame_tiles", "tiles_to_buffers",
@@ -225,10 +226,11 @@ def tiles_to_buffers(ft: FrameTiles, width: int, height: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "shader", "width", "height", "capacity", "rec_cap", "a_cap",
-    "tile_h", "tile_w", "nty_band", "ty_stride", "ntx_band"))
+    "tile_h", "tile_w", "nty_band", "ty_stride", "ntx_band", "geom_axis"))
 def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
                     a_cap, tile_h, tile_w, rec_cap=None, ty_lo=None,
-                    nty_band=None, ty_stride=1, tx_lo=None, ntx_band=None):
+                    nty_band=None, ty_stride=1, tx_lo=None, ntx_band=None,
+                    geom_axis=None):
     """Fused pre-kernel stage: vertex transform, setup, binning, pair
     records, and active-tile compaction — one dispatch.
 
@@ -242,11 +244,11 @@ def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
     its own band; tile ids and the active-tile compaction are then
     band-local (pair with an ``origin`` on the kernel call).
     ``tx_lo``/``ntx_band`` clip columns the same way (2-D screen-block
-    sharding)."""
-    dtype = attrs["position"].dtype
-    clip, varyings = shader.vertex(uniforms, attrs, jnp)
-    vp = jnp.asarray(math3d.viewport(0, 0, width, height), dtype=dtype)
-    setup = semantics.triangle_setup_planes(clip, vp, width, height, jnp)
+    sharding).  ``geom_axis`` (shard_map axis name/tuple) additionally
+    shards the per-triangle vertex stage over the mesh (see
+    raster_tiled._vertex_stage — bitwise-equal, all_gather'ed)."""
+    setup, varyings = _vertex_stage(attrs, uniforms, shader, width,
+                                    height, geom_axis)
     n_tiles_x = ntx_band if ntx_band is not None else _cdiv(width, tile_w)
     n_tiles_y = nty_band if nty_band is not None else _cdiv(height, tile_h)
     n_tiles = n_tiles_x * n_tiles_y
@@ -799,7 +801,7 @@ def _count_active(setup, capacity, width, height, tile_h, tile_w):
 def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                       tile_h, tile_w, interpret, ty_lo=None,
                       nty_band=None, origin=None, ty_stride=1,
-                      tx_lo=None, ntx_band=None):
+                      tx_lo=None, ntx_band=None, geom_axis=None):
     """Trace the whole multi-pass frame as one program (see
     _frame_fused_jit).  With ``ty_lo``/``nty_band``/``origin`` the frame
     is a horizontal band of the screen: binning is band-clipped, the
@@ -844,7 +846,7 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                 attrs, uniforms, shader, width, height, pc, rc,
                 _next_pow2(rc), ac, tile_h, tile_w,
                 ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride,
-                tx_lo=tx_lo, ntx_band=ntx_band)
+                tx_lo=tx_lo, ntx_band=ntx_band, geom_axis=geom_axis)
             d_c, w_c, v_c, _ = raster_fine._fine_call_jit(
                 kernel_ids, rs, ra, rec, ft.depth,
                 n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
@@ -863,7 +865,7 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                 attrs, uniforms, shader, width, height, pc, rc,
                 _next_pow2(rc), gc, ac, tile_h, tile_w,
                 ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride,
-                tx_lo=tx_lo, ntx_band=ntx_band)
+                tx_lo=tx_lo, ntx_band=ntx_band, geom_axis=geom_axis)
             d_g, w_g, v_g, _ = raster_fine2._fine2_call_jit(
                 sg, rg, rec, x0y0, tile_h, n_vary, interpret,
                 origin=origin)
@@ -881,7 +883,8 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                                  rec_cap=_next_pow2(cap),
                                  ty_lo=ty_lo, nty_band=nty_band,
                                  ty_stride=ty_stride,
-                                 tx_lo=tx_lo, ntx_band=ntx_band)
+                                 tx_lo=tx_lo, ntx_band=ntx_band,
+                                 geom_axis=geom_axis)
             d_c, w_c, v_c, _ = raster_pallas._pallas_call_sparse_jit(
                 kernel_ids, sa, ca, records, ft.depth,
                 n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,

@@ -448,6 +448,66 @@ def _vertex_setup_jit(attrs, uniforms, shader, width: int, height: int):
     return setup, varyings
 
 
+def _vertex_stage(attrs, uniforms, shader, width: int, height: int,
+                  geom_axis=None):
+    """Vertex transform + triangle setup over all F triangles — the
+    per-triangle stage shared by every pre-kernel path (reference
+    anchor: the vertex loop main.cpp:660-665 + setup our_gl.cpp:89-135).
+
+    With ``geom_axis`` (a shard_map axis name, or tuple of names for
+    2-D meshes) the stage is GEOMETRY-SHARDED: each device transforms a
+    contiguous F/N slice of the triangles and the per-triangle outputs
+    are all_gather'ed (tiled) over ICI.  Contiguous slices concatenated
+    in axis order restore the exact submission order, and every op here
+    is per-triangle with fixed scalar evaluation order
+    (semantics.apply_mat4 — no cross-triangle reduction, no MXU
+    contraction), so the sharded result is BITWISE identical to the
+    replicated computation.  Zero padding (to a multiple of N) yields
+    point-degenerate triangles whose screen edge cross product is
+    exactly 0 -> backface-rejected (triangle_setup_planes) -> zero tile
+    spans, so padding contributes no pairs downstream.
+
+    This removes the one replicated per-triangle term from the sharded
+    fused pipeline (the round-3 cost analysis measured it as the whole
+    residual inefficiency at 8 devices: docs/PERFORMANCE.md, interleaved
+    row bands).  The all_gather payload is the setup dict + varyings
+    (~tens of floats per triangle) — ICI-cheap next to the per-pixel
+    stages it unblocks.
+    """
+    if geom_axis is None:
+        return _vertex_setup_jit(attrs, uniforms, shader, width, height)
+    f = attrs["position"].shape[0]
+    n = jax.lax.axis_size(geom_axis)
+    if f < n:          # fewer triangles than devices: not worth slicing
+        clip, varyings = shader.vertex(uniforms, attrs, jnp)
+        vp = jnp.asarray(math3d.viewport(0, 0, width, height),
+                         dtype=attrs["position"].dtype)
+        return semantics.triangle_setup_planes(
+            clip, vp, width, height, jnp), varyings
+    chunk = -(-f // n)
+    idx = jax.lax.axis_index(geom_axis)
+
+    def slice_leaf(x):
+        pad = chunk * n - f
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return jax.lax.dynamic_slice_in_dim(x, idx * chunk, chunk, 0)
+
+    attrs_c = jax.tree.map(slice_leaf, attrs)
+    clip_c, vary_c = shader.vertex(uniforms, attrs_c, jnp)
+    vp = jnp.asarray(math3d.viewport(0, 0, width, height),
+                     dtype=attrs["position"].dtype)
+    setup_c = semantics.triangle_setup_planes(clip_c, vp, width, height, jnp)
+
+    def gather_leaf(x):
+        full = jax.lax.all_gather(x, geom_axis, tiled=True)
+        return full[:f] if full.shape[0] != f else full
+
+    return jax.tree.map(gather_leaf, setup_c), jax.tree.map(
+        gather_leaf, vary_c)
+
+
 @functools.partial(jax.jit, static_argnames=("shader", "width", "height"))
 def _shade_merge_jit(fb: FrameBuffers, depth, winner_local, setup, varyings,
                      uniforms, winner_offset, shader, width, height):

@@ -543,7 +543,7 @@ _SHARD_FUSED_W_REFINED: set = set()  # keys whose won-tile cap was measured
 @functools.lru_cache(maxsize=None)
 def _sharded_fused_fn(mesh: Mesh, plan, width: int, height: int,
                       tile_h: int, tile_w: int, interpret: bool,
-                      interleave: bool = False):
+                      interleave: bool = False, geom_shard: bool = False):
     from tinyrenderder_tpu.ops import raster_sparse
 
     two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
@@ -578,11 +578,17 @@ def _sharded_fused_fn(mesh: Mesh, plan, width: int, height: int,
             origin = jnp.stack([jnp.int32(0),
                                 (ty_lo * tile_h).astype(jnp.int32)])
             stride = 1
+        # geometry sharding: the per-triangle vertex stage — the one
+        # term the row/block decomposition replicates — also splits
+        # over the mesh (all devices jointly on 2-D grids) and
+        # all_gathers over ICI, bitwise-equal (raster_tiled._vertex_stage)
+        geom_axis = (axes if geom_shard else None)
         ft, out_depth, overflow, totals = raster_sparse._fused_frame_body(
             attrs_t, uniforms_t, plan, width, height, tile_h, tile_w,
             interpret, ty_lo=ty_lo, nty_band=band_tiles_y, origin=origin,
             ty_stride=stride,
-            tx_lo=tx_lo, ntx_band=band_tiles_x if two_d else None)
+            tx_lo=tx_lo, ntx_band=band_tiles_x if two_d else None,
+            geom_axis=geom_axis)
         return (ft, out_depth, overflow.reshape(1), totals[None])
 
     # on a 2-D mesh the flat band-tile axis shards over BOTH axes
@@ -671,7 +677,8 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
                                tile_h: int | None = None,
                                tile_w: int | None = None,
                                strict_capacity: bool = True,
-                               interleave: bool = False):
+                               interleave: bool = False,
+                               geom_shard: bool = True):
     """Render a whole multi-pass frame through the PRODUCTION fused
     pipeline with the framebuffer row-band-sharded over ``mesh``.
 
@@ -708,7 +715,15 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
     blocks — tiles_to_buffers_sharded assembles (H, W) without any
     reorder; blocks_to_flat_tiles gives single-device tile order for
     comparisons).  Bitwise-identical to the single-device fused frame,
-    like the 1-D path.  ``interleave`` is 1-D-only."""
+    like the 1-D path.  ``interleave`` is 1-D-only.
+
+    ``geom_shard=True`` (default) also shards the per-triangle vertex
+    stage over the mesh — each device transforms F/N triangles and the
+    setup/varyings all_gather over ICI in submission order
+    (raster_tiled._vertex_stage, bitwise-equal).  This removes the one
+    replicated term the screen decomposition leaves (the round-3 cost
+    analysis measured it as the entire residual at 8 devices); the
+    per-pixel stages stay collective-free."""
     from tinyrenderder_tpu.ops import raster_fine, raster_sparse
     from tinyrenderder_tpu.ops.raster_tiled import TILE_H, TILE_W
 
@@ -770,7 +785,8 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
         offset += f
 
     fn = _sharded_fused_fn(mesh, tuple(plan), width, height,
-                           tile_h, tile_w, interpret, interleave)
+                           tile_h, tile_w, interpret, interleave,
+                           geom_shard)
     ft, out_depth, overflow, totals = fn(tuple(attrs_t), tuple(unis_t))
     # totals: (n_bands, n_passes, 4)
 
@@ -783,7 +799,7 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
         if grown:
             return render_frame_fused_sharded(
                 mesh, passes, width, height, tile_h, tile_w,
-                strict_capacity, interleave)
+                strict_capacity, interleave, geom_shard)
     else:
         # merge same-key passes within this frame (element-wise max)
         # BEFORE staging: a key's pending slot held only the FIRST
