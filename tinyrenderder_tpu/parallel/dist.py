@@ -489,7 +489,8 @@ def _resolve_sharded_tiled_pending(key):
         return
     tot_dev, cap, age = prev
     ready = getattr(tot_dev, "is_ready", lambda: True)()
-    if ready or age >= 8:
+    # never block on an un-landed D2H (see raster_sparse._resolve_pending)
+    if ready:
         _SHARDED_TILED_PENDING.pop(key)
         tot = int(np.asarray(tot_dev))
         if tot > cap:
@@ -832,7 +833,8 @@ def _resolve_fused_pending(key, mode, n_tiles_band):
         return
     totals_dev, prev_caps, age = prev
     ready = getattr(totals_dev, "is_ready", lambda: True)()
-    if ready or age >= 8:
+    # never block on an un-landed D2H (see raster_sparse._resolve_pending)
+    if ready:
         _SHARD_FUSED_PENDING.pop(key)
         t_max = np.asarray(totals_dev).max(axis=0)
         if _fold_fused_totals(key, mode, t_max, n_tiles_band):
