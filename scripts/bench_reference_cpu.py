@@ -2,9 +2,15 @@
 
 Builds tests/ref_harness/driver.cpp against the read-only reference
 sources and times `rasterize` (our_gl.cpp:89-201) on the SAME triangle
-stream the TPU bench's headline config renders (the 27k-face head at
-2048², bench.py `_scene(...,meshes=1)`), giving BASELINE.md a measured
-reference number where none was published.
+streams the TPU bench renders, giving BASELINE.md measured reference
+numbers where none were published:
+
+  head    the headline config's 27k-face head (bench.py _scene(meshes=1))
+  stress  the 246k-triangle head wall (bench.bench_stress geometry) —
+          the reference's own default workload scale (Sponza ~246k
+          triangles, main.cpp:483-513)
+  mixed   the mixed-interior clip stream (12 giant room triangles +
+          ~250k tiny, bench.bench_mixed geometry)
 
 The driver's IdShader is strictly CHEAPER than the reference's real
 PhongShader (no texture fetches, no lighting), and the binary has no
@@ -12,7 +18,7 @@ Assimp/IO overhead — so the printed number flatters the reference and
 any TPU-vs-reference speedup derived from it is conservative.
 
 Usage: JAX_PLATFORM_NAME=cpu PYTHONPATH=/root/repo:/root/.axon_site \
-           python scripts/bench_reference_cpu.py [width height reps]
+           python scripts/bench_reference_cpu.py [width height reps [stream]]
 """
 
 import os
@@ -29,32 +35,54 @@ REF = "/root/reference"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
-    width = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    height = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-
+def _load_bench():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "bench", os.path.join(REPO, "bench.py"))
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
+    return bench
 
-    # the exact headline geometry/camera (bench.build_pass: 27360-face
-    # head, eye (0, 0.4, 2.6)), in float64 like the reference
+
+def build_stream(stream: str, width: int, height: int) -> np.ndarray:
+    """The exact clip-space triangle stream of the named bench config,
+    computed in float64 like the reference."""
+    bench = _load_bench()
+    from tinyrenderder_tpu import math3d
     from tinyrenderder_tpu.shaders import PhongShader
-    head = bench._head(96, 144)
-    cam = bench._camera(width, height)
+
     key, fill, rim = bench._lights()
     shader = PhongShader(key, fill, rim, normal_map_strength=0.5)
+    if stream == "head":
+        # headline geometry/camera (27360-face head, eye (0, 0.4, 2.6))
+        mesh = bench._head(96, 144)
+        cam = bench._camera(width, height)
+        view, proj = cam.view_matrix, cam.projection_matrix
+    elif stream in ("stress", "mixed"):
+        # bench_stress / bench_mixed geometry + camera verbatim
+        from tinyrenderder_tpu.models import procedural
+        mesh = (procedural.head_wall(grid=3) if stream == "stress"
+                else procedural.mixed_interior(grid=3))
+        view = math3d.lookat((0, 0.3, 6.5), (0, 0, 0), (0, 1, 0))
+        proj = math3d.perspective(60.0, width / height, 0.1, 50.0)
+    else:
+        raise SystemExit(f"unknown stream {stream!r}")
     attrs = {k: np.asarray(v, np.float64)
-             for k, v in head.face_attributes(np.float64).items()}
-    uniforms = shader.build_uniforms(
-        cam.view_matrix, cam.projection_matrix, None, np.float64)
+             for k, v in mesh.face_attributes(np.float64).items()}
+    uniforms = shader.build_uniforms(view, proj, None, np.float64)
     clip, _ = shader.vertex(uniforms, attrs, np)
-    clip = np.ascontiguousarray(clip, dtype=np.float64)
-    print(f"scene: {clip.shape[0]} faces at {width}x{height}",
-          file=sys.stderr)
+    return np.ascontiguousarray(clip, dtype=np.float64)
+
+
+def main():
+    width = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    height = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    stream = sys.argv[4] if len(sys.argv) > 4 else "head"
+
+    clip = build_stream(stream, width, height)
+    print(f"scene: stream={stream} {clip.shape[0]} faces at "
+          f"{width}x{height}", file=sys.stderr)
 
     exe = "/tmp/refharness_bench/refdriver"
     os.makedirs(os.path.dirname(exe), exist_ok=True)
