@@ -161,6 +161,129 @@ def cost_for_mesh(n, width=2048, height=2048, interleave=False,
             "mode": mode, "caps": caps}
 
 
+#: v5e ICI one-way bandwidth per link, bytes/s (public "How to Scale
+#: Your Model" hardware table: 4.5e10 B/s each direction per link; a
+#: v5e-8 is a 2x4 slice whose ring all_gather can use both directions
+#: and both axes — modeling ONE direction of ONE link makes the comm
+#: time an upper bound and the projection conservative).
+V5E_ICI_ONEWAY_BPS = 4.5e10
+#: measured single-chip headline frame time (phong_2048 median,
+#: docs/PERFORMANCE.md round-3 revalidation: 14.3 ms = 288.3 Mpix/s)
+T1_MS = 14.3
+
+
+def gathered_bytes(width=2048, height=2048):
+    """Exact all_gather payload of the geometry-sharded vertex stage:
+    the setup dict + varying planes for the headline pass, computed
+    from eval_shape (nothing executes)."""
+    attrs, s, u = bench_pass(width, height)
+    setup, vary = jax.eval_shape(
+        lambda a, uu: raster_sparse._vertex_setup(a, uu, s, width, height),
+        attrs, u)
+    leaves = jax.tree.leaves((setup, vary))
+    total = sum(int(np.prod(x.shape)) * x.dtype.itemsize for x in leaves)
+    return total, [(x.shape, str(x.dtype)) for x in leaves]
+
+
+def hlo_allgather_bytes(n=8, width=2048, height=2048):
+    """Cross-check: sum the output bytes of every all-gather op in the
+    compiled per-device SPMD module (geom_shard layout)."""
+    import re
+    mesh = dist.make_mesh(n)
+    attrs, s, u = bench_pass(width, height)
+    setup, _ = raster_sparse._vertex_setup(attrs, u, s, width, height)
+    caps = band_caps(setup, "coarse", n, width, height, True)
+    plan = ((s, "coarse", caps, False, 0),)
+    fn = dist._sharded_fused_fn(mesh, plan, width, height,
+                                TILE_H, TILE_W, True, True, True)
+    txt = fn.lower((attrs,), (u,)).compile().as_text()
+    dt_bytes = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "f64": 8,
+                "s64": 8, "u64": 8, "bf16": 2, "f16": 2, "s8": 1,
+                "u8": 1, "s16": 2, "u16": 2}
+    total = 0
+    ops = 0
+    for m in re.finditer(
+            r"= (\w+)\[([\d,]*)\][^ ]* all-gather", txt):
+        ops += 1
+        shape = [int(x) for x in m.group(2).split(",") if x]
+        total += int(np.prod(shape) if shape else 1) * dt_bytes[m.group(1)]
+    return total, ops
+
+
+def band_imbalance(n=8, width=2048, height=2048, interleave=True):
+    """Measured per-band work split: pair totals per device band."""
+    attrs, s, u = bench_pass(width, height)
+    setup, _ = raster_sparse._vertex_setup(attrs, u, s, width, height)
+    nty = height // TILE_H
+    band_nty = nty // n
+    totals = []
+    for b in range(n):
+        if interleave:
+            clip = dict(ty_lo=b, ty_hi=band_nty - 1, ty_stride=n)
+        else:
+            clip = dict(ty_lo=b * band_nty, ty_hi=(b + 1) * band_nty - 1)
+        *_, total = _tile_spans(setup, TILE_W, TILE_H, **clip)
+        totals.append(int(jax.device_get(total)))
+    return totals
+
+
+def comm_model():
+    """Communication-inclusive 8-chip projection (round-4 verdict #4).
+
+    Model (stated): per-device time = T1 x (f8/f1) for compute (time
+    taken proportional to compiled per-device FLOPs — the same
+    assumption the FLOPs-only projection made, now stated) PLUS the
+    geometry all_gather at one-way single-link v5e ICI bandwidth (a
+    ring all_gather moves (N-1)/N of the payload through each link;
+    using one direction of one link upper-bounds the time on the 2x4
+    v5e-8 torus).  The per-pixel stages are collective-free by
+    construction (each device owns its screen band); the only other
+    off-chip traffic is the final frame D2H, which the animation path
+    already overlaps and every bench config excludes."""
+    n = 8
+    width = height = 2048
+    print("\n==== communication-inclusive 8-chip projection ====",
+          flush=True)
+    b_setup, leaves = gathered_bytes(width, height)
+    b_hlo, ops = hlo_allgather_bytes(n, width, height)
+    print(f"all_gather payload (setup leaves, eval_shape): "
+          f"{b_setup / 1e6:.2f} MB/frame over {len(leaves)} arrays")
+    print(f"all_gather output bytes in compiled HLO ({ops} ops, setup + "
+          f"varyings — the authoritative payload): "
+          f"{b_hlo / 1e6:.2f} MB/frame")
+    b_gather = b_hlo if ops else b_setup
+    t_comm_ms = b_gather * (n - 1) / n / V5E_ICI_ONEWAY_BPS * 1e3
+    print(f"ring all_gather time at v5e ICI one-way "
+          f"{V5E_ICI_ONEWAY_BPS / 1e9:.0f} GB/s: {t_comm_ms:.3f} ms "
+          f"({(n - 1) / n * b_gather / 1e6:.2f} MB through each link)")
+
+    tot = band_imbalance(n, width, height, interleave=True)
+    tot_c = band_imbalance(n, width, height, interleave=False)
+    print(f"per-band pair totals (interleaved): {tot} "
+          f"(max/mean {max(tot) / (sum(tot) / n):.3f})")
+    print(f"per-band pair totals (contiguous):  {tot_c} "
+          f"(max/mean {max(tot_c) / (sum(tot_c) / n):.3f})")
+
+    f1 = cost_for_mesh(1)["flops"]
+    f8 = cost_for_mesh(n, interleave=True, geom_shard=True)["flops"]
+    t_compute_ms = T1_MS * f8 / f1
+    t8 = t_compute_ms + t_comm_ms
+    gpix = width * height / (t8 * 1e-3) / 1e9
+    eff = T1_MS / (n * t8)
+    print(f"\n| stage | per-device cost | time model |")
+    print(f"|---|---|---|")
+    print(f"| compute (geom-sharded, interleaved bands) | "
+          f"{f8 / 1e9:.3f} GFLOP = {f8 / f1:.4f} x f1 | "
+          f"{t_compute_ms:.2f} ms |")
+    print(f"| geometry all_gather over ICI | "
+          f"{(n - 1) / n * b_gather / 1e6:.2f} MB/link | "
+          f"{t_comm_ms:.3f} ms |")
+    print(f"| total | | {t8:.2f} ms |")
+    print(f"projected v5e-8: {gpix:.2f} Gpix/s at {width}x{height} "
+          f"(parallel efficiency {eff * 100:.1f}%, "
+          f"T1 = {T1_MS} ms measured median)")
+
+
 def main():
     for interleave in (False, True):
         label = "interleaved" if interleave else "contiguous"
@@ -229,6 +352,8 @@ def main():
         print(f"| ({n_rows},{n_cols}) | {r['flops'] / 1e9:.3f} | "
               f"{r['bytes'] / 1e9:.3f} | "
               f"{r['flops'] / ideal:.2f}x |  caps={r['caps']}", flush=True)
+
+    comm_model()
 
 
 if __name__ == "__main__":
