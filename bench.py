@@ -586,8 +586,9 @@ def main() -> int:
     }
     resamples.append(run(f"phong_{big}_resample1", bench_single_pass,
                          "phong", big, big, warmup, frames))
-    run(f"shadow_phong_{mid}", bench_shadows, mid, mid,
-        max(warmup - 1, 1), max(frames // 2, 1), 1024 if on_tpu else 128)
+    shadow_samples = [run(f"shadow_phong_{mid}", bench_shadows, mid, mid,
+                          max(warmup - 1, 1), max(frames // 2, 1),
+                          1024 if on_tpu else 128)]
     run("reference_default_1200x800" if on_tpu else "reference_default_cpu",
         bench_reference_pipeline, 1200 if on_tpu else 120,
         800 if on_tpu else 80, max(warmup - 1, 1), max(frames // 2, 1))
@@ -624,6 +625,20 @@ def main() -> int:
         vals = sorted(round(r["mpix_s"], 1) for r in mid_samples[name])
         report["configs"][f"{name}_{mid}"]["samples_mpix_s"] = vals
         report["configs"][f"{name}_{mid}"]["best_mpix_s"] = vals[-1]
+    # shadows swing with the same per-dispatch jitter (13.0-14.7 ms best
+    # recorded vs 18+ ms in bad windows) — resample twice and report the
+    # median so one degraded window can't set the recorded number
+    # (round-4 verdict #5)
+    for i in (2, 3):
+        shadow_samples.append(run(f"shadow_phong_{mid}_resample{i - 1}",
+                                  bench_shadows, mid, mid,
+                                  max(warmup - 1, 1), max(frames // 2, 1),
+                                  1024 if on_tpu else 128))
+    svals = sorted(round(r["mpix_s"], 1) for r in shadow_samples)
+    report["configs"][f"shadow_phong_{mid}"]["samples_mpix_s"] = svals
+    report["configs"][f"shadow_phong_{mid}"]["median_mpix_s"] = \
+        svals[len(svals) // 2]
+    report["configs"][f"shadow_phong_{mid}"]["best_mpix_s"] = svals[-1]
 
     # Evidence-based multi-chip projection (this terminal has ONE chip;
     # the 1 Gpix/s BASELINE bar is defined on a v5e-8): per-device XLA
