@@ -1,87 +1,125 @@
-"""Per-stage timing of the two-pass shadow config (VERDICT weak #1).
+"""Per-stage timing of the two-pass shadow config (round-4 verdict #5).
 
-Breaks the 800^2 shadow frame into its components on the current
-backend: host-side scene/shader rebuild, the 1024^2 depth-only light
-pass, each 800^2 shade pass, and the full render_with_shadows frame.
+Decomposes the FUSED shadow frame (the path bench_shadows actually
+measures) with forced-fetch timing (bench._force — block_until_ready is
+not a barrier through the axon tunnel, docs/PERFORMANCE.md):
+
+  1. full fused two-pass frame (light depth + N shade passes)
+  2. the light-view depth-only pass alone, A/B'd across kernel modes
+     (coarse = the shipped depth-only routing, fine, fine2)
+  3. the shadowed shade passes alone (shadow map held fixed)
+
+Usage: python scripts/profile_shadows.py [width height shadow_size frames]
 """
+import os
 import sys
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
-sys.path.insert(0, ".")
 import jax
 
-from bench import _lights, _scene
+from bench import _force, _lights, _measure_rtt, _scene
 from tinyrenderder_tpu import shadows
-from tinyrenderder_tpu.scene import render_scene
+from tinyrenderder_tpu.ops import raster_sparse
 
 
-def t(fn, n=10, warmup=3, block=True):
-    for _ in range(warmup):
-        r = fn()
-        if block:
-            jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    r = None
-    for _ in range(n):
-        r = fn()
-    if block:
-        jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / n
+def timed(fn, frames, reps=3):
+    """Median of ``reps`` pipelined batches of ``frames``, forced-fetch,
+    RTT-subtracted (the bench._time_frames discipline)."""
+    _force(fn())                     # compile
+    _force(fn())                     # warm caps
+    rtt = _measure_rtt()
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(frames):
+            r = fn()
+        _force(r)
+        samples.append((time.perf_counter() - t0 - rtt) / frames)
+    return float(np.median(samples)), rtt
 
 
-W = H = int(sys.argv[1]) if len(sys.argv) > 1 else 800
-SHADOW = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-key, _, _ = _lights()
-scene = _scene(W, H, meshes=3)
-settings = shadows.ShadowSettings(size=SHADOW)
-print("backend:", jax.default_backend(), file=sys.stderr)
+def main():
+    W = H = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+    SM = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    frames = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 
-# --- components ------------------------------------------------------------
-light_cam = shadows.light_camera_for_scene(scene, key, settings)
-print(f"host: light_camera_for_scene: "
-      f"{t(lambda: shadows.light_camera_for_scene(scene, key, settings), block=False)*1e3:.2f} ms")
+    key, _, _ = _lights()
+    scene = _scene(W, H, meshes=3)
+    settings = shadows.ShadowSettings(size=SM)
+    print(f"backend: {jax.default_backend()}  frame {W}x{H}, "
+          f"shadow map {SM}^2", file=sys.stderr)
 
-sm = shadows.render_depth_from_light(scene, light_cam, settings,
-                                     backend='tiled', transfer=False,
-                                     strict_capacity=False)
-print(f"depth pass {SHADOW}^2 (tiled, transfer=False, async cap): "
-      f"{t(lambda: shadows.render_depth_from_light(scene, light_cam, settings, backend='tiled', transfer=False, strict_capacity=False))*1e3:.2f} ms")
+    # --- 1. full fused frame (the bench config) -----------------------------
+    def full():
+        result, _ = shadows.render_with_shadows(
+            scene, key, settings, backend="tiled", frustum_cull=False,
+            collect_stats=False, transfer=False, strict_capacity=False)
+        return result.color
 
-lit = shadows.shadowed_scene(scene, key, sm, light_cam, settings)
-print(f"host: shadowed_scene rebuild: "
-      f"{t(lambda: shadows.shadowed_scene(scene, key, sm, light_cam, settings), block=False)*1e3:.2f} ms")
+    dt, rtt = timed(full, frames)
+    print(f"full fused shadow frame: {dt*1e3:.2f} ms "
+          f"({W*H/dt/1e6:.1f} Mpix/s)  [rtt {rtt*1e3:.1f} ms]")
 
-r = lit.render(backend="tiled", frustum_cull=False, collect_stats=False,
-               transfer=False, strict_capacity=False)
-jax.block_until_ready(r.color)
-print(f"pass-2 shade frame ({len(lit.passes)} passes at {W}x{H}): "
-      f"{t(lambda: lit.render(backend='tiled', frustum_cull=False, collect_stats=False, transfer=False, strict_capacity=False).color)*1e3:.2f} ms")
+    # --- 2. light depth pass alone, per kernel mode --------------------------
+    light_cam = shadows.light_camera_for_scene(scene, key, settings)
+    merged = shadows._merged_world_mesh(scene)
+    from tinyrenderder_tpu.scene import _to_device_cached
+    from tinyrenderder_tpu.shaders import DepthShader
+    dshader = DepthShader()
+    duni = {k: _to_device_cached(v) for k, v in dshader.build_uniforms(
+        light_cam.view_matrix, light_cam.projection_matrix, None,
+        np.float32).items()}
+    dattrs = merged.device_face_attributes(np.float32)
+    print(f"light pass: {merged.nfaces} merged faces at {SM}^2",
+          file=sys.stderr)
 
-# per-pass breakdown of pass 2
-from tinyrenderder_tpu.ops import raster, raster_tiled
-from tinyrenderder_tpu.scene import _pass_inputs
-import jax.numpy as jnp
+    for mode in ("coarse", "fine", "fine2"):
+        old = raster_sparse.FINE_MODE
+        raster_sparse.FINE_MODE = mode
+        try:
+            def depth():
+                ft, _, _ = raster_sparse.render_frame_fused(
+                    [(dattrs, dshader, duni, False)], SM, SM,
+                    strict_capacity=False)
+                return ft.depth
+            dt, _ = timed(depth, frames)
+            print(f"  depth-only pass [{mode}]: {dt*1e3:.2f} ms")
+        except Exception as e:  # noqa: BLE001 — report and move on
+            print(f"  depth-only pass [{mode}]: FAILED ({type(e).__name__}: "
+                  f"{e})")
+        finally:
+            raster_sparse.FINE_MODE = old
 
-fb0 = raster.new_framebuffers(W, H)
-for p in lit.passes:
-    attrs, uniforms = _pass_inputs(lit, p, np.float32, device=True)
+    # --- 3. shadowed shade passes alone (fixed shadow map) ------------------
+    sm = shadows.render_depth_from_light(scene, light_cam, settings,
+                                         backend="tiled", transfer=False,
+                                         strict_capacity=False)
+    lit = shadows.shadowed_scene(scene, key, sm, light_cam, settings)
 
-    def one(attrs=attrs, sh=p.shader, u=uniforms):
-        fb, _ = raster_tiled.render_pass_tiled(fb0, attrs, sh, u,
-                                               strict_capacity=False)
-        return fb.color
-    jax.block_until_ready(one())
-    print(f"  pass '{p.name}' ({p.mesh.nfaces} tris, {p.shader.name}): "
-          f"{t(one)*1e3:.2f} ms")
+    def shade():
+        return lit.render(backend="tiled", frustum_cull=False,
+                          collect_stats=False, transfer=False,
+                          strict_capacity=False).color
 
-def full():
-    result, _ = shadows.render_with_shadows(
-        scene, key, settings, backend="tiled", frustum_cull=False,
-        collect_stats=False, transfer=False, strict_capacity=False)
-    return result.color
+    dt, _ = timed(shade, frames)
+    print(f"shadowed shade passes ({len(lit.passes)} passes at {W}x{H}): "
+          f"{dt*1e3:.2f} ms")
 
-jax.block_until_ready(full())
-print(f"full render_with_shadows frame: {t(full)*1e3:.2f} ms")
-print(f"  dispatch only (no block): {t(full, block=False)*1e3:.2f} ms")
+    # unshadowed baseline for the shadow-sampling overhead
+    def plain():
+        return scene.render(backend="tiled", frustum_cull=False,
+                            collect_stats=False, transfer=False,
+                            strict_capacity=False).color
+
+    dt, _ = timed(plain, frames)
+    print(f"unshadowed shade passes (same scene): {dt*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
