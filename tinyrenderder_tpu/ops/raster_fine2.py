@@ -541,6 +541,40 @@ def _post_fine2_jit(ft, ids, kernel_ids, src, live, d_g, w_g, v_g,
     return FrameTiles(color=new_color, depth=new_depth, winner=new_winner)
 
 
+@functools.partial(jax.jit, static_argnames=("shader", "spec", "tile_h"))
+def _post_fine2_image_jit(kernel_ids, src, live, d_g, v_g,
+                          uniforms, shader, spec, tile_h):
+    """Fresh-frame single-pass variant of _post_fine2_jit for the
+    direct-to-image path (raster_sparse.render_frame_fused_image): the
+    running frame depth is +inf everywhere, so the strict-less merge
+    reduces to ``d_new < inf`` and the winner regroup plus all three
+    frame-tile gathers/scatters vanish.  Returns compact packed-color
+    tiles (A, th, 128) with losers forced to background 0."""
+    from tinyrenderder_tpu.ops.raster_sparse import _pack_rgb
+    from tinyrenderder_tpu.shaders import finalize_color
+
+    a_cap = kernel_ids.shape[0]
+    gc8 = d_g.shape[0] * STRIPS
+    src_c = jnp.clip(src, 0, gc8 - 1)               # (A, 8)
+
+    def to_tiles(x):                                # (A, 8, th, 16) ->
+        return (x.transpose(0, 2, 1, 3)             # (A, th, 128)
+                 .reshape(a_cap, tile_h, STRIPS * STRIP_W))
+
+    d_new = _strips_of(d_g, tile_h)[src_c]          # (A, 8, th, 16)
+    won = live[:, :, None, None] & (d_new < jnp.inf)
+    won_t = to_tiles(won)
+    vary = {}
+    i = 0
+    for name, c in spec:
+        vary[name] = jnp.moveaxis(v_g[:, i:i + c], 1, -1)  # (G, th, tw, c)
+        i += c
+    rgb = shader.fragment(uniforms, vary, jnp)
+    color_g = _pack_rgb(finalize_color(rgb, jnp))   # (G, th, 128) i32
+    c_new = to_tiles(_strips_of(color_g, tile_h)[src_c])
+    return jnp.where(won_t, c_new, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("g_cap", "tile_h"))
 def _init_strips_jit(ft_depth, sid_of, g_cap, tile_h):
     """(G_cap, th, 128) running-depth init for the STATS launch: slot

@@ -1064,43 +1064,226 @@ def render_frame_fused(passes, width: int, height: int,
         tile_h, tile_w, interpret)
 
     if strict_capacity:
-        tot_host = np.asarray(jax.device_get(totals))
-        grown = False
-        for (key, mode), (shader, md, caps, *_), t in zip(
-                keys, plan, tot_host):
-            if not _caps_fit(mode, caps, t):
-                store = _mode_stores(mode)[0]
-                # grow from the CURRENT store, not the plan snapshot:
-                # an earlier same-key pass may have grown it this frame
-                # already and the snapshot write would revert it
-                store[key] = _grow_caps(mode, store.get(key, caps), t,
-                                        n_tiles)
-                if mode != "fine2" and _won_of(mode, t) >= 0:
-                    # a real won-tile measurement is folded in by the
-                    # growth; the depth-only sentinel (wt<0) must not
-                    # consume the one-time w refinement
-                    _w_refined_set(mode).add(key)
-                grown = True
-            else:
-                _won_refine_once(mode, key, _won_of(mode, t), n_tiles)
-        if grown:
+        if _book_strict(keys, plan, totals, n_tiles):
             return render_frame_fused(passes, width, height, tile_h,
                                       tile_w, strict_capacity, interpret)
     else:
-        # merge same-key same-mode passes within this frame before
-        # staging: a pending slot that held only the FIRST pass's totals
-        # made a later same-key pass's overflow invisible to the resolve
-        staged: dict = {}
-        for i, ((key, mode), (shader, md, caps, *_)) in enumerate(
-                zip(keys, plan)):
-            prev = staged.get((key, mode))
-            if prev is None:
-                staged[(key, mode)] = (caps, _StagedTotals(totals, i))
-            else:
-                prev[1].merge_row(i)
-        for (key, mode), (caps, st) in staged.items():
-            _stage_pending(_mode_stores(mode)[1], key, st, caps)
+        _book_async(keys, plan, totals)
     return ft, out_depth, overflow
+
+
+def _book_strict(keys, plan, totals, n_tiles) -> bool:
+    """Strict-mode capacity bookkeeping shared by the fused drivers:
+    fetch the frame's totals once, grow any overflowed caps, consume the
+    one-time won-tile refinements.  Returns True iff anything grew (the
+    caller re-renders)."""
+    tot_host = np.asarray(jax.device_get(totals))
+    grown = False
+    for (key, mode), (shader, md, caps, *_), t in zip(keys, plan, tot_host):
+        if not _caps_fit(mode, caps, t):
+            store = _mode_stores(mode)[0]
+            # grow from the CURRENT store, not the plan snapshot:
+            # an earlier same-key pass may have grown it this frame
+            # already and the snapshot write would revert it
+            store[key] = _grow_caps(mode, store.get(key, caps), t,
+                                    n_tiles)
+            if mode != "fine2" and _won_of(mode, t) >= 0:
+                # a real won-tile measurement is folded in by the
+                # growth; the depth-only sentinel (wt<0) must not
+                # consume the one-time w refinement
+                _w_refined_set(mode).add(key)
+            grown = True
+        else:
+            _won_refine_once(mode, key, _won_of(mode, t), n_tiles)
+    return grown
+
+
+def _book_async(keys, plan, totals) -> None:
+    """Async-mode staging shared by the fused drivers.  Merges same-key
+    same-mode passes within this frame before staging: a pending slot
+    that held only the FIRST pass's totals made a later same-key pass's
+    overflow invisible to the resolve."""
+    staged: dict = {}
+    for i, ((key, mode), (shader, md, caps, *_)) in enumerate(
+            zip(keys, plan)):
+        prev = staged.get((key, mode))
+        if prev is None:
+            staged[(key, mode)] = (caps, _StagedTotals(totals, i))
+        else:
+            prev[1].merge_row(i)
+    for (key, mode), (caps, st) in staged.items():
+        _stage_pending(_mode_stores(mode)[1], key, st, caps)
+
+
+# ---------------------------------------------------------------------------
+# Single-pass direct-to-image fast path (round 4)
+# ---------------------------------------------------------------------------
+
+def _shade_compact_fresh(winner_c, vary_c, ids, n_tiles, uniforms, shader,
+                         spec):
+    """Fragment-shade the compact active tiles of a single pass on a
+    FRESH frame: the kernel's winner >= 0 already IS the merge outcome
+    (nothing to lose against), so the three frame-tile gathers
+    (ft.color/depth/winner[kernel_ids]) and the depth/winner merges of
+    the general post stage vanish.  Returns (packed colors with losers
+    forced to background 0, live won-tile count)."""
+    won = winner_c.astype(jnp.int32) >= 0
+    vary = {}
+    i = 0
+    for name, c in spec:
+        vary[name] = jnp.moveaxis(vary_c[:, i:i + c], 1, -1)
+        i += c
+    rgb = shader.fragment(uniforms, vary, jnp)
+    out = _pack_rgb(finalize_color(rgb, jnp))
+    live = (ids < n_tiles)[:, None, None]
+    c_img = jnp.where(won & live, out, 0)
+    wonk = jnp.any(won, axis=(1, 2)) & (ids < n_tiles)
+    return c_img, jnp.sum(wonk.astype(jnp.int32))
+
+
+def _compact_to_image(c_img, ids, n_tiles, n_tiles_x, n_tiles_y,
+                      tile_h, tile_w, interpret, direct):
+    """Place compact packed-color tiles into a padded (nty*th, ntx*tw)
+    screen-layout image (background 0).
+
+    ``direct=True``: one windowed lax.scatter straight into image layout
+    (padding entries, ids == n_tiles, land in an extra trash tile row
+    that the caller crops — n_tiles // ntx == nty exactly).
+    ``direct=False``: the general path's tile scatter + a color-ONLY
+    untile kernel (the general path untiles all three planes)."""
+    if direct:
+        idx = jnp.stack([(ids // n_tiles_x) * tile_h,
+                         (ids % n_tiles_x) * tile_w], axis=-1)
+        img = jnp.zeros(((n_tiles_y + 1) * tile_h, n_tiles_x * tile_w),
+                        jnp.int32)
+        dn = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0, 1))
+        return jax.lax.scatter(img, idx, c_img, dn,
+                               indices_are_sorted=True,
+                               unique_indices=False)
+    tiles = jnp.zeros((n_tiles, tile_h, tile_w), jnp.int32
+                      ).at[ids].set(c_img, mode="drop")
+    return _untile_one_jit(tiles, n_tiles_x, n_tiles_y, tile_h, tile_w,
+                           interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "plan", "width", "height", "tile_h", "tile_w", "interpret", "direct"))
+def _frame_fused_image_jit(attrs_t, uniforms_t, plan, width, height,
+                           tile_h, tile_w, interpret, direct):
+    """One XLA program for a single-color-pass frame whose only
+    deliverable is the (H, W, 3) image: pre + kernel as in the general
+    fused frame, then the fresh-frame compact shade and ONE placement —
+    no depth/winner tile materialization, no 3-plane untile."""
+    from tinyrenderder_tpu.ops import raster_fine, raster_fine2
+    (shader, mode, caps, _exclude, _offset) = plan[0]
+    attrs, uniforms = attrs_t[0], uniforms_t[0]
+    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_y = _cdiv(height, tile_h)
+    n = n_tiles_x * n_tiles_y
+    spec = tuple(shader.varying_spec.items())
+    n_vary = sum(c for _, c in spec)
+    neg1 = jnp.asarray(-1, jnp.int32)
+    init_depth = jnp.full((n, tile_h, tile_w), jnp.inf, jnp.float32)
+    if mode == "fine":
+        pc, rc, ac, *wrest = caps
+        (setup, rec, ids, kernel_ids, rs, ra, pt, rt, na, _
+         ) = raster_fine._pre_fine_jit(
+            attrs, uniforms, shader, width, height, pc, rc,
+            _next_pow2(rc), ac, tile_h, tile_w)
+        _, w_c, v_c, _ = raster_fine._fine_call_jit(
+            kernel_ids, rs, ra, rec, init_depth,
+            n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
+        c_img, _wt = _shade_compact_fresh(w_c, v_c, ids, n, uniforms,
+                                          shader, spec)
+        ovf = (pt > pc) | (rt > rc) | (na > ac)
+        # won-tile pressure is always the -1 sentinel here: the image
+        # path shades every active tile, so it must never consume or
+        # overflow a shared key's won-tile refinement
+        totals = jnp.stack([pt, rt, na, neg1])
+    elif mode == "fine2":
+        pc, rc, gc, ac = caps
+        (setup, rec, ids, kernel_ids, src, live, sg, rg, x0y0,
+         sid_of, pt, rt, ng, na, _) = raster_fine2._pre_fine2_jit(
+            attrs, uniforms, shader, width, height, pc, rc,
+            _next_pow2(rc), gc, ac, tile_h, tile_w)
+        d_g, w_g, v_g, _ = raster_fine2._fine2_call_jit(
+            sg, rg, rec, x0y0, tile_h, n_vary, interpret)
+        c_img = raster_fine2._post_fine2_image_jit(
+            kernel_ids, src, live, d_g, v_g, uniforms, shader,
+            spec, tile_h)
+        ovf = (pt > pc) | (rt > rc) | (ng > gc) | (na > ac)
+        totals = jnp.stack([pt, rt, ng, na])
+    else:
+        cap, ac, *wrest = caps
+        (setup, records, ids, kernel_ids, sa, ca, total, na
+         ) = _pre_sparse_jit(attrs, uniforms, shader, width, height,
+                             cap, ac, tile_h, tile_w,
+                             rec_cap=_next_pow2(cap))
+        _, w_c, v_c, _ = raster_pallas._pallas_call_sparse_jit(
+            kernel_ids, sa, ca, records, init_depth,
+            n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
+        c_img, _wt = _shade_compact_fresh(w_c, v_c, ids, n, uniforms,
+                                          shader, spec)
+        ovf = (total > cap) | (na > ac)
+        totals = jnp.stack([total, na, neg1, neg1])
+    img = _compact_to_image(c_img, ids, n, n_tiles_x, n_tiles_y,
+                            tile_h, tile_w, interpret, direct)
+    return _unpack_rgb(img[:height, :width]), ovf, totals[None]
+
+
+def render_frame_fused_image(passes, width: int, height: int,
+                             tile_h: int = TILE_H, tile_w: int = TILE_W,
+                             strict_capacity: bool = True,
+                             interpret: bool | None = None,
+                             direct: bool = True):
+    """Render a SINGLE color pass directly to an (H, W, 3) uint8 image.
+
+    The production fast path for frames whose deliverable is the image
+    alone (the reference's per-frame framebuffer write, main.cpp:786 —
+    the z-buffer is an internal there too): identical pre/kernel stages
+    to render_frame_fused, but the post stage never materializes the
+    depth/winner tile planes and the single placement replaces the
+    tile scatter + 3-plane untile.  Bitwise-identical colors to
+    tiles_to_buffers(render_frame_fused(...)).color (tested).
+    Returns (image, overflow-device-bool); capacity semantics match
+    render_frame_fused exactly (shared caches and keys)."""
+    if len(passes) != 1:
+        raise ValueError("render_frame_fused_image takes exactly one pass")
+    attrs, shader, uniforms, _exclude = passes[0]
+    if not shader.writes_color:
+        raise ValueError("render_frame_fused_image needs a color shader")
+    if attrs["position"].shape[0] == 0:
+        raise ValueError("render_frame_fused_image requires a non-empty pass")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_tiles_x = _cdiv(width, tile_w)
+    n_tiles_y = _cdiv(height, tile_h)
+    n_tiles = n_tiles_x * n_tiles_y
+    uniforms = dict(uniforms)
+    f = attrs["position"].shape[0]
+    mode = _decide_mode(attrs, shader, uniforms, width, height,
+                        tile_h, tile_w)
+    key = (f, n_tiles_x, n_tiles_y, tile_h, tile_w)
+    if not strict_capacity:
+        _resolve_pending_mode(mode, key, n_tiles)
+    caps = _resolve_caps_mode(mode, key, attrs, uniforms, shader,
+                              width, height, tile_h, tile_w, n_tiles)
+    plan = ((shader, mode, caps, False, 0),)
+    keys = [(key, mode)]
+    image, overflow, totals = _frame_fused_image_jit(
+        (attrs,), (uniforms,), plan, width, height, tile_h, tile_w,
+        interpret, direct)
+    if strict_capacity:
+        if _book_strict(keys, plan, totals, n_tiles):
+            return render_frame_fused_image(passes, width, height,
+                                            tile_h, tile_w,
+                                            strict_capacity, interpret,
+                                            direct)
+    else:
+        _book_async(keys, plan, totals)
+    return image, overflow
 
 
 def render_frame_tiles(passes, width: int, height: int,
