@@ -96,6 +96,20 @@ def main():
         finally:
             raster_sparse.FINE_MODE = old
 
+    # --- 2b. full fused frame with depth-only kernel routing A/B ------------
+    for dmode in ("coarse", "probe"):
+        old = raster_sparse.DEPTH_ONLY_MODE
+        raster_sparse.DEPTH_ONLY_MODE = dmode
+        try:
+            dt, _ = timed(full, frames)
+            print(f"full fused frame [depth-only routing={dmode}]: "
+                  f"{dt*1e3:.2f} ms ({W*H/dt/1e6:.1f} Mpix/s)")
+        except Exception as e:  # noqa: BLE001
+            print(f"full fused frame [depth-only routing={dmode}]: FAILED "
+                  f"({type(e).__name__}: {e})")
+        finally:
+            raster_sparse.DEPTH_ONLY_MODE = old
+
     # --- 3. shadowed shade passes alone (fixed shadow map) ------------------
     sm = shadows.render_depth_from_light(scene, light_cam, settings,
                                          backend="tiled", transfer=False,

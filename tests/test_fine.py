@@ -94,6 +94,39 @@ def test_fine_multipass_accumulation(meshes):
     _assert_frames_equal(ft_c, ft_f, w, h)
 
 
+def test_fused_depth_only_pass_per_kernel(meshes):
+    """A depth-only pass inside the fused frame stays bitwise-identical
+    to the coarse routing under every kernel (the DEPTH_ONLY_MODE=probe
+    routing would send it to fine/fine2 on structure)."""
+    import jax.numpy as jnp
+    view, proj = default_view()
+    w, h = 256, 128
+    passes = []
+    for name, shader in (("head", DepthShader()),
+                         ("soup", GouraudShader())):
+        p = make_pass(meshes[name], shader, view, proj)
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        passes.append((attrs, p.shader, dict(p.uniforms), False))
+    ref = None
+    old = raster_sparse.FINE_MODE
+    try:
+        for mode in ("coarse", "fine", "fine2"):
+            raster_sparse.FINE_MODE = mode
+            ft, od, ovf = raster_sparse.render_frame_fused(
+                passes, w, h, strict_capacity=True)
+            assert not bool(ovf)
+            fb = raster_sparse.tiles_to_buffers(ft, w, h)
+            cur = (np.asarray(fb.color), np.asarray(fb.depth),
+                   np.asarray(fb.winner))
+            if ref is None:
+                ref = cur
+            else:
+                for a, b in zip(ref, cur):
+                    np.testing.assert_array_equal(a, b)
+    finally:
+        raster_sparse.FINE_MODE = old
+
+
 def test_fine_exact_stats_match_coarse(meshes):
     """The overdraw-inclusive event counters must agree with the coarse
     kernel's (both implement our_gl.cpp:194-200 semantics)."""

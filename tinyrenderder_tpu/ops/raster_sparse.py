@@ -571,6 +571,14 @@ def render_pass_tiles(ft: FrameTiles, attrs: dict, shader, uniforms: dict,
 # ---------------------------------------------------------------------------
 
 FINE_MODE = "auto"            # "auto" | "fine" | "fine2" | "coarse"
+
+#: Kernel routing for depth-only passes (writes_color=False, e.g. the
+#: shadow light pass): "coarse" (shipped default) or "probe" (the same
+#: structure probe color passes use — the fine/fine2 kernels handle
+#: n_vary == 0 and are bitwise-tested on DepthShader).  Flip by data
+#: only: scripts/profile_shadows.py A/Bs the fused shadow frame across
+#: both settings.
+DEPTH_ONLY_MODE = "coarse"
 _FINE_DECISION: dict = {}
 
 #: grouped rows must undercut per-tile rows by this factor before the
@@ -618,11 +626,13 @@ def _decide_mode(attrs, shader, uniforms, width, height,
     n_tiles_y = _cdiv(height, tile_h)
     n_vary = (sum(shader.varying_spec.values())
               if shader.writes_color else 0)
+    depth_only = not shader.writes_color
     dkey = (f, n_tiles_x, n_tiles_y, tile_h, tile_w,
-            shader.writes_color, n_vary)
+            shader.writes_color, n_vary,
+            DEPTH_ONLY_MODE if depth_only else "")
     mode = _FINE_DECISION.get(dkey)
     if mode is None:
-        if (not shader.writes_color or f < 512
+        if ((depth_only and DEPTH_ONLY_MODE == "coarse") or f < 512
                 or n_vary > raster_fine.MAX_VARY
                 or tile_w != TILE_W
                 or jax.default_backend() != "tpu"):
