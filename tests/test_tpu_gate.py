@@ -248,6 +248,29 @@ def test_fused_frame_matches_loop_on_tpu(meshes):
     np.testing.assert_array_equal(np.asarray(od_l), np.asarray(od_f))
 
 
+def test_image_path_matches_fused_on_tpu(meshes):
+    """The single-pass direct-to-image path with real Mosaic kernels:
+    both placement variants must reproduce the general fused frame's
+    colors bitwise on hardware (the windowed image-layout scatter and
+    the color-only untile are TPU-lowering-sensitive)."""
+    import jax.numpy as jnp
+
+    view, proj = default_view()
+    w, h = 256, 128
+    p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM,
+                                              normal_map_strength=0.5),
+                  view, proj)
+    attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+    passes = [(attrs, p.shader, dict(p.uniforms), False)]
+    ft, _, _ = raster_sparse.render_frame_fused(passes, w, h)
+    ref = np.asarray(raster_sparse.tiles_to_buffers(ft, w, h).color)
+    for direct in (True, False):
+        img, ovf = raster_sparse.render_frame_fused_image(
+            passes, w, h, direct=direct)
+        assert not bool(ovf)
+        np.testing.assert_array_equal(np.asarray(img), ref)
+
+
 def test_postprocess_device_matches_host_on_tpu(meshes):
     """The fused z-viz + 64-tap SSAO + composite dispatch compiled for
     this chip vs the host numpy reference path (main.cpp:743-786
