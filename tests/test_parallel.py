@@ -855,3 +855,84 @@ def test_geometry_tiles_caps_grow_under_motion(meshes):
     ref = np.asarray(raster_sparse.tiles_to_buffers(ref_ft, w, h).color)
     got = np.asarray(raster_sparse.tiles_to_buffers(ft3, w, h).color)
     assert (got == ref).all()
+
+
+@pytest.mark.parametrize("n_devices,kernel,interleave,direct", [
+    (8, "coarse", False, True), (8, "fine", False, False),
+    (8, "fine", True, True), (8, "fine2", True, False),
+    (2, "fine", False, True)])
+def test_fused_image_sharded_bitwise(meshes, n_devices, kernel,
+                                     interleave, direct):
+    """render_frame_fused_image_sharded (single-pass direct-to-image
+    under row-band shard_map) must be BITWISE identical to the
+    single-device image path — contiguous and interleaved bands, both
+    placement variants, every kernel."""
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough virtual devices")
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    w, h = 128, 16 * 8
+    view, proj = default_view()
+    p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
+    import jax.numpy as jnp
+    passes = [({k: jnp.asarray(v) for k, v in p.attrs.items()},
+               p.shader, dict(p.uniforms), False)]
+    saved = raster_sparse.FINE_MODE
+    raster_sparse.FINE_MODE = kernel
+    raster_sparse._FINE_DECISION.clear()
+    try:
+        ref, _ = raster_sparse.render_frame_fused_image(
+            passes, w, h, direct=direct)
+        mesh = dist.make_mesh(n_devices)
+        img, ovf = dist.render_frame_fused_image_sharded(
+            mesh, passes, w, h, interleave=interleave, direct=direct)
+        # really distributed: one band shard per device (pre-reorder
+        # the rows live band-sharded; the deinterleave reshuffle only
+        # runs for interleave=True)
+        np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
+        assert not bool(np.asarray(ovf).any())
+    finally:
+        raster_sparse.FINE_MODE = saved
+        raster_sparse._FINE_DECISION.clear()
+
+
+def test_fused_image_sharded_async_capacity(meshes):
+    """Async mode: seeded-tiny caps overflow (flagged same frame), the
+    staged per-band totals resolve a frame late, growth lands, and a
+    later frame is exact."""
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough virtual devices")
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    w, h = 128, 16 * 8
+    view, proj = default_view()
+    p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
+    import jax.numpy as jnp
+    passes = [({k: jnp.asarray(v) for k, v in p.attrs.items()},
+               p.shader, dict(p.uniforms), False)]
+    saved = raster_sparse.FINE_MODE
+    raster_sparse.FINE_MODE = "coarse"
+    raster_sparse._FINE_DECISION.clear()
+    try:
+        ref, _ = raster_sparse.render_frame_fused_image(passes, w, h)
+        mesh = dist.make_mesh(2)
+        f = passes[0][0]["position"].shape[0]
+        key = (f, 1, 8, 16, 128, 2, 1, "coarse", "fused-sharded", False)
+        dist._SHARD_FUSED_CAPS[key] = (8, 8, 8)
+        dist._SHARD_FUSED_PENDING.pop(key, None)
+        dist._SHARD_FUSED_REFINED.discard(key)
+        img, ovf = dist.render_frame_fused_image_sharded(
+            mesh, passes, w, h, strict_capacity=False)
+        assert bool(np.asarray(ovf).any())
+        np.asarray(img)                      # land the staged totals
+        for _ in range(4):
+            img, ovf = dist.render_frame_fused_image_sharded(
+                mesh, passes, w, h, strict_capacity=False)
+            if not bool(np.asarray(ovf).any()):
+                break
+            np.asarray(img)
+        assert not bool(np.asarray(ovf).any())
+        np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
+    finally:
+        raster_sparse.FINE_MODE = saved
+        raster_sparse._FINE_DECISION.clear()

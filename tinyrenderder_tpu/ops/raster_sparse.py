@@ -1178,33 +1178,40 @@ def _compact_to_image(c_img, ids, n_tiles, n_tiles_x, n_tiles_y,
                            interpret)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "plan", "width", "height", "tile_h", "tile_w", "interpret", "direct"))
-def _frame_fused_image_jit(attrs_t, uniforms_t, plan, width, height,
-                           tile_h, tile_w, interpret, direct):
-    """One XLA program for a single-color-pass frame whose only
-    deliverable is the (H, W, 3) image: pre + kernel as in the general
-    fused frame, then the fresh-frame compact shade and ONE placement —
-    no depth/winner tile materialization, no 3-plane untile."""
+def _fused_image_body(attrs_t, uniforms_t, plan, width, height,
+                      tile_h, tile_w, interpret, direct, ty_lo=None,
+                      nty_band=None, origin=None, ty_stride=1,
+                      geom_axis=None):
+    """Trace a single-color-pass frame straight to a packed (rows*th,
+    ntx*tw) int32 image: pre + kernel as in _fused_frame_body, then the
+    fresh-frame compact shade and ONE placement — no depth/winner tile
+    materialization, no 3-plane untile.  With ``ty_lo``/``nty_band``/
+    ``origin``/``ty_stride`` the frame is a horizontal band of the
+    screen (the sharded production path runs this body per device
+    inside shard_map, exactly like _fused_frame_body)."""
     from tinyrenderder_tpu.ops import raster_fine, raster_fine2
     (shader, mode, caps, _exclude, _offset) = plan[0]
     attrs, uniforms = attrs_t[0], uniforms_t[0]
     n_tiles_x = _cdiv(width, tile_w)
-    n_tiles_y = _cdiv(height, tile_h)
+    n_tiles_y = nty_band if nty_band is not None else _cdiv(height, tile_h)
     n = n_tiles_x * n_tiles_y
     spec = tuple(shader.varying_spec.items())
     n_vary = sum(c for _, c in spec)
     neg1 = jnp.asarray(-1, jnp.int32)
+    y_stride = None if ty_stride == 1 else tile_h * ty_stride
     init_depth = jnp.full((n, tile_h, tile_w), jnp.inf, jnp.float32)
     if mode == "fine":
         pc, rc, ac, *wrest = caps
         (setup, rec, ids, kernel_ids, rs, ra, pt, rt, na, _
          ) = raster_fine._pre_fine_jit(
             attrs, uniforms, shader, width, height, pc, rc,
-            _next_pow2(rc), ac, tile_h, tile_w)
+            _next_pow2(rc), ac, tile_h, tile_w,
+            ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride,
+            geom_axis=geom_axis)
         _, w_c, v_c, _ = raster_fine._fine_call_jit(
             kernel_ids, rs, ra, rec, init_depth,
-            n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
+            n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
+            origin=origin, y_stride=y_stride)
         c_img, _wt = _shade_compact_fresh(w_c, v_c, ids, n, uniforms,
                                           shader, spec)
         ovf = (pt > pc) | (rt > rc) | (na > ac)
@@ -1217,9 +1224,11 @@ def _frame_fused_image_jit(attrs_t, uniforms_t, plan, width, height,
         (setup, rec, ids, kernel_ids, src, live, sg, rg, x0y0,
          sid_of, pt, rt, ng, na, _) = raster_fine2._pre_fine2_jit(
             attrs, uniforms, shader, width, height, pc, rc,
-            _next_pow2(rc), gc, ac, tile_h, tile_w)
+            _next_pow2(rc), gc, ac, tile_h, tile_w,
+            ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride,
+            geom_axis=geom_axis)
         d_g, w_g, v_g, _ = raster_fine2._fine2_call_jit(
-            sg, rg, rec, x0y0, tile_h, n_vary, interpret)
+            sg, rg, rec, x0y0, tile_h, n_vary, interpret, origin=origin)
         c_img = raster_fine2._post_fine2_image_jit(
             kernel_ids, src, live, d_g, v_g, uniforms, shader,
             spec, tile_h)
@@ -1230,16 +1239,31 @@ def _frame_fused_image_jit(attrs_t, uniforms_t, plan, width, height,
         (setup, records, ids, kernel_ids, sa, ca, total, na
          ) = _pre_sparse_jit(attrs, uniforms, shader, width, height,
                              cap, ac, tile_h, tile_w,
-                             rec_cap=_next_pow2(cap))
+                             rec_cap=_next_pow2(cap),
+                             ty_lo=ty_lo, nty_band=nty_band,
+                             ty_stride=ty_stride, geom_axis=geom_axis)
         _, w_c, v_c, _ = raster_pallas._pallas_call_sparse_jit(
             kernel_ids, sa, ca, records, init_depth,
-            n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret)
+            n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
+            origin=origin, y_stride=y_stride)
         c_img, _wt = _shade_compact_fresh(w_c, v_c, ids, n, uniforms,
                                           shader, spec)
         ovf = (total > cap) | (na > ac)
         totals = jnp.stack([total, na, neg1, neg1])
     img = _compact_to_image(c_img, ids, n, n_tiles_x, n_tiles_y,
                             tile_h, tile_w, interpret, direct)
+    return img[:n_tiles_y * tile_h], ovf, totals
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "plan", "width", "height", "tile_h", "tile_w", "interpret", "direct"))
+def _frame_fused_image_jit(attrs_t, uniforms_t, plan, width, height,
+                           tile_h, tile_w, interpret, direct):
+    """One XLA program for a single-color-pass frame whose only
+    deliverable is the (H, W, 3) image (see _fused_image_body)."""
+    img, ovf, totals = _fused_image_body(attrs_t, uniforms_t, plan,
+                                         width, height, tile_h, tile_w,
+                                         interpret, direct)
     return _unpack_rgb(img[:height, :width]), ovf, totals[None]
 
 

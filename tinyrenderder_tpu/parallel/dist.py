@@ -822,6 +822,134 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
     return ft, out_depth, overflow
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_fused_image_fn(mesh: Mesh, plan, width: int, height: int,
+                            tile_h: int, tile_w: int, interpret: bool,
+                            interleave: bool, geom_shard: bool,
+                            direct: bool):
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    n = mesh.devices.size
+    nty = height // tile_h
+    band_tiles_y = nty // n
+
+    def shard_body(attrs_t, uniforms_t):
+        b = jax.lax.axis_index(AXIS)
+        if interleave:
+            ty_lo = b.astype(jnp.int32)
+            origin = jnp.stack([jnp.int32(0),
+                                (b * tile_h).astype(jnp.int32)])
+            stride = n
+        else:
+            ty_lo = (b * band_tiles_y).astype(jnp.int32)
+            origin = jnp.stack([jnp.int32(0),
+                                (ty_lo * tile_h).astype(jnp.int32)])
+            stride = 1
+        img, overflow, totals = raster_sparse._fused_image_body(
+            attrs_t, uniforms_t, plan, width, height, tile_h, tile_w,
+            interpret, direct, ty_lo=ty_lo, nty_band=band_tiles_y,
+            origin=origin, ty_stride=stride,
+            geom_axis=(AXIS if geom_shard else None))
+        return img, overflow.reshape(1), totals[None][None]
+
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        check_vma=False)          # pallas outputs carry no vma metadata
+    return jax.jit(mapped)
+
+
+def render_frame_fused_image_sharded(mesh: Mesh, passes, width: int,
+                                     height: int, tile_h: int | None = None,
+                                     tile_w: int | None = None,
+                                     strict_capacity: bool = True,
+                                     interleave: bool = False,
+                                     geom_shard: bool = True,
+                                     direct: bool = True):
+    """Single-color-pass direct-to-image under the sharded fused
+    pipeline (1-D row meshes): each device renders its band straight to
+    packed image rows (raster_sparse._fused_image_body — no depth/
+    winner tile planes, no 3-plane untile) and the concatenated rows
+    ARE the frame.  Bitwise-identical to the single-device
+    render_frame_fused_image (tested).  Capacity keys, seeding,
+    refinement, and async staging are shared verbatim with
+    render_frame_fused_sharded (the image path reports the won-tile
+    sentinel, so it never consumes a shared key's w refinement).
+    Returns ((H, W, 3) uint8 device array, per-band overflow bools)."""
+    from tinyrenderder_tpu.ops import raster_sparse
+    from tinyrenderder_tpu.ops.raster_tiled import TILE_H, TILE_W
+
+    if tile_h is None:
+        tile_h = TILE_H
+    if tile_w is None:
+        tile_w = TILE_W
+    if mesh.axis_names != (AXIS,):
+        raise ValueError("render_frame_fused_image_sharded needs a 1-D "
+                         "row mesh (make_mesh)")
+    if len(passes) != 1:
+        raise ValueError("render_frame_fused_image_sharded takes exactly "
+                         "one pass")
+    attrs, shader, uniforms, _exclude = passes[0]
+    if not shader.writes_color:
+        raise ValueError("render_frame_fused_image_sharded needs a color "
+                         "shader")
+    n = mesh.devices.size
+    if height % (n * tile_h):
+        raise ValueError(f"height {height} not divisible into {n} "
+                         f"tile-aligned bands")
+    if width % tile_w:
+        raise ValueError(f"width {width} not tile-aligned")
+    n_tiles_x = width // tile_w
+    nty = height // tile_h
+    band_tiles_y = nty // n
+    n_tiles_band = n_tiles_x * band_tiles_y
+    n_tiles_full = n_tiles_x * nty
+    interpret = jax.default_backend() != "tpu"
+
+    f = attrs["position"].shape[0]
+    if f == 0:
+        raise ValueError("render_frame_fused_image_sharded requires a "
+                         "non-empty pass")
+    attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
+    uniforms = dict(uniforms)
+    mode = raster_sparse._decide_mode(attrs, shader, uniforms, width,
+                                      height, tile_h, tile_w)
+    key = (f, n_tiles_x, nty, tile_h, tile_w, n, 1, mode,
+           "fused-sharded", interleave)
+    caps = _SHARD_FUSED_CAPS.get(key)
+    if caps is None:
+        caps = raster_sparse._resolve_caps_mode(
+            mode, (f, n_tiles_x, nty), attrs, uniforms, shader,
+            width, height, tile_h, tile_w, n_tiles_full)
+        caps = _clamp_band_caps(mode, caps, n_tiles_band)
+        _SHARD_FUSED_CAPS[key] = caps
+    elif not strict_capacity:
+        _resolve_fused_pending(key, mode, n_tiles_band)
+        caps = _SHARD_FUSED_CAPS[key]
+    plan = ((shader, mode, caps, False, 0),)
+
+    fn = _sharded_fused_image_fn(mesh, plan, width, height, tile_h,
+                                 tile_w, interpret, interleave,
+                                 geom_shard, direct)
+    img, overflow, totals = fn((attrs,), (uniforms,))
+    # totals: (n_bands, 1, 4)
+
+    if strict_capacity:
+        t_max = np.asarray(jax.device_get(totals)).max(axis=0)[0]
+        if _fold_fused_totals(key, mode, t_max, n_tiles_band):
+            return render_frame_fused_image_sharded(
+                mesh, passes, width, height, tile_h, tile_w,
+                strict_capacity, interleave, geom_shard, direct)
+    else:
+        st = raster_sparse._StagedTotals(totals, 0, axis=1)
+        raster_sparse._stage_pending(_SHARD_FUSED_PENDING, key, st,
+                                     _SHARD_FUSED_CAPS[key])
+    if interleave:
+        img = _deinterleave_rows(img, n, band_tiles_y, tile_h)
+    return raster_sparse._unpack_rgb(img[:height, :width]), overflow
+
+
 def _resolve_fused_pending(key, mode, n_tiles_band):
     """Async capacity bookkeeping for the sharded fused path: fold a
     previous frame's per-band totals in once their D2H lands.  The first
