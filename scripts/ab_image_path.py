@@ -29,8 +29,16 @@ from tinyrenderder_tpu.scene import _to_device_cached
 
 
 def build_scene(scene, width, height):
-    if scene == "head":
-        attrs, shader, uniforms = build_pass(width, height)
+    if scene in ("head", "gouraud", "textured"):
+        shader = None
+        if scene != "head":
+            from bench import _lights
+            from tinyrenderder_tpu.shaders import (GouraudShader,
+                                                   TexturedShader)
+            key, _, _ = _lights()
+            shader = (GouraudShader(light_world=key) if scene == "gouraud"
+                      else TexturedShader(light_world=key))
+        attrs, shader, uniforms = build_pass(width, height, shader=shader)
     elif scene in ("stress", "mixed"):
         from tinyrenderder_tpu import math3d
         from tinyrenderder_tpu.models import procedural
