@@ -19,6 +19,13 @@ import time
 
 import numpy as np
 
+# Before ANY jax import (the env form also reaches the probe/reference
+# subprocesses): Mosaic compiles take 1-3 min per config without the
+# persistent cache (docs/PERFORMANCE.md) — r04 lost 192 s to one cold
+# gouraud compile because code edits change the cache keys; the cache
+# dir at least guarantees driver re-runs at the same HEAD are warm.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -201,17 +208,29 @@ def _time_frames(frame_fn, warmup, frames, batches: int = 3):
             r = frame_fn()
         _force(r)
         samples.append((time.perf_counter() - t0 - rtt) / frames)
-    return float(np.median(samples)), compile_s, rtt
+    return float(np.median(samples)), compile_s, rtt, samples
 
 
-def _timing_fields(dt, compile_s, rtt):
+def _timing_fields(dt, compile_s, rtt, samples=None):
     """Per-config record incl. the tunnel RTT measured right before the
     timed batches: a degradation window starting MID-suite (observed:
     they last tens of minutes) is then visible per config in
-    bench_report.json instead of only at the start-of-suite gate."""
-    return {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
-            "compile_s": compile_s, "rtt_ms": round(rtt * 1e3, 2),
-            "rtt_degraded": bool(rtt >= 1.0)}
+    bench_report.json instead of only at the start-of-suite gate.
+
+    ``samples`` (per-batch frame times, seconds) yields the per-config
+    dispersion bound (round-4 verdict #7): batch samples + the median
+    absolute deviation, so a cross-round delta can be judged against
+    the measured within-run noise instead of eyeballed."""
+    out = {"frame_ms": dt * 1e3, "fps": 1.0 / dt,
+           "compile_s": compile_s, "rtt_ms": round(rtt * 1e3, 2),
+           "rtt_degraded": bool(rtt >= 1.0)}
+    if samples:
+        ms = sorted(s * 1e3 for s in samples)
+        med = ms[len(ms) // 2]
+        out["samples_frame_ms"] = [round(s, 3) for s in ms]
+        out["mad_frame_ms"] = round(float(np.median(
+            [abs(s - med) for s in ms])), 3)
+    return out
 
 
 def bench_single_pass(shader_name, width, height, warmup, frames):
@@ -235,17 +254,31 @@ def bench_single_pass(shader_name, width, height, warmup, frames):
 
     from tinyrenderder_tpu.ops import raster_sparse
 
-    def frame():
-        ft, _, _ = raster_sparse.render_frame_fused(
-            [(attrs, shader, uniforms, False)], width, height,
-            strict_capacity=False)
-        # the frame deliverable is the (H, W) image: untile is in the
-        # measured loop (the one per-frame layout conversion)
-        return raster_sparse.tiles_to_buffers(ft, width, height).color
+    if os.environ.get("BENCH_IMAGE_PATH", "1") != "0":
+        # PRODUCTION route for image-only frames (round-4 lever, wired
+        # round 5): the single-pass direct-to-image fused program — no
+        # depth/winner tile planes, one windowed placement instead of
+        # the tile scatter + 3-plane untile.  Bitwise-identical colors
+        # to the general chain (tests/test_image_path.py); A/B either
+        # way with scripts/ab_image_path.py.  BENCH_IMAGE_PATH=0
+        # restores the general chain.
+        def frame():
+            img, _ = raster_sparse.render_frame_fused_image(
+                [(attrs, shader, uniforms, False)], width, height,
+                strict_capacity=False)
+            return img
+    else:
+        def frame():
+            ft, _, _ = raster_sparse.render_frame_fused(
+                [(attrs, shader, uniforms, False)], width, height,
+                strict_capacity=False)
+            # the frame deliverable is the (H, W) image: untile is in
+            # the measured loop (the one per-frame layout conversion)
+            return raster_sparse.tiles_to_buffers(ft, width, height).color
 
-    dt, compile_s, rtt = _time_frames(frame, warmup, frames)
+    dt, compile_s, rtt, samples = _time_frames(frame, warmup, frames)
     return {"mpix_s": width * height / dt / 1e6,
-            **_timing_fields(dt, compile_s, rtt)}
+            **_timing_fields(dt, compile_s, rtt, samples)}
 
 
 def bench_shadows(width, height, warmup, frames, shadow_size=1024):
@@ -260,9 +293,9 @@ def bench_shadows(width, height, warmup, frames, shadow_size=1024):
             collect_stats=False, transfer=False, strict_capacity=False)
         return result.color
 
-    dt, compile_s, rtt = _time_frames(frame, warmup, frames)
+    dt, compile_s, rtt, samples = _time_frames(frame, warmup, frames)
     return {"mpix_s": width * height / dt / 1e6,
-            **_timing_fields(dt, compile_s, rtt)}
+            **_timing_fields(dt, compile_s, rtt, samples)}
 
 
 def bench_stress(width, height, warmup, frames, grid=3):
@@ -294,10 +327,10 @@ def bench_stress(width, height, warmup, frames, grid=3):
             strict_capacity=False)
         return raster_sparse.tiles_to_buffers(ft, width, height).color
 
-    dt, compile_s, rtt = _time_frames(frame, warmup, frames)
+    dt, compile_s, rtt, samples = _time_frames(frame, warmup, frames)
     return {"mpix_s": width * height / dt / 1e6,
             "mtri_s": wall.nfaces / dt / 1e6,
-            **_timing_fields(dt, compile_s, rtt)}
+            **_timing_fields(dt, compile_s, rtt, samples)}
 
 
 def bench_mixed(width, height, warmup, frames, grid=3):
@@ -335,14 +368,14 @@ def bench_mixed(width, height, warmup, frames, grid=3):
     # reported decisions are the ones THIS config's passes made, not the
     # accumulated history of every earlier config in the suite
     before = set(raster_sparse._FINE_DECISION)
-    dt, compile_s, rtt = _time_frames(frame, warmup, frames)
+    dt, compile_s, rtt, samples = _time_frames(frame, warmup, frames)
     decision = {k: v for k, v in raster_sparse._FINE_DECISION.items()
                 if k not in before}
     log(f"  dispatch decisions: {decision}")
     return {"mpix_s": width * height / dt / 1e6,
             "mtri_s": interior.nfaces / dt / 1e6,
             "dispatch": {str(k): v for k, v in decision.items()},
-            **_timing_fields(dt, compile_s, rtt)}
+            **_timing_fields(dt, compile_s, rtt, samples)}
 
 
 def bench_sharded_mesh1(width, height, warmup, frames):
@@ -371,9 +404,9 @@ def bench_sharded_mesh1(width, height, warmup, frames):
             mesh, passes, width, height, strict_capacity=False)
         return dist.tiles_to_buffers_sharded(mesh, ft, width, height).color
 
-    dt, compile_s, rtt = _time_frames(frame, warmup, frames)
+    dt, compile_s, rtt, samples = _time_frames(frame, warmup, frames)
     return {"mpix_s": width * height / dt / 1e6,
-            **_timing_fields(dt, compile_s, rtt)}
+            **_timing_fields(dt, compile_s, rtt, samples)}
 
 
 def bench_reference_pipeline(width, height, warmup, frames):
@@ -397,9 +430,9 @@ def bench_reference_pipeline(width, height, warmup, frames):
         _, _, final = post.postprocess_device(result.color, result.depth)
         return final
 
-    dt, compile_s, rtt = _time_frames(frame, warmup, frames)
+    dt, compile_s, rtt, samples = _time_frames(frame, warmup, frames)
     return {"mpix_s": width * height / dt / 1e6,
-            **_timing_fields(dt, compile_s, rtt)}
+            **_timing_fields(dt, compile_s, rtt, samples)}
 
 
 def bench_animation(width, height, frames):
@@ -483,14 +516,26 @@ def bench_animation_tga(width, height, frames):
             "frames_written": written, "compile_s": 0.0}
 
 
-def _bounded_backend_probe(tries: int = 5, timeout_s: int = 240) -> bool:
+def _bounded_backend_probe(tries: int = 6, budget_s: float = 600.0) -> bool:
     """Axon plugin init can HANG (not error) while the device tunnel is
     down — observed outages exceed 4 h (docs/PERFORMANCE.md).  Probe
     backend init in a killable subprocess first so the bench process
-    itself can never hang forever: True = init completed."""
+    itself can never hang forever: True = init completed.
+
+    Spend is budgeted (round-4 verdict #2: r04 burned 480 s on two
+    240 s hangs BEFORE producing any number): short attempts first —
+    a healthy init takes ~15-40 s — so a transient degradation is
+    re-probed quickly, with the total probe spend capped at
+    ``budget_s`` regardless of per-attempt timeouts."""
     import subprocess
     import sys
+    deadline = time.time() + budget_s
     for attempt in range(tries):
+        left = deadline - time.time()
+        if left <= 10:
+            log(f"backend probe budget ({budget_s:.0f}s) exhausted")
+            return False
+        timeout_s = min(90 if attempt < 2 else 240, left)
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
@@ -502,9 +547,51 @@ def _bounded_backend_probe(tries: int = 5, timeout_s: int = 240) -> bool:
             log(f"backend probe attempt {attempt + 1}: rc={r.returncode}")
         except subprocess.TimeoutExpired:
             log(f"backend probe attempt {attempt + 1}: init hang "
-                f"({timeout_s}s) — tunnel down?")
-        time.sleep(30)
+                f"({timeout_s:.0f}s) — tunnel down?")
+        time.sleep(min(30, max(deadline - time.time(), 0)))
     return False
+
+
+#: Round-3 revalidated medians (Mpix/s) — BENCH_r03.json + the
+#: session-6 HEAD revalidation (docs/PERFORMANCE.md).  Each r05 config
+#: is judged against these with its own measured dispersion so a delta
+#: is labelled signal or noise instead of eyeballed (round-4 verdict #7).
+_R03_MPIX = {
+    "phong_2048": 288.3, "phong_2048_resample1": 288.3,
+    "phong_2048_resample2": 288.3,
+    "gouraud_800": 198.4, "gouraud_800_resample1": 198.4,
+    "textured_800": 160.2, "textured_800_resample1": 160.2,
+    "shadow_phong_800": 49.3, "shadow_phong_800_resample1": 49.3,
+    "shadow_phong_800_resample2": 49.3,
+    "reference_default_1200x800": 139.3,
+    "sponza_scale_246k_1280x800": 56.2,
+    "mixed_interior_1280x800": 53.1,
+    "phong_2048_sharded_mesh1": 288.6,
+    "animation_multimesh_2048": 162.6,     # 25.8 ms/frame render-only
+    "animation_tga_writes_2048": 10.2,     # 411.8 ms/frame (D2H-bound)
+}
+
+
+def _vs_r03(name: str, rec: dict) -> None:
+    """Annotate a config record with the round-3 delta and whether it
+    exceeds the run's own noise: the band is max(3 x MAD-derived
+    throughput spread, 8%) — sub-5 ms configs swing ±20-60% with the
+    tunnel window (docs/PERFORMANCE.md), so their banding comes from
+    the measured per-batch dispersion, not a fixed threshold."""
+    r03 = _R03_MPIX.get(name)
+    if not r03 or "mpix_s" not in rec:
+        return
+    now = rec["mpix_s"]
+    band_pct = 8.0
+    if rec.get("mad_frame_ms") and rec.get("frame_ms"):
+        mad_pct = 100.0 * 3.0 * rec["mad_frame_ms"] / rec["frame_ms"]
+        band_pct = max(band_pct, mad_pct)
+    delta_pct = 100.0 * (now - r03) / r03
+    rec["vs_r03"] = {
+        "r03_mpix_s": r03, "delta_pct": round(delta_pct, 1),
+        "noise_band_pct": round(band_pct, 1),
+        "significant": bool(abs(delta_pct) > band_pct),
+    }
 
 
 def _ensure_native() -> None:
@@ -567,34 +654,62 @@ def main() -> int:
         log(f"tunnel: rtt {report['tunnel']['rtt_s'] * 1e3:.1f} ms"
             + (" (DEGRADED)" if report["tunnel"]["degraded"] else ""))
 
+    def flush_report():
+        # incremental flush after EVERY config (round-4 verdict #2): a
+        # driver timeout mid-suite now leaves every completed config's
+        # numbers on disk instead of losing the whole round (r04 died
+        # with 4 configs measured and zero recorded)
+        tmp = "bench_report.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(report, f, indent=2)
+        os.replace(tmp, "bench_report.json")
+
     def run(name, fn, *a):
         t0 = time.perf_counter()
         r = fn(*a)
+        if on_tpu:
+            _vs_r03(name, r)
         report["configs"][name] = r
         log(f"  {name}: {r['frame_ms']:.1f} ms/frame, {r['fps']:.1f} fps, "
             f"{r['mpix_s']:.1f} Mpix/s (compile {r['compile_s']:.0f}s, "
             f"total {time.perf_counter() - t0:.0f}s)")
+        flush_report()
         return r
+
+    def print_headline(value, provisional):
+        # The headline metric line.  The PROVISIONAL line lands right
+        # after the first resample so a driver timeout can never again
+        # zero the round (r04: rc=124, parsed null); the final line —
+        # the suite median — replaces it when the run completes (the
+        # driver parses the LAST metric line on stdout).
+        print(json.dumps({
+            "metric": f"phong_shaded_throughput_{big}x{big}_{backend}"
+                      + ("_provisional" if provisional else ""),
+            "value": round(value, 2),
+            "unit": "Mpix/s",
+            "vs_baseline": round(value / 1000.0, 4),
+        }), flush=True)
 
     resamples = [run(f"phong_{big}", bench_single_pass, "phong", big, big,
                      warmup, frames)]
+    resamples.append(run(f"phong_{big}_resample1", bench_single_pass,
+                         "phong", big, big, warmup, frames))
+    early = sorted(r["mpix_s"] for r in resamples)
+    report["headline"] = {"provisional_mpix_s": early[0]}
+    flush_report()
+    print_headline(early[0], provisional=True)
     mid_samples = {
         "gouraud": [run(f"gouraud_{mid}", bench_single_pass, "gouraud",
                         mid, mid, warmup, frames)],
         "textured": [run(f"textured_{mid}", bench_single_pass, "textured",
                          mid, mid, warmup, frames)],
     }
-    resamples.append(run(f"phong_{big}_resample1", bench_single_pass,
-                         "phong", big, big, warmup, frames))
     shadow_samples = [run(f"shadow_phong_{mid}", bench_shadows, mid, mid,
                           max(warmup - 1, 1), max(frames // 2, 1),
                           1024 if on_tpu else 128)]
     run("reference_default_1200x800" if on_tpu else "reference_default_cpu",
         bench_reference_pipeline, 1200 if on_tpu else 120,
         800 if on_tpu else 80, max(warmup - 1, 1), max(frames // 2, 1))
-    run(f"animation_multimesh_{big}", bench_animation, big, big, anim_frames)
-    run(f"animation_tga_writes_{big}", bench_animation_tga, big, big,
-        anim_frames)
     run("sponza_scale_246k_1280x800" if on_tpu else "sponza_scale_cpu",
         bench_stress, 1280 if on_tpu else 160, 800 if on_tpu else 100,
         max(warmup - 1, 1), max(frames // 2, 1), 3 if on_tpu else 2)
@@ -603,6 +718,12 @@ def main() -> int:
         max(warmup - 1, 1), max(frames // 2, 1), 3 if on_tpu else 1)
     run(f"phong_{big}_sharded_mesh1", bench_sharded_mesh1, big, big,
         warmup, frames)
+    # the two animation configs are the slowest in the suite (a full
+    # warmup orbit + 120 TGA writes) — they run AFTER every per-frame
+    # config so a driver timeout eats them last (round-4 verdict #2)
+    run(f"animation_multimesh_{big}", bench_animation, big, big, anim_frames)
+    run(f"animation_tga_writes_{big}", bench_animation_tga, big, big,
+        anim_frames)
     # shared-infrastructure load on the tunneled TPU terminal swings
     # throughput ~2x on a minutes timescale (docs/PERFORMANCE.md): the
     # headline config is sampled at the start, middle and end of the
@@ -720,17 +841,10 @@ def main() -> int:
     except Exception as e:                            # noqa: BLE001
         log(f"reference-cpu context skipped: {e}")
 
-    with open("bench_report.json", "w") as f:
-        json.dump(report, f, indent=2)
+    flush_report()
     log("wrote bench_report.json")
     log(f"headline: median {mpix:.1f} Mpix/s, best window {rates[-1]:.1f}")
-
-    print(json.dumps({
-        "metric": f"phong_shaded_throughput_{big}x{big}_{backend}",
-        "value": round(mpix, 2),
-        "unit": "Mpix/s",
-        "vs_baseline": round(mpix / 1000.0, 4),
-    }))
+    print_headline(mpix, provisional=False)
     return 0
 
 

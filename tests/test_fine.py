@@ -301,3 +301,81 @@ def test_dispatch_rejects_over_limit_varyings(meshes):
     attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
     assert raster_sparse._decide_mode(
         attrs, p.shader, dict(p.uniforms), 160, 42) == "coarse"
+
+
+def test_depth_only_probe_routing_bitwise(monkeypatch):
+    """DEPTH_ONLY_MODE='probe' (the un-shipped routing hook) must
+    reproduce the shipped coarse routing bitwise on a fused two-pass
+    frame whose depth-only pass SHARES its capacity key with a color
+    pass (advisor round-4: the probe-time capacity seeding for a
+    shared key ships untested otherwise).  The probe itself only runs
+    under a TPU default_backend, so it is spoofed and the kernels run
+    in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyrenderder_tpu.ops import raster_fine, raster_fine2
+
+    # a mesh past the f >= 512 probe threshold, used by BOTH passes
+    # (same (f, grid) capacity key)
+    head = procedural_head_large()
+    view, proj = default_view()
+    w, h = 256, 128
+    passes = []
+    for shader in (DepthShader(), GouraudShader()):
+        p = make_pass(head, shader, view, proj)
+        attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+        passes.append((attrs, p.shader, dict(p.uniforms), False))
+
+    def clear():
+        raster_sparse._FINE_DECISION.clear()
+        raster_sparse._SPARSE_CAPACITY.clear()
+        raster_sparse._SPARSE_PENDING.clear()
+        raster_sparse._W_REFINED.clear()
+        raster_fine._FINE_CAPACITY.clear()
+        raster_fine._FINE_PENDING.clear()
+        raster_fine._W_REFINED.clear()
+        raster_fine2._FINE2_CAPACITY.clear()
+        raster_fine2._FINE2_PENDING.clear()
+
+    def frame(spoof_tpu=False):
+        # the backend spoof is scoped to the fused render (where the
+        # probe routing decides) — the untile in tiles_to_buffers picks
+        # interpret from the REAL backend
+        with monkeypatch.context() as m:
+            if spoof_tpu:
+                m.setattr(jax, "default_backend", lambda: "tpu")
+            ft, od, ovf = raster_sparse.render_frame_fused(
+                passes, w, h, strict_capacity=True, interpret=True)
+        assert not bool(ovf)
+        fb = raster_sparse.tiles_to_buffers(ft, w, h)
+        return (np.asarray(fb.color), np.asarray(fb.depth),
+                np.asarray(fb.winner))
+
+    old_mode, old_depth = raster_sparse.FINE_MODE, raster_sparse.DEPTH_ONLY_MODE
+    try:
+        clear()
+        raster_sparse.FINE_MODE = "coarse"
+        ref = frame()
+        clear()
+        raster_sparse.FINE_MODE = "auto"
+        raster_sparse.DEPTH_ONLY_MODE = "probe"
+        got = frame(spoof_tpu=True)
+        # the probe-routing decision must actually have been exercised
+        # for the depth-only pass (dkey carries the routing mode)
+        assert any(k[-1] == "probe"
+                   for k in raster_sparse._FINE_DECISION), \
+            raster_sparse._FINE_DECISION
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
+    finally:
+        raster_sparse.FINE_MODE = old_mode
+        raster_sparse.DEPTH_ONLY_MODE = old_depth
+        clear()
+
+
+def procedural_head_large():
+    from tinyrenderder_tpu.models import procedural
+    head = procedural.bumpy_head(24, 32)
+    head.materials = [procedural.default_head_material(32)]
+    return head

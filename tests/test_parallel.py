@@ -936,3 +936,180 @@ def test_fused_image_sharded_async_capacity(meshes):
     finally:
         raster_sparse.FINE_MODE = saved
         raster_sparse._FINE_DECISION.clear()
+
+
+# ---------------------------------------------------------------------------
+# Measured-load band splitting (round-4 verdict #6)
+# ---------------------------------------------------------------------------
+
+def test_balance_bands_optimal_and_capped():
+    """The contiguous min-max partition DP must match brute force on
+    small instances, respect the band cap, and cover the rows exactly."""
+    import itertools
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        nty = int(rng.integers(4, 10))
+        n = int(rng.integers(2, 5))
+        costs = rng.integers(0, 50, nty).astype(float)
+        cap = int(rng.integers(-(-nty // n), nty + 1))
+        bands = dist.balance_bands(costs, n, band_cap=cap)
+        assert len(bands) == n
+        at = 0
+        for lo, rows in bands:
+            assert lo == at and 0 <= rows <= cap
+            at += rows
+        assert at == nty
+        got = max(sum(costs[lo:lo + rows]) for lo, rows in bands)
+        # brute force over all cut placements
+        best = float("inf")
+        for cuts in itertools.combinations(range(1, nty), n - 1):
+            edges = [0, *cuts, nty]
+            sizes = [b - a for a, b in zip(edges, edges[1:])]
+            if max(sizes) > cap:
+                continue
+            best = min(best, max(sum(costs[a:b])
+                                 for a, b in zip(edges, edges[1:])))
+        if best < float("inf"):
+            assert got <= best + 1e-9, (costs, n, cap, bands)
+
+
+def test_measured_row_costs_match_tile_spans():
+    """measure_tile_row_costs must agree with summing the binning's own
+    per-band pair totals (the same clamped-bbox clip)."""
+    from tinyrenderder_tpu.ops import raster_sparse
+    from tinyrenderder_tpu.ops.raster_tiled import _tile_spans
+
+    w, h = 128, 16 * 8
+    view, proj = default_view()
+    passes = _fused_passes(meshes_local(), view, proj)
+    costs = dist.measure_tile_row_costs(passes, w, h)
+    nty = h // 16
+    assert costs.shape == (nty,)
+    ref = np.zeros(nty, np.int64)
+    for attrs, shader, uniforms, _ex in passes:
+        setup, _ = raster_sparse._vertex_setup(
+            attrs, dict(uniforms), shader, w, h)
+        for t in range(nty):
+            *_, tot = _tile_spans(setup, 128, 16, ty_lo=t, ty_hi=t)
+            ref[t] += int(jax.device_get(tot))
+    np.testing.assert_array_equal(costs, ref)
+
+
+def meshes_local():
+    return standard_meshes()
+
+
+@pytest.mark.parametrize("kernel", ["coarse", "fine", "fine2"])
+def test_fused_sharded_measured_bands_bitwise(meshes, kernel):
+    """Measured-load bands (unequal contiguous row counts under one
+    static band shape) must stay BITWISE identical to the single-device
+    fused frame for every kernel, including the excluded-pass output
+    depth and the (H, W) untiles."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough virtual devices")
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    w, h = 128, 16 * 16             # 16 tile rows over 8 devices
+    view, proj = default_view()
+    passes = _fused_passes(meshes, view, proj)
+    costs = dist.measure_tile_row_costs(passes, w, h)
+    bands = dist.balance_bands(costs, 8)
+    # the scene concentrates coverage: the measured split must NOT be
+    # the even split (otherwise this test exercises nothing new)
+    assert any(r != 2 for _, r in bands), bands
+    saved = raster_sparse.FINE_MODE
+    raster_sparse.FINE_MODE = kernel
+    raster_sparse._FINE_DECISION.clear()
+    try:
+        ft1, od1, _ = raster_sparse.render_frame_fused(passes, w, h)
+        fb1 = raster_sparse.tiles_to_buffers(ft1, w, h)
+        mesh = dist.make_mesh(8)
+        ft2, od2, _ = dist.render_frame_fused_sharded(
+            mesh, passes, w, h, bands=bands)
+        fb2 = dist.tiles_to_buffers_sharded(mesh, ft2, w, h, bands=bands)
+        od2_hw = dist.untile_one_sharded(mesh, od2, w, h, bands=bands)
+        od1_hw = raster_sparse._untile_one_jit(
+            od1, w // 128, h // 16, 16, 128,
+            jax.default_backend() != "tpu")[:h, :w]
+        # image path under the same bands (single color pass)
+        one = passes[:1]
+        img1, _ = raster_sparse.render_frame_fused_image(one, w, h)
+        img2, _ = dist.render_frame_fused_image_sharded(
+            mesh, one, w, h, bands=bands)
+    finally:
+        raster_sparse.FINE_MODE = saved
+        raster_sparse._FINE_DECISION.clear()
+
+    assert (np.asarray(fb1.winner) == np.asarray(fb2.winner)).all()
+    assert np.array_equal(np.asarray(fb1.depth), np.asarray(fb2.depth),
+                          equal_nan=True)
+    assert (np.asarray(fb1.color) == np.asarray(fb2.color)).all()
+    assert np.array_equal(np.asarray(od1_hw), np.asarray(od2_hw),
+                          equal_nan=True)
+    assert (np.asarray(img1) == np.asarray(img2)).all()
+
+
+def test_measured_bands_reject_bad_partition(meshes):
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough virtual devices")
+    view, proj = default_view()
+    passes = _fused_passes(meshes, view, proj)
+    mesh = dist.make_mesh(8)
+    with pytest.raises(ValueError):
+        dist.render_frame_fused_sharded(
+            mesh, passes, 128, 16 * 16,
+            bands=tuple((i, 1) for i in range(8)))      # covers 8 of 16
+
+
+def test_scene_backend_sharded_measured_route(meshes):
+    """Scene.render(backend='sharded-measured') routes through the
+    measured-band fused path (unequal contiguous bands) and matches the
+    tiled backend bitwise; the band partition is cached per scene
+    state and invalidated by camera motion."""
+    from tinyrenderder_tpu import math3d, scene as scene_mod
+    from tinyrenderder_tpu.camera import Camera
+    from tinyrenderder_tpu.scene import Scene
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough virtual devices")
+
+    cam = Camera()
+    cam.set_eye(math3d.vec3(0, 0.5, 3))
+    cam.set_target(math3d.vec3(0, 0, 0))
+    cam.set_fov(60.0)
+    cam.set_aspect(1.0)
+    cam.set_clipping(0.1, 50.0)
+
+    def build():
+        # height = 10 tile rows: NOT divisible by 8 devices — only the
+        # measured-band layout can run the fused path here
+        s = Scene(camera=cam, width=128, height=160)
+        s.add(meshes["head"], math3d.identity4(),
+              PhongShader(KEY, FILL, RIM), name="head")
+        s.add(meshes["plane"], math3d.identity4(), TexturedShader(),
+              name="plane")
+        return s
+
+    saved = scene_mod.FORCE_TILES_LOOP
+    scene_mod.FORCE_TILES_LOOP = True     # tiled backend off-TPU
+    try:
+        a = build().render(backend="tiled", frustum_cull=False,
+                           collect_stats=False)
+    finally:
+        scene_mod.FORCE_TILES_LOOP = saved
+    sc = build()
+    b = sc.render(backend="sharded-measured", frustum_cull=False,
+                  collect_stats=False)
+    assert sc.__dict__.get("_band_cache") is not None, \
+        "measured route not taken"
+    bands = sc.__dict__["_band_cache"][1]
+    assert sum(r for _, r in bands) == 10
+    assert (np.asarray(a.color) == np.asarray(b.color)).all()
+    assert np.array_equal(np.asarray(a.full_depth),
+                          np.asarray(b.full_depth), equal_nan=True)
+    # camera motion invalidates the cached partition key
+    key0 = sc.__dict__["_band_cache"][0]
+    sc.camera.set_eye(math3d.vec3(0.2, 0.5, 3))
+    sc.render(backend="sharded-measured", frustum_cull=False,
+              collect_stats=False)
+    assert sc.__dict__["_band_cache"][0] != key0

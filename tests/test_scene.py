@@ -270,3 +270,105 @@ def test_pass_input_caches_never_go_stale():
     sc.passes.pop()
     again = sc.render(backend="xla").color
     assert np.array_equal(again, base)
+
+
+def single_pass_scene(width=128, height=128):
+    cam = Camera()
+    cam.set_eye((0, 0.8, 3.2))
+    cam.set_target((0, 0, 0))
+    cam.set_fov(60.0)
+    cam.set_aspect(width / height)
+    cam.set_clipping(0.1, 50.0)
+    scene = Scene(camera=cam, width=width, height=height)
+    head = procedural.bumpy_head(10, 14)
+    head.materials = [procedural.default_head_material(32)]
+    scene.add(head, np.eye(4), PhongShader(KEY, FILL, RIM), name="head")
+    return scene
+
+
+def test_render_image_routes_single_pass_through_image_path(monkeypatch):
+    """Scene.render_image on a single-color-pass frame must run the
+    direct-to-image fused program (the round-4 lever, wired round 5)
+    and reproduce the general tiled path's colors bitwise."""
+    from tinyrenderder_tpu import scene as scene_mod
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    sc = single_pass_scene()
+    monkeypatch.setattr(scene_mod, "FORCE_TILES_LOOP", True)
+    calls = []
+    orig = raster_sparse.render_frame_fused_image
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(raster_sparse, "render_frame_fused_image", spy)
+    img = sc.render_image(backend="tiled")
+    assert len(calls) >= 1, "image route not taken"
+    ref = sc.render(backend="tiled", collect_stats=False).color
+    assert np.array_equal(img, np.asarray(ref))
+
+
+def test_render_image_multipass_falls_back(monkeypatch):
+    """Multi-pass scenes (and any shape the image program can't take)
+    fall back to the full render; the caller still gets the frame."""
+    from tinyrenderder_tpu import scene as scene_mod
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    sc = small_scene()
+    monkeypatch.setattr(scene_mod, "FORCE_TILES_LOOP", True)
+
+    def boom(*a, **kw):
+        raise AssertionError("image path must not run on 3-pass scenes")
+
+    monkeypatch.setattr(raster_sparse, "render_frame_fused_image", boom)
+    img = sc.render_image(backend="tiled")
+    ref = sc.render(backend="tiled", collect_stats=False).color
+    assert np.array_equal(img, np.asarray(ref))
+
+
+def test_render_image_sharded_route(monkeypatch):
+    """The sharded backend's image route (8 virtual devices) must be
+    bitwise-identical to the single-device tiled frame."""
+    import jax
+
+    from tinyrenderder_tpu import scene as scene_mod
+    from tinyrenderder_tpu.parallel import dist
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs the virtual multi-device mesh")
+    sc = single_pass_scene()              # 128 = 8 devices x TILE_H
+    calls = []
+    orig = dist.render_frame_fused_image_sharded
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(dist, "render_frame_fused_image_sharded", spy)
+    img = sc.render_image(backend="sharded")
+    assert len(calls) >= 1, "sharded image route not taken"
+    monkeypatch.setattr(scene_mod, "FORCE_TILES_LOOP", True)
+    ref = sc.render(backend="tiled", collect_stats=False).color
+    assert np.array_equal(img, np.asarray(ref))
+
+
+def test_cli_image_only(tmp_path):
+    """--image-only writes phong.tga alone, pixel-identical to the full
+    run's phong output (the image is the sole deliverable)."""
+    from tinyrenderder_tpu import cli
+    rc = cli.run(["--width", "64", "--height", "48",
+                  "--outdir", str(tmp_path), "--backend", "xla",
+                  "--image-only"])
+    assert rc == 0
+    assert (tmp_path / "phong.tga").exists()
+    assert not (tmp_path / "zbuffer.tga").exists()
+    full = tmp_path / "full"
+    rc = cli.run(["--width", "64", "--height", "48", "--outdir", str(full),
+                  "--backend", "xla"])
+    assert rc == 0
+    from tinyrenderder_tpu.utils import tga
+    a = tga.read(tmp_path / "phong.tga")
+    b = tga.read(full / "phong.tga")
+    assert np.array_equal(a.to_rgb(), b.to_rgb())

@@ -135,13 +135,20 @@ def run(argv=None) -> int:
     parser.add_argument("--height", type=int, default=HEIGHT)
     parser.add_argument("--backend", default=None,
                         choices=["xla", "tiled", "oracle", "sharded",
-                                 "sharded-2d", "sharded-geometry"],
+                                 "sharded-2d", "sharded-geometry",
+                                 "sharded-measured"],
                         help="default: tiled (the production sparse/"
                              "Pallas pipeline) on TPU, xla elsewhere")
     parser.add_argument("--outdir", default=".")
     parser.add_argument("--no-cull", action="store_true",
                         help="disable per-model frustum culling")
     parser.add_argument("--no-ssao", action="store_true")
+    parser.add_argument("--image-only", action="store_true",
+                        help="write ONLY phong.tga (the frame image is "
+                             "the sole deliverable — single-color-pass "
+                             "scenes route through the direct-to-image "
+                             "fused pipeline; others fall back to the "
+                             "full render, same colors)")
     parser.add_argument("--shadows", action="store_true",
                         help="two-pass hard shadow mapping from the key light")
     parser.add_argument("--shadow-size", type=int, default=1024)
@@ -207,6 +214,19 @@ def run(argv=None) -> int:
 
 def _render_and_write(args, scene) -> int:
     t0 = time.perf_counter()
+    if args.image_only:
+        if args.shadows:
+            log.warning("--shadows is not supported with --image-only "
+                        "and is ignored")
+        image = scene.render_image(backend=args.backend,
+                                   frustum_cull=not args.no_cull)
+        log.info("Render time: %.3f s (%s, image-only)",
+                 time.perf_counter() - t0, args.backend)
+        os.makedirs(args.outdir, exist_ok=True)
+        tga.TGAImage.from_rgb(np.asarray(image)).write_tga_file(
+            os.path.join(args.outdir, "phong.tga"))
+        log.info("Saved: phong.tga")
+        return 0
     if args.shadows:
         from tinyrenderder_tpu.shadows import ShadowSettings, render_with_shadows
         key_light = KEY_LIGHT_DIR       # the scene's key light: shadows

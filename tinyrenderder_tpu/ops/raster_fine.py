@@ -112,7 +112,7 @@ def _loop2_cols(n_vary):
 def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
                   row_cap, rec_cap, a_cap, tile_h, tile_w, ty_lo=None,
                   nty_band=None, ty_stride=1, tx_lo=None, ntx_band=None,
-                  geom_axis=None):
+                  geom_axis=None, ty_rows=None):
     """Fused pre-stage: vertex transform, setup, strip binning, slot
     interleave, record build, active-tile compaction — one dispatch.
 
@@ -135,8 +135,12 @@ def _pre_fine_jit(attrs, uniforms, shader, width, height, pair_cap,
     n_tiles = ntx * nty
     nsx = ntx * STRIPS
     n_strips = nsx * nty
+    # ty_rows (traced, <= nty_band): measured-load bands — the device
+    # owns only its first ty_rows rows of the static band shape
     ty_hi = (None if ty_lo is None
-             else (nty - 1 if ty_stride > 1 else ty_lo + (nty - 1)))
+             else (nty - 1 if ty_stride > 1
+                   else ty_lo + ((ty_rows - 1) if ty_rows is not None
+                                 else nty - 1)))
     # column clip in STRIP units (the bins below are strip-granularity)
     sx_lo = None if tx_lo is None else tx_lo * STRIPS
     sx_hi = None if tx_lo is None else sx_lo + (nsx - 1)

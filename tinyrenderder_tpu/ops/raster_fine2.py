@@ -90,7 +90,7 @@ __all__ = ["render_pass_fine2"]
 def _pre_fine2_jit(attrs, uniforms, shader, width, height, pair_cap,
                    row_cap, rec_cap, g_cap, a_cap, tile_h, tile_w,
                    ty_lo=None, nty_band=None, ty_stride=1, tx_lo=None,
-                   ntx_band=None, geom_axis=None):
+                   ntx_band=None, geom_axis=None, ty_rows=None):
     """Fused pre-stage: vertex transform, setup, strip binning, class
     sort + group assignment, slot interleave, record build, active-tile
     mapping — one dispatch.
@@ -108,8 +108,12 @@ def _pre_fine2_jit(attrs, uniforms, shader, width, height, pair_cap,
     n_tiles = ntx * nty
     nsx = ntx * STRIPS
     n_strips = nsx * nty
+    # ty_rows (traced, <= nty_band): measured-load bands — the device
+    # owns only its first ty_rows rows of the static band shape
     ty_hi = (None if ty_lo is None
-             else (nty - 1 if ty_stride > 1 else ty_lo + (nty - 1)))
+             else (nty - 1 if ty_stride > 1
+                   else ty_lo + ((ty_rows - 1) if ty_rows is not None
+                                 else nty - 1)))
     sx_lo = None if tx_lo is None else tx_lo * STRIPS
     sx_hi = None if tx_lo is None else sx_lo + (nsx - 1)
 
@@ -487,6 +491,42 @@ def _strips_of(x, th):
              .transpose(0, 2, 1, 3).reshape(g * STRIPS, th, STRIP_W))
 
 
+def _fine2_shared_post(kernel_ids, src, d_g, v_g, uniforms, shader, spec,
+                       tile_h):
+    """The exactness-sensitive core shared VERBATIM by _post_fine2_jit
+    and _post_fine2_image_jit (one definition so the two paths can
+    never drift — the merge/regroup structure is pinned, e35d513):
+    slot-source clamp, the (A, 8, th, 16)->(A, th, 128) regroup
+    closure, the NEW depth strips, and a LAZY group-space shade+regroup
+    (a closure so each caller traces it at the same point its original
+    inline code did — shading stays in GROUP space; moving it to tile
+    space measured +7 ms at 2048^2)."""
+    from tinyrenderder_tpu.ops.raster_sparse import _pack_rgb
+    from tinyrenderder_tpu.shaders import finalize_color
+
+    a_cap = kernel_ids.shape[0]
+    gc8 = d_g.shape[0] * STRIPS
+    src_c = jnp.clip(src, 0, gc8 - 1)               # (A, 8)
+
+    def to_tiles(x):                                # (A, 8, th, 16) ->
+        return (x.transpose(0, 2, 1, 3)             # (A, th, 128)
+                 .reshape(a_cap, tile_h, STRIPS * STRIP_W))
+
+    d_new = _strips_of(d_g, tile_h)[src_c]          # (A, 8, th, 16)
+
+    def shade_regroup():
+        vary = {}
+        i = 0
+        for name, c in spec:
+            vary[name] = jnp.moveaxis(v_g[:, i:i + c], 1, -1)  # (G,th,tw,c)
+            i += c
+        rgb = shader.fragment(uniforms, vary, jnp)
+        color_g = _pack_rgb(finalize_color(rgb, jnp))  # (G, th, 128) i32
+        return to_tiles(_strips_of(color_g, tile_h)[src_c])
+
+    return src_c, to_tiles, d_new, shade_regroup
+
+
 @functools.partial(jax.jit, static_argnames=("shader", "spec", "tile_h"))
 def _post_fine2_jit(ft, ids, kernel_ids, src, live, d_g, w_g, v_g,
                     uniforms, winner_offset, shader, spec, tile_h):
@@ -500,18 +540,11 @@ def _post_fine2_jit(ft, ids, kernel_ids, src, live, d_g, w_g, v_g,
     the 3+V varying planes keeps the strip-transpose traffic ~5x
     smaller on Phong-class shaders (measured: the varying regroup cost
     +7 ms at 2048^2)."""
-    from tinyrenderder_tpu.ops.raster_sparse import FrameTiles, _pack_rgb
-    from tinyrenderder_tpu.shaders import finalize_color
+    from tinyrenderder_tpu.ops.raster_sparse import FrameTiles
 
     a_cap = kernel_ids.shape[0]
-    gc8 = d_g.shape[0] * STRIPS
-    src_c = jnp.clip(src, 0, gc8 - 1)               # (A, 8)
-
-    def to_tiles(x):                                # (A, 8, th, 16) ->
-        return (x.transpose(0, 2, 1, 3)             # (A, th, 128)
-                 .reshape(a_cap, tile_h, STRIPS * STRIP_W))
-
-    d_new = _strips_of(d_g, tile_h)[src_c]          # (A, 8, th, 16)
+    src_c, to_tiles, d_new, shade_regroup = _fine2_shared_post(
+        kernel_ids, src, d_g, v_g, uniforms, shader, spec, tile_h)
     d_old = (ft.depth[kernel_ids]                   # (A, th, 128)
              .reshape(a_cap, tile_h, STRIPS, STRIP_W)
              .transpose(0, 2, 1, 3))                # (A, 8, th, 16)
@@ -528,14 +561,7 @@ def _post_fine2_jit(ft, ids, kernel_ids, src, live, d_g, w_g, v_g,
     if not spec:
         return FrameTiles(color=ft.color, depth=new_depth,
                           winner=new_winner)
-    vary = {}
-    i = 0
-    for name, c in spec:
-        vary[name] = jnp.moveaxis(v_g[:, i:i + c], 1, -1)  # (G, th, tw, c)
-        i += c
-    rgb = shader.fragment(uniforms, vary, jnp)
-    color_g = _pack_rgb(finalize_color(rgb, jnp))   # (G, th, 128) i32
-    c_new = to_tiles(_strips_of(color_g, tile_h)[src_c])
+    c_new = shade_regroup()
     c_m = jnp.where(won_t, c_new, ft.color[kernel_ids])
     new_color = ft.color.at[ids].set(c_m, mode="drop")
     return FrameTiles(color=new_color, depth=new_depth, winner=new_winner)
@@ -548,30 +574,15 @@ def _post_fine2_image_jit(kernel_ids, src, live, d_g, v_g,
     direct-to-image path (raster_sparse.render_frame_fused_image): the
     running frame depth is +inf everywhere, so the strict-less merge
     reduces to ``d_new < inf`` and the winner regroup plus all three
-    frame-tile gathers/scatters vanish.  Returns compact packed-color
-    tiles (A, th, 128) with losers forced to background 0."""
-    from tinyrenderder_tpu.ops.raster_sparse import _pack_rgb
-    from tinyrenderder_tpu.shaders import finalize_color
-
-    a_cap = kernel_ids.shape[0]
-    gc8 = d_g.shape[0] * STRIPS
-    src_c = jnp.clip(src, 0, gc8 - 1)               # (A, 8)
-
-    def to_tiles(x):                                # (A, 8, th, 16) ->
-        return (x.transpose(0, 2, 1, 3)             # (A, th, 128)
-                 .reshape(a_cap, tile_h, STRIPS * STRIP_W))
-
-    d_new = _strips_of(d_g, tile_h)[src_c]          # (A, 8, th, 16)
+    frame-tile gathers/scatters vanish.  The shared regroup/shade core
+    is _fine2_shared_post — only the fresh-frame select differs from
+    the general merge.  Returns compact packed-color tiles (A, th, 128)
+    with losers forced to background 0."""
+    _src_c, to_tiles, d_new, shade_regroup = _fine2_shared_post(
+        kernel_ids, src, d_g, v_g, uniforms, shader, spec, tile_h)
     won = live[:, :, None, None] & (d_new < jnp.inf)
     won_t = to_tiles(won)
-    vary = {}
-    i = 0
-    for name, c in spec:
-        vary[name] = jnp.moveaxis(v_g[:, i:i + c], 1, -1)  # (G, th, tw, c)
-        i += c
-    rgb = shader.fragment(uniforms, vary, jnp)
-    color_g = _pack_rgb(finalize_color(rgb, jnp))   # (G, th, 128) i32
-    c_new = to_tiles(_strips_of(color_g, tile_h)[src_c])
+    c_new = shade_regroup()
     return jnp.where(won_t, c_new, 0)
 
 

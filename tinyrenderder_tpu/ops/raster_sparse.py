@@ -230,7 +230,7 @@ def tiles_to_buffers(ft: FrameTiles, width: int, height: int,
 def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
                     a_cap, tile_h, tile_w, rec_cap=None, ty_lo=None,
                     nty_band=None, ty_stride=1, tx_lo=None, ntx_band=None,
-                    geom_axis=None):
+                    geom_axis=None, ty_rows=None):
     """Fused pre-kernel stage: vertex transform, setup, binning, pair
     records, and active-tile compaction — one dispatch.
 
@@ -246,7 +246,11 @@ def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
     ``tx_lo``/``ntx_band`` clip columns the same way (2-D screen-block
     sharding).  ``geom_axis`` (shard_map axis name/tuple) additionally
     shards the per-triangle vertex stage over the mesh (see
-    raster_tiled._vertex_stage — bitwise-equal, all_gather'ed)."""
+    raster_tiled._vertex_stage — bitwise-equal, all_gather'ed).
+    ``ty_rows`` (traced, <= nty_band) narrows the band to its first
+    ``ty_rows`` tile rows — measured-load bands give devices UNEQUAL
+    contiguous row counts under one static shape (parallel/dist.py);
+    rows past ty_rows bin nothing and stay background."""
     setup, varyings = _vertex_stage(attrs, uniforms, shader, width,
                                     height, geom_axis)
     n_tiles_x = ntx_band if ntx_band is not None else _cdiv(width, tile_w)
@@ -254,7 +258,8 @@ def _pre_sparse_jit(attrs, uniforms, shader, width, height, capacity,
     n_tiles = n_tiles_x * n_tiles_y
     ty_hi = (None if ty_lo is None
              else (n_tiles_y - 1 if ty_stride > 1
-                   else ty_lo + (n_tiles_y - 1)))
+                   else ty_lo + ((ty_rows - 1) if ty_rows is not None
+                                 else n_tiles_y - 1)))
     tx_hi = None if tx_lo is None else tx_lo + (n_tiles_x - 1)
     tx0, ty0, span_x, spans, total = _tile_spans(setup, tile_w, tile_h,
                                                  ty_lo, ty_hi,
@@ -820,7 +825,8 @@ def _count_active(setup, capacity, width, height, tile_h, tile_w):
 def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                       tile_h, tile_w, interpret, ty_lo=None,
                       nty_band=None, origin=None, ty_stride=1,
-                      tx_lo=None, ntx_band=None, geom_axis=None):
+                      tx_lo=None, ntx_band=None, geom_axis=None,
+                      ty_rows=None):
     """Trace the whole multi-pass frame as one program (see
     _frame_fused_jit).  With ``ty_lo``/``nty_band``/``origin`` the frame
     is a horizontal band of the screen: binning is band-clipped, the
@@ -865,7 +871,8 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                 attrs, uniforms, shader, width, height, pc, rc,
                 _next_pow2(rc), ac, tile_h, tile_w,
                 ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride,
-                tx_lo=tx_lo, ntx_band=ntx_band, geom_axis=geom_axis)
+                tx_lo=tx_lo, ntx_band=ntx_band, geom_axis=geom_axis,
+                ty_rows=ty_rows)
             d_c, w_c, v_c, _ = raster_fine._fine_call_jit(
                 kernel_ids, rs, ra, rec, ft.depth,
                 n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
@@ -884,7 +891,8 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                 attrs, uniforms, shader, width, height, pc, rc,
                 _next_pow2(rc), gc, ac, tile_h, tile_w,
                 ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride,
-                tx_lo=tx_lo, ntx_band=ntx_band, geom_axis=geom_axis)
+                tx_lo=tx_lo, ntx_band=ntx_band, geom_axis=geom_axis,
+                ty_rows=ty_rows)
             d_g, w_g, v_g, _ = raster_fine2._fine2_call_jit(
                 sg, rg, rec, x0y0, tile_h, n_vary, interpret,
                 origin=origin)
@@ -903,7 +911,7 @@ def _fused_frame_body(attrs_t, uniforms_t, plan, width, height,
                                  ty_lo=ty_lo, nty_band=nty_band,
                                  ty_stride=ty_stride,
                                  tx_lo=tx_lo, ntx_band=ntx_band,
-                                 geom_axis=geom_axis)
+                                 geom_axis=geom_axis, ty_rows=ty_rows)
             d_c, w_c, v_c, _ = raster_pallas._pallas_call_sparse_jit(
                 kernel_ids, sa, ca, records, ft.depth,
                 n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
@@ -1169,6 +1177,14 @@ def _compact_to_image(c_img, ids, n_tiles, n_tiles_x, n_tiles_y,
         dn = jax.lax.ScatterDimensionNumbers(
             update_window_dims=(1, 2), inserted_window_dims=(),
             scatter_dims_to_operand_dims=(0, 1))
+        # indices_are_sorted: ``ids`` comes from the active-tile
+        # compaction in _pre_sparse_jit/_pre_fine_jit/_pre_fine2_jit,
+        # which emits ASCENDING tile ids with every padding slot equal
+        # to n_tiles (so padding rows land past the real rows, in the
+        # trash tile row the caller crops).  A sorted-order promise on
+        # an unsorted stream can lower to a silently wrong scatter on
+        # TPU — if the compaction's output order ever changes, this
+        # flag must be revisited with it.
         return jax.lax.scatter(img, idx, c_img, dn,
                                indices_are_sorted=True,
                                unique_indices=False)
@@ -1181,7 +1197,7 @@ def _compact_to_image(c_img, ids, n_tiles, n_tiles_x, n_tiles_y,
 def _fused_image_body(attrs_t, uniforms_t, plan, width, height,
                       tile_h, tile_w, interpret, direct, ty_lo=None,
                       nty_band=None, origin=None, ty_stride=1,
-                      geom_axis=None):
+                      geom_axis=None, ty_rows=None):
     """Trace a single-color-pass frame straight to a packed (rows*th,
     ntx*tw) int32 image: pre + kernel as in _fused_frame_body, then the
     fresh-frame compact shade and ONE placement — no depth/winner tile
@@ -1207,7 +1223,7 @@ def _fused_image_body(attrs_t, uniforms_t, plan, width, height,
             attrs, uniforms, shader, width, height, pc, rc,
             _next_pow2(rc), ac, tile_h, tile_w,
             ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride,
-            geom_axis=geom_axis)
+            geom_axis=geom_axis, ty_rows=ty_rows)
         _, w_c, v_c, _ = raster_fine._fine_call_jit(
             kernel_ids, rs, ra, rec, init_depth,
             n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,
@@ -1226,7 +1242,7 @@ def _fused_image_body(attrs_t, uniforms_t, plan, width, height,
             attrs, uniforms, shader, width, height, pc, rc,
             _next_pow2(rc), gc, ac, tile_h, tile_w,
             ty_lo=ty_lo, nty_band=nty_band, ty_stride=ty_stride,
-            geom_axis=geom_axis)
+            geom_axis=geom_axis, ty_rows=ty_rows)
         d_g, w_g, v_g, _ = raster_fine2._fine2_call_jit(
             sg, rg, rec, x0y0, tile_h, n_vary, interpret, origin=origin)
         c_img = raster_fine2._post_fine2_image_jit(
@@ -1241,7 +1257,8 @@ def _fused_image_body(attrs_t, uniforms_t, plan, width, height,
                              cap, ac, tile_h, tile_w,
                              rec_cap=_next_pow2(cap),
                              ty_lo=ty_lo, nty_band=nty_band,
-                             ty_stride=ty_stride, geom_axis=geom_axis)
+                             ty_stride=ty_stride, geom_axis=geom_axis,
+                             ty_rows=ty_rows)
         _, w_c, v_c, _ = raster_pallas._pallas_call_sparse_jit(
             kernel_ids, sa, ca, records, init_depth,
             n_tiles_x, n_tiles_y, tile_h, tile_w, n_vary, interpret,

@@ -544,7 +544,8 @@ _SHARD_FUSED_W_REFINED: set = set()  # keys whose won-tile cap was measured
 @functools.lru_cache(maxsize=None)
 def _sharded_fused_fn(mesh: Mesh, plan, width: int, height: int,
                       tile_h: int, tile_w: int, interpret: bool,
-                      interleave: bool = False, geom_shard: bool = False):
+                      interleave: bool = False, geom_shard: bool = False,
+                      band_cap: int | None = None):
     from tinyrenderder_tpu.ops import raster_sparse
 
     two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
@@ -554,6 +555,36 @@ def _sharded_fused_fn(mesh: Mesh, plan, width: int, height: int,
     nty = height // tile_h
     band_tiles_y = nty // n_rows
     band_tiles_x = (width // tile_w) // n_cols
+    axes = (AXIS_Y, AXIS_X) if two_d else AXIS
+    ft_spec = raster_sparse.FrameTiles(color=P(axes), depth=P(axes),
+                                      winner=P(axes))
+
+    if band_cap is not None:
+        # MEASURED-LOAD bands (1-D meshes): each device owns a
+        # contiguous run of tile rows of UNEQUAL height under one
+        # static band shape (band_cap rows); its (lo, rows) arrive as
+        # sharded (N,) operands, so repartitioning a scene re-traces
+        # nothing.  Rows past ``rows`` bin no pairs and stay
+        # background; the row map at the transfer boundary drops them.
+        def shard_body_measured(attrs_t, uniforms_t, lo, rows):
+            ty_lo = lo[0].astype(jnp.int32)
+            origin = jnp.stack([jnp.int32(0),
+                                (ty_lo * tile_h).astype(jnp.int32)])
+            ft, out_depth, overflow, totals = \
+                raster_sparse._fused_frame_body(
+                    attrs_t, uniforms_t, plan, width, height, tile_h,
+                    tile_w, interpret, ty_lo=ty_lo, nty_band=band_cap,
+                    origin=origin, ty_stride=1,
+                    geom_axis=(AXIS if geom_shard else None),
+                    ty_rows=rows[0].astype(jnp.int32))
+            return (ft, out_depth, overflow.reshape(1), totals[None])
+
+        mapped = jax.shard_map(
+            shard_body_measured, mesh=mesh,
+            in_specs=(P(), P(), P(AXIS), P(AXIS)),
+            out_specs=(ft_spec, P(AXIS), P(AXIS), P(AXIS)),
+            check_vma=False)
+        return jax.jit(mapped)
 
     def shard_body(attrs_t, uniforms_t):
         tx_lo = None
@@ -595,9 +626,6 @@ def _sharded_fused_fn(mesh: Mesh, plan, width: int, height: int,
     # on a 2-D mesh the flat band-tile axis shards over BOTH axes
     # jointly: global device order is row-major (iy * n_cols + ix);
     # blocks_to_flat_tiles / the 2-D untile reorder at the boundary
-    axes = (AXIS_Y, AXIS_X) if two_d else AXIS
-    ft_spec = raster_sparse.FrameTiles(color=P(axes), depth=P(axes),
-                                       winner=P(axes))
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(), P()),
@@ -674,12 +702,132 @@ def _clamp_band_caps(mode, caps, n_tiles_band):
             min(caps[-1], n_tiles_band))
 
 
+# ---- measured-load band splitting (round-4 verdict #6) ---------------------
+#
+# Interleaved row bands equalize contiguous coverage hot spots, but
+# stride aliasing can still leave ~2x pair-count imbalance on
+# center-concentrated scenes at small tile-row counts (the dryrun's own
+# per-shard totals print max/mean 1.895).  Measured bands instead give
+# each device a CONTIGUOUS run of tile rows sized by the measured
+# per-row pair cost (classic linear min-max partition), under ONE
+# static band shape so shard_map shapes and capacity caches stay
+# uniform: every device's buffers hold band_cap tile rows, a device
+# with fewer real rows simply bins nothing into the surplus, and the
+# transfer-boundary row map drops the dead rows.  Bitwise parity holds
+# like every other layout: one owner per pixel, global coordinates.
+
+def _check_bands(bands, n, height, tile_h):
+    if len(bands) != n:
+        raise ValueError(f"bands has {len(bands)} entries for {n} devices")
+    if height % tile_h:
+        raise ValueError(f"height {height} not tile-aligned")
+    nty = height // tile_h
+    at = 0
+    for lo, rows in bands:
+        if lo != at or rows < 0:
+            raise ValueError(f"bands must tile [0, {nty}) contiguously, "
+                             f"got {bands}")
+        at += rows
+    if at != nty:
+        raise ValueError(f"bands cover {at} of {nty} tile rows")
+
+
+@functools.partial(jax.jit, static_argnames=("shader", "width", "height",
+                                             "tile_h", "tile_w"))
+def _row_costs_jit(attrs, uniforms, shader, width, height, tile_h, tile_w):
+    """(nty,) pair count per tile row for one pass: the same clamped
+    bbox the binning uses (raster_tiled._tile_spans), accumulated as a
+    difference array over rows — one tiny reduction, no pair expansion."""
+    from tinyrenderder_tpu.ops import raster_sparse
+    setup, _ = raster_sparse._vertex_setup(attrs, uniforms, shader,
+                                           width, height)
+    nty = -(-height // tile_h)
+    bbox = setup["bbox"]
+    valid = setup["valid"]
+    tx0 = (bbox[:, 0] // tile_w).astype(jnp.int32)
+    tx1 = (bbox[:, 1] // tile_w).astype(jnp.int32)
+    ty0 = (bbox[:, 2] // tile_h).astype(jnp.int32)
+    ty1 = (bbox[:, 3] // tile_h).astype(jnp.int32)
+    ok = valid & (ty1 >= ty0) & (tx1 >= tx0)
+    add = jnp.where(ok, tx1 - tx0 + 1, 0).astype(jnp.int32)
+    diff = jnp.zeros(nty + 1, jnp.int32)
+    diff = diff.at[jnp.clip(ty0, 0, nty)].add(add, mode="drop")
+    diff = diff.at[jnp.clip(ty1 + 1, 0, nty)].add(-add, mode="drop")
+    return jnp.cumsum(diff)[:nty]
+
+
+def measure_tile_row_costs(passes, width: int, height: int,
+                           tile_h: int | None = None,
+                           tile_w: int | None = None) -> np.ndarray:
+    """Measured per-tile-row binning cost (pair counts) summed over the
+    frame's passes — the balance_bands input.  One (nty,)-int fetch."""
+    from tinyrenderder_tpu.ops.raster_tiled import TILE_H, TILE_W
+    th = tile_h or TILE_H
+    tw = tile_w or TILE_W
+    nty = -(-height // th)
+    total = np.zeros(nty, np.int64)
+    for attrs, shader, uniforms, *_ in passes:
+        attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
+        costs = _row_costs_jit(attrs, dict(uniforms), shader, width,
+                               height, th, tw)
+        total += np.asarray(jax.device_get(costs)).astype(np.int64)
+    return total
+
+
+def balance_bands(row_costs, n: int,
+                  band_cap: int | None = None) -> tuple:
+    """Optimal contiguous min-max partition of the tile rows into ``n``
+    bands (linear-partition DP over the measured per-row costs), each at
+    most ``band_cap`` rows (default 2x the even split, bounding worst-
+    case per-device buffers).  Returns ((lo, rows), ...) per device."""
+    costs = np.asarray(row_costs, np.float64)
+    nty = len(costs)
+    cap = band_cap if band_cap is not None else 2 * (-(-nty // n))
+    cap = max(cap, -(-nty // n))       # feasibility: n bands must cover
+    prefix = np.concatenate([[0.0], np.cumsum(costs)])
+    inf = float("inf")
+    dp = np.full(nty + 1, inf)
+    dp[0] = 0.0
+    cut = np.zeros((n + 1, nty + 1), np.int32)
+    for b in range(1, n + 1):
+        ndp = np.full(nty + 1, inf)
+        for i in range(nty + 1):
+            j0 = max(0, i - cap)
+            cand = np.maximum(dp[j0:i + 1], prefix[i] - prefix[j0:i + 1])
+            k = int(np.argmin(cand))
+            ndp[i] = cand[k]
+            cut[b][i] = j0 + k
+        dp = ndp
+    bands = []
+    i = nty
+    for b in range(n, 0, -1):
+        j = int(cut[b][i])
+        bands.append((j, i - j))
+        i = j
+    bands.reverse()
+    return tuple(bands)
+
+
+def _band_row_map(bands, band_cap: int, tile_h: int,
+                  height: int) -> np.ndarray:
+    """(H,) gather indices: global pixel row -> its row in the
+    device-concatenated (n * band_cap * tile_h, W) padded output."""
+    src = np.empty(height, np.int64)
+    for b, (lo, rows) in enumerate(bands):
+        for t in range(rows):
+            g0 = (lo + t) * tile_h
+            s0 = (b * band_cap + t) * tile_h
+            src[g0:g0 + tile_h] = np.arange(s0, s0 + tile_h)
+    return src
+
+
 def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
                                tile_h: int | None = None,
                                tile_w: int | None = None,
                                strict_capacity: bool = True,
                                interleave: bool = False,
-                               geom_shard: bool = True):
+                               geom_shard: bool = True,
+                               bands: tuple | None = None):
     """Render a whole multi-pass frame through the PRODUCTION fused
     pipeline with the framebuffer row-band-sharded over ``mesh``.
 
@@ -724,7 +872,17 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
     (raster_tiled._vertex_stage, bitwise-equal).  This removes the one
     replicated term the screen decomposition leaves (the round-3 cost
     analysis measured it as the entire residual at 8 devices); the
-    per-pixel stages stay collective-free."""
+    per-pixel stages stay collective-free.
+
+    ``bands`` (1-D meshes, exclusive with ``interleave``): a per-device
+    tuple of (first tile row, row count) — MEASURED-LOAD contiguous
+    bands of unequal height, from balance_bands over measured per-row
+    pair costs (measure_tile_row_costs).  All devices share one static
+    band shape (max row count); a device's surplus rows bin nothing and
+    the transfer-boundary row map drops them.  Pass the same ``bands``
+    to tiles_to_buffers_sharded / untile_one_sharded.  Bitwise-
+    identical to every other layout (each pixel has exactly one owner
+    rasterizing at global coordinates)."""
     from tinyrenderder_tpu.ops import raster_fine, raster_sparse
     from tinyrenderder_tpu.ops.raster_tiled import TILE_H, TILE_W
 
@@ -738,7 +896,12 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
     n_cols = mesh.shape[AXIS_X] if two_d else 1
     if two_d and interleave:
         raise ValueError("interleave is only supported on 1-D row meshes")
-    if height % (n_rows * tile_h):
+    if bands is not None:
+        if two_d or interleave:
+            raise ValueError("bands needs a 1-D row mesh without "
+                             "interleave")
+        _check_bands(bands, n, height, tile_h)
+    elif height % (n_rows * tile_h):
         raise ValueError(f"height {height} not divisible into {n_rows} "
                          f"tile-aligned bands")
     if width % (n_cols * tile_w):
@@ -746,7 +909,8 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
                          f"tile-aligned columns")
     n_tiles_x = width // tile_w
     nty = height // tile_h
-    band_tiles_y = nty // n_rows
+    band_cap = max(r for _, r in bands) if bands is not None else None
+    band_tiles_y = band_cap if bands is not None else nty // n_rows
     n_tiles_band = (n_tiles_x // n_cols) * band_tiles_y
     n_tiles_full = n_tiles_x * nty
     interpret = jax.default_backend() != "tpu"
@@ -766,7 +930,8 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
         mode = raster_sparse._decide_mode(
             attrs, shader, uniforms, width, height, tile_h, tile_w)
         key = (f, n_tiles_x, nty, tile_h, tile_w, n_rows, n_cols, mode,
-               "fused-sharded", interleave)
+               "fused-sharded",
+               ("measured", band_cap) if bands is not None else interleave)
         caps = _SHARD_FUSED_CAPS.get(key)
         if caps is None:
             # seed from the full-screen totals: an upper bound for any
@@ -787,8 +952,16 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
 
     fn = _sharded_fused_fn(mesh, tuple(plan), width, height,
                            tile_h, tile_w, interpret, interleave,
-                           geom_shard)
-    ft, out_depth, overflow, totals = fn(tuple(attrs_t), tuple(unis_t))
+                           geom_shard, band_cap=band_cap)
+    if bands is not None:
+        lo_arr = jnp.asarray([lo for lo, _ in bands], jnp.int32)
+        rows_arr = jnp.asarray([r for _, r in bands], jnp.int32)
+        ft, out_depth, overflow, totals = fn(tuple(attrs_t),
+                                             tuple(unis_t),
+                                             lo_arr, rows_arr)
+    else:
+        ft, out_depth, overflow, totals = fn(tuple(attrs_t),
+                                             tuple(unis_t))
     # totals: (n_bands, n_passes, 4)
 
     if strict_capacity:
@@ -800,7 +973,7 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
         if grown:
             return render_frame_fused_sharded(
                 mesh, passes, width, height, tile_h, tile_w,
-                strict_capacity, interleave, geom_shard)
+                strict_capacity, interleave, geom_shard, bands)
     else:
         # merge same-key passes within this frame (element-wise max)
         # BEFORE staging: a key's pending slot held only the FIRST
@@ -826,12 +999,34 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
 def _sharded_fused_image_fn(mesh: Mesh, plan, width: int, height: int,
                             tile_h: int, tile_w: int, interpret: bool,
                             interleave: bool, geom_shard: bool,
-                            direct: bool):
+                            direct: bool, band_cap: int | None = None):
     from tinyrenderder_tpu.ops import raster_sparse
 
     n = mesh.devices.size
     nty = height // tile_h
     band_tiles_y = nty // n
+
+    if band_cap is not None:
+        # measured-load bands (see _sharded_fused_fn): per-device
+        # (lo, rows) as sharded operands under one static band shape
+        def shard_body_measured(attrs_t, uniforms_t, lo, rows):
+            ty_lo = lo[0].astype(jnp.int32)
+            origin = jnp.stack([jnp.int32(0),
+                                (ty_lo * tile_h).astype(jnp.int32)])
+            img, overflow, totals = raster_sparse._fused_image_body(
+                attrs_t, uniforms_t, plan, width, height, tile_h, tile_w,
+                interpret, direct, ty_lo=ty_lo, nty_band=band_cap,
+                origin=origin, ty_stride=1,
+                geom_axis=(AXIS if geom_shard else None),
+                ty_rows=rows[0].astype(jnp.int32))
+            return img, overflow.reshape(1), totals[None][None]
+
+        mapped = jax.shard_map(
+            shard_body_measured, mesh=mesh,
+            in_specs=(P(), P(), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            check_vma=False)
+        return jax.jit(mapped)
 
     def shard_body(attrs_t, uniforms_t):
         b = jax.lax.axis_index(AXIS)
@@ -866,7 +1061,8 @@ def render_frame_fused_image_sharded(mesh: Mesh, passes, width: int,
                                      strict_capacity: bool = True,
                                      interleave: bool = False,
                                      geom_shard: bool = True,
-                                     direct: bool = True):
+                                     direct: bool = True,
+                                     bands: tuple | None = None):
     """Single-color-pass direct-to-image under the sharded fused
     pipeline (1-D row meshes): each device renders its band straight to
     packed image rows (raster_sparse._fused_image_body — no depth/
@@ -895,14 +1091,19 @@ def render_frame_fused_image_sharded(mesh: Mesh, passes, width: int,
         raise ValueError("render_frame_fused_image_sharded needs a color "
                          "shader")
     n = mesh.devices.size
-    if height % (n * tile_h):
+    if bands is not None:
+        if interleave:
+            raise ValueError("bands is exclusive with interleave")
+        _check_bands(bands, n, height, tile_h)
+    elif height % (n * tile_h):
         raise ValueError(f"height {height} not divisible into {n} "
                          f"tile-aligned bands")
     if width % tile_w:
         raise ValueError(f"width {width} not tile-aligned")
     n_tiles_x = width // tile_w
     nty = height // tile_h
-    band_tiles_y = nty // n
+    band_cap = max(r for _, r in bands) if bands is not None else None
+    band_tiles_y = band_cap if bands is not None else nty // n
     n_tiles_band = n_tiles_x * band_tiles_y
     n_tiles_full = n_tiles_x * nty
     interpret = jax.default_backend() != "tpu"
@@ -916,7 +1117,8 @@ def render_frame_fused_image_sharded(mesh: Mesh, passes, width: int,
     mode = raster_sparse._decide_mode(attrs, shader, uniforms, width,
                                       height, tile_h, tile_w)
     key = (f, n_tiles_x, nty, tile_h, tile_w, n, 1, mode,
-           "fused-sharded", interleave)
+           "fused-sharded",
+           ("measured", band_cap) if bands is not None else interleave)
     caps = _SHARD_FUSED_CAPS.get(key)
     if caps is None:
         caps = raster_sparse._resolve_caps_mode(
@@ -931,8 +1133,13 @@ def render_frame_fused_image_sharded(mesh: Mesh, passes, width: int,
 
     fn = _sharded_fused_image_fn(mesh, plan, width, height, tile_h,
                                  tile_w, interpret, interleave,
-                                 geom_shard, direct)
-    img, overflow, totals = fn((attrs,), (uniforms,))
+                                 geom_shard, direct, band_cap=band_cap)
+    if bands is not None:
+        lo_arr = jnp.asarray([lo for lo, _ in bands], jnp.int32)
+        rows_arr = jnp.asarray([r for _, r in bands], jnp.int32)
+        img, overflow, totals = fn((attrs,), (uniforms,), lo_arr, rows_arr)
+    else:
+        img, overflow, totals = fn((attrs,), (uniforms,))
     # totals: (n_bands, 1, 4)
 
     if strict_capacity:
@@ -940,13 +1147,16 @@ def render_frame_fused_image_sharded(mesh: Mesh, passes, width: int,
         if _fold_fused_totals(key, mode, t_max, n_tiles_band):
             return render_frame_fused_image_sharded(
                 mesh, passes, width, height, tile_h, tile_w,
-                strict_capacity, interleave, geom_shard, direct)
+                strict_capacity, interleave, geom_shard, direct, bands)
     else:
         st = raster_sparse._StagedTotals(totals, 0, axis=1)
         raster_sparse._stage_pending(_SHARD_FUSED_PENDING, key, st,
                                      _SHARD_FUSED_CAPS[key])
     if interleave:
         img = _deinterleave_rows(img, n, band_tiles_y, tile_h)
+    elif bands is not None:
+        img = img[jnp.asarray(_band_row_map(bands, band_cap, tile_h,
+                                            height))]
     return raster_sparse._unpack_rgb(img[:height, :width]), overflow
 
 
@@ -990,14 +1200,17 @@ def _deinterleave_rows(x, n, band_nty, tile_h):
 @functools.lru_cache(maxsize=None)
 def _sharded_untile_fn(mesh: Mesh, width: int, height: int,
                        tile_h: int, tile_w: int, interpret: bool,
-                       interleave: bool = False):
+                       interleave: bool = False,
+                       bands: tuple | None = None):
     from tinyrenderder_tpu.ops import raster_sparse
 
     two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
     n = mesh.devices.size
     n_cols = mesh.shape[AXIS_X] if two_d else 1
     band_ntx = (width // tile_w) // n_cols
-    band_nty = (height // tile_h) // (mesh.shape[AXIS_Y] if two_d else n)
+    band_nty = (max(r for _, r in bands) if bands is not None
+                else (height // tile_h) // (mesh.shape[AXIS_Y]
+                                            if two_d else n))
 
     def shard_body(ft):
         color_p, depth, winner = raster_sparse._untile_call_jit(
@@ -1017,6 +1230,16 @@ def _sharded_untile_fn(mesh: Mesh, width: int, height: int,
                            winner=P(*axes) if two_d else P(axes))
     mapped = jax.shard_map(shard_body, mesh=mesh, in_specs=(ft_spec,),
                            out_specs=fb_spec, check_vma=False)
+    if bands is not None:
+        row_src = jnp.asarray(_band_row_map(bands, band_nty, tile_h,
+                                            height))
+
+        def full_measured(ft):
+            fb = mapped(ft)
+            return FrameBuffers(color=fb.color[row_src],
+                                depth=fb.depth[row_src],
+                                winner=fb.winner[row_src])
+        return jax.jit(full_measured)
     if not interleave:
         return jax.jit(mapped)
 
@@ -1052,12 +1275,15 @@ def blocks_to_flat_tiles(x, width: int, height: int, n_rows: int,
 def tiles_to_buffers_sharded(mesh: Mesh, ft, width: int, height: int,
                              tile_h: int | None = None,
                              tile_w: int | None = None,
-                             interleave: bool = False) -> FrameBuffers:
+                             interleave: bool = False,
+                             bands: tuple | None = None) -> FrameBuffers:
     """Per-band Pallas untile of a sharded FrameTiles: (H, W) buffers
     row-sharded over the mesh (no resharding, no collectives).  With
     ``interleave`` the bands are tile-row-interleaved (see
     render_frame_fused_sharded) and the final global row reorder happens
-    here, at the transfer boundary."""
+    here, at the transfer boundary; with ``bands`` (measured-load
+    layout) the row map drops each device's dead padding rows the same
+    way."""
     from tinyrenderder_tpu.ops.raster_tiled import TILE_H, TILE_W
     if tile_h is None:
         tile_h = TILE_H
@@ -1067,21 +1293,24 @@ def tiles_to_buffers_sharded(mesh: Mesh, ft, width: int, height: int,
         raise ValueError("interleave is only supported on 1-D row meshes")
     interpret = jax.default_backend() != "tpu"
     fn = _sharded_untile_fn(mesh, width, height, tile_h, tile_w, interpret,
-                            interleave)
+                            interleave, bands)
     return fn(ft)
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_untile_one_fn(mesh: Mesh, width: int, height: int,
                            tile_h: int, tile_w: int, interpret: bool,
-                           interleave: bool = False):
+                           interleave: bool = False,
+                           bands: tuple | None = None):
     from tinyrenderder_tpu.ops import raster_sparse
 
     two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
     n = mesh.devices.size
     n_cols = mesh.shape[AXIS_X] if two_d else 1
     band_ntx = (width // tile_w) // n_cols
-    band_nty = (height // tile_h) // (mesh.shape[AXIS_Y] if two_d else n)
+    band_nty = (max(r for _, r in bands) if bands is not None
+                else (height // tile_h) // (mesh.shape[AXIS_Y]
+                                            if two_d else n))
 
     def shard_body(x):
         return raster_sparse._untile_one_jit(x, band_ntx, band_nty, tile_h,
@@ -1091,6 +1320,10 @@ def _sharded_untile_one_fn(mesh: Mesh, width: int, height: int,
     out_spec = P(AXIS_Y, AXIS_X) if two_d else P(AXIS)
     mapped = jax.shard_map(shard_body, mesh=mesh, in_specs=(in_spec,),
                            out_specs=out_spec, check_vma=False)
+    if bands is not None:
+        row_src = jnp.asarray(_band_row_map(bands, band_nty, tile_h,
+                                            height))
+        return jax.jit(lambda x: mapped(x)[row_src])
     if not interleave:
         return jax.jit(mapped)
     return jax.jit(lambda x: _deinterleave_rows(mapped(x), n, band_nty,
@@ -1099,7 +1332,8 @@ def _sharded_untile_one_fn(mesh: Mesh, width: int, height: int,
 
 def untile_one_sharded(mesh: Mesh, tiles, width: int, height: int,
                        tile_h: int | None = None, tile_w: int | None = None,
-                       interleave: bool = False):
+                       interleave: bool = False,
+                       bands: tuple | None = None):
     """Single-plane sharded untile (e.g. the excluded-pass out_depth)."""
     from tinyrenderder_tpu.ops.raster_tiled import TILE_H, TILE_W
     if tile_h is None:
@@ -1110,7 +1344,7 @@ def untile_one_sharded(mesh: Mesh, tiles, width: int, height: int,
         raise ValueError("interleave is only supported on 1-D row meshes")
     interpret = jax.default_backend() != "tpu"
     fn = _sharded_untile_one_fn(mesh, width, height, tile_h, tile_w,
-                                interpret, interleave)
+                                interpret, interleave, bands)
     return fn(tiles)
 
 

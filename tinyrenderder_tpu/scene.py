@@ -106,6 +106,14 @@ class Scene:
                             collect_stats=collect_stats, transfer=transfer,
                             strict_capacity=strict_capacity)
 
+    def render_image(self, backend: str = "tiled", dtype=np.float32,
+                     frustum_cull: bool = True, transfer: bool = True,
+                     strict_capacity: bool = True):
+        return render_scene_image(self, backend=backend, dtype=dtype,
+                                  frustum_cull=frustum_cull,
+                                  transfer=transfer,
+                                  strict_capacity=strict_capacity)
+
 
 # one-entry frustum cache: plane extraction + normalization is ~0.1 ms
 # of host Python per frame, and bench/animation loops either keep the
@@ -292,7 +300,72 @@ def render_scene(scene: Scene, backend: str = "xla", dtype=np.float32,
         return _render_sharded(scene, visible, dtype, stats, timings,
                                transfer, collect_stats, geometry=True,
                                strict_capacity=strict_capacity)
+    if backend == "sharded-measured":
+        return _render_sharded(scene, visible, dtype, stats, timings,
+                               transfer, collect_stats,
+                               strict_capacity=strict_capacity,
+                               measured=True)
     raise ValueError(f"unknown backend: {backend}")
+
+
+def render_scene_image(scene: Scene, backend: str = "tiled",
+                       dtype=np.float32, frustum_cull: bool = True,
+                       transfer: bool = True,
+                       strict_capacity: bool = True):
+    """Render a frame whose ONLY deliverable is the (H, W, 3) uint8
+    color image — the reference's per-frame framebuffer write
+    (main.cpp:786; the z-buffer is an internal there too).
+
+    Single-color-pass frames route through the direct-to-image fused
+    pipeline (ops.raster_sparse.render_frame_fused_image: no depth/
+    winner tile planes, one windowed placement instead of the tile
+    scatter + 3-plane untile) on the tiled backend, and through
+    dist.render_frame_fused_image_sharded on the sharded backend.
+    Any other scene shape or backend falls back to the full render and
+    returns its color — the colors are bitwise-identical either way
+    (tested), so callers never need to know which route ran.
+
+    ``transfer=False`` leaves the image on device (benchmark/animation
+    inner loops).  Returns the image only; use ``render()`` when depth,
+    stats, or the overflow flag are part of the deliverable."""
+    stats = RenderStats()
+    visible = _cull_passes(scene, frustum_cull, stats)
+
+    single_color = (len(visible) == 1
+                    and visible[0].mesh.nfaces > 0
+                    and visible[0].shader.writes_color
+                    and not visible[0].exclude_from_output_depth)
+    if single_color and backend in ("tiled", "sharded"):
+        import jax
+
+        from tinyrenderder_tpu.ops import raster_sparse, raster_tiled
+
+        attrs, uniforms = _pass_inputs(scene, visible[0], dtype,
+                                       device=True)
+        passes = [(attrs, visible[0].shader, uniforms, False)]
+        if backend == "tiled" and (jax.default_backend() == "tpu"
+                                   or FORCE_TILES_LOOP):
+            image, _overflow = raster_sparse.render_frame_fused_image(
+                passes, scene.width, scene.height,
+                strict_capacity=strict_capacity)
+            return np.asarray(image) if transfer else image
+        if backend == "sharded":
+            from tinyrenderder_tpu.parallel import dist
+            mesh = dist.make_mesh()
+            n_dev = mesh.devices.size
+            if (scene.height % (n_dev * raster_tiled.TILE_H) == 0
+                    and scene.width % raster_tiled.TILE_W == 0):
+                inter = SHARDED_INTERLEAVE and n_dev > 1
+                image, _overflow = dist.render_frame_fused_image_sharded(
+                    mesh, passes, scene.width, scene.height,
+                    strict_capacity=strict_capacity, interleave=inter)
+                return np.asarray(image) if transfer else image
+
+    result = render_scene(scene, backend=backend, dtype=dtype,
+                          frustum_cull=frustum_cull, collect_stats=False,
+                          transfer=transfer,
+                          strict_capacity=strict_capacity)
+    return result.color
 
 
 def _pick_grid(n_dev: int, width: int, height: int, th: int, tw: int):
@@ -314,7 +387,7 @@ def _pick_grid(n_dev: int, width: int, height: int, th: int, tw: int):
 def _render_sharded(scene, visible, dtype, stats, timings,
                     transfer=True, collect_stats=True,
                     geometry=False, strict_capacity=True,
-                    two_d=False) -> RenderResult:
+                    two_d=False, measured=False) -> RenderResult:
     """Framebuffer row-sharded across every available device (the
     multi-chip production path; on one device it degenerates to tiled).
     ``geometry=True`` shards triangles instead of pixels and merges with
@@ -323,7 +396,13 @@ def _render_sharded(scene, visible, dtype, stats, timings,
     shards the frame in BOTH screen axes over the most-square
     tile-aligned ('ty','tx') grid — same fused production pipeline,
     2-D block per device; falls back to row bands when no 2-D grid
-    divides the frame.
+    divides the frame.  ``measured=True`` (backend "sharded-measured")
+    splits the rows into MEASURED-LOAD contiguous bands (unequal
+    heights from the measured per-tile-row pair cost, cached per scene
+    state — dist.balance_bands) instead of interleaving; for scenes
+    where stride aliasing leaves the interleaved layout imbalanced
+    (the stress/mixed streams measure interleave 1.35 vs measured 1.08
+    max/mean, scripts/band_balance.py).
 
     Same semantics as the single-device backends, including the
     z-snapshot/restore around exclude_from_output_depth passes
@@ -350,6 +429,9 @@ def _render_sharded(scene, visible, dtype, stats, timings,
     fused_ok = (not geometry and passes
                 and all(a["position"].shape[0] > 0 for a, *_ in passes)
                 and (two_d_mesh  # grid choice already proved divisibility
+                     or (measured  # unequal bands need no N-divisibility
+                         and scene.height % raster_tiled.TILE_H == 0
+                         and scene.width % raster_tiled.TILE_W == 0)
                      or (scene.height % (n_dev * raster_tiled.TILE_H) == 0
                          and scene.width % raster_tiled.TILE_W == 0)))
     t0 = time.perf_counter()
@@ -393,20 +475,25 @@ def _render_sharded(scene, visible, dtype, stats, timings,
         # tile rows b, b+N, ...) so coverage hot spots — contiguous in y
         # on real scenes — split evenly across devices; on one device
         # this is the identity layout.
-        inter = SHARDED_INTERLEAVE and n_dev > 1 and not two_d_mesh
+        bands = (_measured_bands_cached(scene, passes, n_dev)
+                 if measured and n_dev > 1 else None)
+        inter = (SHARDED_INTERLEAVE and n_dev > 1 and not two_d_mesh
+                 and bands is None)
         ft, out_depth_t, overflow_b = dist.render_frame_fused_sharded(
             mesh, passes, scene.width, scene.height,
-            strict_capacity=strict_capacity, interleave=inter)
+            strict_capacity=strict_capacity, interleave=inter,
+            bands=bands)
         # same-frame device overflow flag (any band), like the
         # single-device tiles path — part of the frame's own outputs
         import jax.numpy as jnp
         overflowed = jnp.any(overflow_b)
         fb = dist.tiles_to_buffers_sharded(mesh, ft, scene.width,
-                                           scene.height, interleave=inter)
+                                           scene.height, interleave=inter,
+                                           bands=bands)
         in_excluded = visible[-1].exclude_from_output_depth
         out_depth = (dist.untile_one_sharded(mesh, out_depth_t,
                                              scene.width, scene.height,
-                                             interleave=inter)
+                                             interleave=inter, bands=bands)
                      if in_excluded else fb.depth)
     else:
         fb, out_depth = dist.render_frame_sharded(
@@ -426,6 +513,25 @@ def _render_sharded(scene, visible, dtype, stats, timings,
     return RenderResult(color=color, depth=depth, full_depth=full_depth,
                         stats=stats, pass_timings=timings,
                         overflowed=overflowed)
+
+
+def _measured_bands_cached(scene, passes, n_dev):
+    """Per-scene cache of the measured-load band partition (backend
+    "sharded-measured"): one (nty,)-int measurement sync + a host DP on
+    the first frame of a scene state; steady-state loops reuse it.  The
+    key covers everything the measurement reads — the view-projection
+    and each pass's kept-alive attrs identity."""
+    from tinyrenderder_tpu.parallel import dist
+    vp = scene.camera.projection_matrix @ scene.camera.view_matrix
+    key = (vp.tobytes(), scene.width, scene.height, n_dev,
+           tuple(id(a["position"]) for a, *_ in passes))
+    hit = scene.__dict__.get("_band_cache")
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    costs = dist.measure_tile_row_costs(passes, scene.width, scene.height)
+    bands = dist.balance_bands(costs, n_dev)
+    scene.__dict__["_band_cache"] = (key, bands)
+    return bands
 
 
 def _accumulate_exact_events(scene, passes, visible, stats):
