@@ -284,7 +284,76 @@ def comm_model():
           f"T1 = {T1_MS} ms measured median)")
 
 
+def cost_for_mesh_measured(n, width=2048, height=2048, geom_shard=False):
+    """Per-device compiled cost under the MEASURED-LOAD band layout
+    (round-5): honest caps = max over the measured bands, static band
+    shape = the largest band's rows."""
+    mesh = dist.make_mesh(n)
+    attrs, s, u = bench_pass(width, height)
+    passes = [(attrs, s, u, False)]
+    costs = dist.measure_tile_row_costs(passes, width, height)
+    bands = dist.balance_bands(costs, n)
+    band_cap = max(r for _, r in bands)
+    ntx = width // TILE_W
+    n_tiles_band = ntx * band_cap
+    setup, _ = raster_sparse._vertex_setup(attrs, u, s, width, height)
+    pair_max = act_max = 0
+    for lo, rows in bands:
+        if rows == 0:
+            continue
+        *_, total = _tile_spans(setup, TILE_W, TILE_H, ty_lo=lo,
+                                ty_hi=lo + rows - 1)
+        pair_max = max(pair_max, int(jax.device_get(total)))
+    cap = _quantize_soft(max(pair_max, 1))
+    for lo, rows in bands:
+        if rows == 0:
+            continue
+        tx0, ty0, sx, spans, _ = _tile_spans(setup, TILE_W, TILE_H,
+                                             ty_lo=lo,
+                                             ty_hi=lo + rows - 1)
+        _, _, counts = _build_bins(tx0, ty0, sx, spans, cap, ntx,
+                                   band_cap)
+        n_act = jnp.sum((counts > 0).astype(jnp.int32))
+        act_max = max(act_max, int(jax.device_get(n_act)))
+    caps = (cap, raster_sparse._quantize_active(act_max, n_tiles_band))
+    plan = ((s, "coarse", caps, False, 0),)
+    fn = dist._sharded_fused_fn(mesh, plan, width, height, TILE_H,
+                                TILE_W, True, False, geom_shard,
+                                band_cap=band_cap)
+    lo_arr = jnp.asarray([lo for lo, _ in bands], jnp.int32)
+    rows_arr = jnp.asarray([r for _, r in bands], jnp.int32)
+    lowered = fn.lower((attrs,), (u,), lo_arr, rows_arr)
+    c = lowered.compile().cost_analysis()
+    if isinstance(c, list):
+        c = c[0]
+    return {"flops": c.get("flops", float("nan")),
+            "bytes": c.get("bytes accessed", float("nan")),
+            "caps": caps, "bands": bands}
+
+
+def measured_vs_interleave(n=8, width=2048, height=2048):
+    """Round-5: per-device compiled cost of the measured-band layout
+    vs the shipped interleave at n devices (both geom-sharded)."""
+    print(f"\n==== measured bands vs interleave at mesh({n}) ====",
+          flush=True)
+    f1 = cost_for_mesh(1)["flops"]
+    ri = cost_for_mesh(n, interleave=True, geom_shard=True)
+    rm = cost_for_mesh_measured(n, width, height, geom_shard=True)
+    for label, r in (("interleave", ri), ("measured", rm)):
+        ideal = f1 / n
+        print(f"{label}: per-device flops={r['flops']:.4e} "
+              f"({r['flops'] / ideal:.3f}x the 1/N ideal), "
+              f"caps={r['caps']}", flush=True)
+    print(f"measured bands: {rm['bands']}")
+    print(f"projected {n}-chip parallel efficiency: interleave "
+          f"{f1 / (n * ri['flops']) * 100:.1f}% -> measured "
+          f"{f1 / (n * rm['flops']) * 100:.1f}%")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "measured":
+        measured_vs_interleave()
+        return
     for interleave in (False, True):
         label = "interleaved" if interleave else "contiguous"
         print(f"\n==== {label} row bands ====", flush=True)

@@ -72,18 +72,34 @@ def main():
         passes = _stream(name, w, h)
         costs = dist.measure_tile_row_costs(passes, w, h)
         nty = len(costs)
+        legal = nty % n == 0
         even = tuple((b * (nty // n), nty // n) for b in range(n))
         measured = dist.balance_bands(costs, n)
+        cap = max(r for _, r in measured)
         print(f"{name} {w}x{h}: {int(costs.sum())} pairs over {nty} "
               f"tile rows; measured bands {measured}")
-        r_even = report("even", band_totals(costs, even))
-        r_int = report("interleave", interleave_totals(costs, n))
+        if not legal:
+            # even/interleaved bands need nty % n == 0 — on this frame
+            # they cannot run the fused sharded path at all; the
+            # hypothetical numbers below drop the last nty % n rows
+            print(f"  NOTE: {nty} rows % {n} devices != 0 — even/"
+                  f"interleave are ILLEGAL here (pre-round-5 this frame "
+                  f"fell back to the non-fused path); measured bands "
+                  f"are what makes the fused path run")
+        r_even = report("even*" if not legal else "even",
+                        band_totals(costs, even))
+        r_int = report("interleave*" if not legal else "interleave",
+                       interleave_totals(costs, n))
         r_meas = report("measured", band_totals(costs, measured))
-        results[name] = (r_even, r_int, r_meas)
-    print("\nsummary (max/mean; 1.0 = perfect):")
-    for name, (e, i, m) in results.items():
-        print(f"  {name:<8} even {e:.3f}  interleave {i:.3f}  "
-              f"measured {m:.3f}")
+        print(f"  measured band_cap {cap} vs even rows {nty // n} "
+              f"(static shape overhead x{cap / max(nty // n, 1):.2f})")
+        results[name] = (r_even, r_int, r_meas, legal)
+    print("\nsummary (max/mean; 1.0 = perfect; * = layout illegal on "
+          "that frame, shown for shape only):")
+    for name, (e, i, m, legal) in results.items():
+        star = "" if legal else "*"
+        print(f"  {name:<8} even{star} {e:.3f}  interleave{star} "
+              f"{i:.3f}  measured {m:.3f}")
     return 0
 
 

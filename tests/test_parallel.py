@@ -1113,3 +1113,56 @@ def test_scene_backend_sharded_measured_route(meshes):
     sc.render(backend="sharded-measured", frustum_cull=False,
               collect_stats=False)
     assert sc.__dict__["_band_cache"][0] != key0
+
+
+def test_scene_backend_sharded_auto_measured_on_nondivisible(meshes):
+    """backend='sharded' on a tile-aligned frame whose rows do NOT
+    divide by the device count must auto-route through measured bands
+    (fused path) instead of the non-fused fallback, bitwise vs tiled."""
+    from tinyrenderder_tpu import math3d, scene as scene_mod
+    from tinyrenderder_tpu.camera import Camera
+    from tinyrenderder_tpu.scene import Scene
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough virtual devices")
+
+    cam = Camera()
+    cam.set_eye(math3d.vec3(0, 0.5, 3))
+    cam.set_target(math3d.vec3(0, 0, 0))
+    cam.set_fov(60.0)
+    cam.set_aspect(1.0)
+    cam.set_clipping(0.1, 50.0)
+
+    def build():
+        s = Scene(camera=cam, width=128, height=176)   # 11 tile rows
+        s.add(meshes["head"], math3d.identity4(),
+              PhongShader(KEY, FILL, RIM), name="head")
+        return s
+
+    calls = []
+    orig = dist.render_frame_fused_sharded
+
+    def spy(*a, **kw):
+        calls.append(kw.get("bands"))
+        return orig(*a, **kw)
+
+    saved_fn = dist.render_frame_fused_sharded
+    saved = scene_mod.FORCE_TILES_LOOP
+    scene_mod.FORCE_TILES_LOOP = True
+    try:
+        a = build().render(backend="tiled", frustum_cull=False,
+                           collect_stats=False)
+    finally:
+        scene_mod.FORCE_TILES_LOOP = saved
+    dist.render_frame_fused_sharded = spy
+    try:
+        b = build().render(backend="sharded", frustum_cull=False,
+                           collect_stats=False)
+    finally:
+        dist.render_frame_fused_sharded = saved_fn
+    assert calls and calls[0] is not None, \
+        "non-divisible frame did not take the measured-band fused route"
+    assert sum(r for _, r in calls[0]) == 11
+    assert (np.asarray(a.color) == np.asarray(b.color)).all()
+    assert np.array_equal(np.asarray(a.full_depth),
+                          np.asarray(b.full_depth), equal_nan=True)

@@ -778,12 +778,22 @@ def balance_bands(row_costs, n: int,
                   band_cap: int | None = None) -> tuple:
     """Optimal contiguous min-max partition of the tile rows into ``n``
     bands (linear-partition DP over the measured per-row costs), each at
-    most ``band_cap`` rows (default 2x the even split, bounding worst-
-    case per-device buffers).  Returns ((lo, rows), ...) per device."""
+    most ``band_cap`` rows.  Returns ((lo, rows), ...) per device.
+
+    The default cap is TIGHT — ceil(nty/n) + max(1, ceil/8), ~12.5%
+    slack: every device's static band shape follows the LARGEST band,
+    and the capacity-shaped stages cost time proportional to that shape
+    (XLA cost analysis at 2048²: an unconstrained cap let one device
+    take 28 near-empty rows vs the 16-row even split and pushed
+    per-device compiled FLOPs from 1.23x to 1.73x the 1/N ideal —
+    scripts/analyze_sharded_cost.py measured_vs_interleave).  Scenes
+    whose pair imbalance is worth more shape can pass a larger cap."""
     costs = np.asarray(row_costs, np.float64)
     nty = len(costs)
-    cap = band_cap if band_cap is not None else 2 * (-(-nty // n))
-    cap = max(cap, -(-nty // n))       # feasibility: n bands must cover
+    even = -(-nty // n)
+    cap = (band_cap if band_cap is not None
+           else even + max(1, even // 8))
+    cap = max(cap, even)               # feasibility: n bands must cover
     prefix = np.concatenate([[0.0], np.cumsum(costs)])
     inf = float("inf")
     dp = np.full(nty + 1, inf)

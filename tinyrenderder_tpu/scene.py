@@ -429,10 +429,9 @@ def _render_sharded(scene, visible, dtype, stats, timings,
     fused_ok = (not geometry and passes
                 and all(a["position"].shape[0] > 0 for a, *_ in passes)
                 and (two_d_mesh  # grid choice already proved divisibility
-                     or (measured  # unequal bands need no N-divisibility
-                         and scene.height % raster_tiled.TILE_H == 0
-                         and scene.width % raster_tiled.TILE_W == 0)
-                     or (scene.height % (n_dev * raster_tiled.TILE_H) == 0
+                     # 1-D: tile-aligned is enough — when the rows don't
+                     # divide by n_dev, measured unequal bands carry it
+                     or (scene.height % raster_tiled.TILE_H == 0
                          and scene.width % raster_tiled.TILE_W == 0)))
     t0 = time.perf_counter()
     if not passes:
@@ -475,8 +474,16 @@ def _render_sharded(scene, visible, dtype, stats, timings,
         # tile rows b, b+N, ...) so coverage hot spots — contiguous in y
         # on real scenes — split evenly across devices; on one device
         # this is the identity layout.
+        # measured bands when asked for (backend "sharded-measured") OR
+        # when the frame's tile rows don't divide by the device count —
+        # there the even/interleaved layouts are illegal and the only
+        # alternative used to be the slow non-fused fallback (the
+        # stress/mixed bench frames: 800 px = 50 tile rows over 8
+        # devices).  Unequal measured bands keep the fused path.
+        needs_bands = (not two_d_mesh and n_dev > 1
+                       and scene.height % (n_dev * raster_tiled.TILE_H))
         bands = (_measured_bands_cached(scene, passes, n_dev)
-                 if measured and n_dev > 1 else None)
+                 if (measured or needs_bands) and n_dev > 1 else None)
         inter = (SHARDED_INTERLEAVE and n_dev > 1 and not two_d_mesh
                  and bands is None)
         ft, out_depth_t, overflow_b = dist.render_frame_fused_sharded(
