@@ -372,3 +372,31 @@ def test_cli_image_only(tmp_path):
     a = tga.read(tmp_path / "phong.tga")
     b = tga.read(full / "phong.tga")
     assert np.array_equal(a.to_rgb(), b.to_rgb())
+
+
+def test_render_image_sharded_nondivisible_bands(monkeypatch):
+    """The sharded image route on a frame whose rows don't divide by
+    the device count must use measured bands (not fall back), bitwise
+    vs the tiled image."""
+    import jax
+
+    from tinyrenderder_tpu import scene as scene_mod
+    from tinyrenderder_tpu.parallel import dist
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs the virtual multi-device mesh")
+    sc = single_pass_scene(width=128, height=176)     # 11 tile rows
+    seen = {}
+    orig = dist.render_frame_fused_image_sharded
+
+    def spy(*a, **kw):
+        seen["bands"] = kw.get("bands")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(dist, "render_frame_fused_image_sharded", spy)
+    img = sc.render_image(backend="sharded")
+    assert seen.get("bands") is not None, "bands route not taken"
+    monkeypatch.setattr(scene_mod, "FORCE_TILES_LOOP", True)
+    ref = sc.render(backend="tiled", collect_stats=False).color
+    assert np.array_equal(img, np.asarray(ref))

@@ -353,12 +353,20 @@ def render_scene_image(scene: Scene, backend: str = "tiled",
             from tinyrenderder_tpu.parallel import dist
             mesh = dist.make_mesh()
             n_dev = mesh.devices.size
-            if (scene.height % (n_dev * raster_tiled.TILE_H) == 0
+            if (scene.height % raster_tiled.TILE_H == 0
                     and scene.width % raster_tiled.TILE_W == 0):
-                inter = SHARDED_INTERLEAVE and n_dev > 1
+                # rows not divisible by the device count: measured
+                # unequal bands keep the fused image path (same
+                # auto-route as _render_sharded)
+                bands = (_measured_bands_cached(scene, passes, n_dev)
+                         if n_dev > 1 and scene.height
+                         % (n_dev * raster_tiled.TILE_H) else None)
+                inter = (SHARDED_INTERLEAVE and n_dev > 1
+                         and bands is None)
                 image, _overflow = dist.render_frame_fused_image_sharded(
                     mesh, passes, scene.width, scene.height,
-                    strict_capacity=strict_capacity, interleave=inter)
+                    strict_capacity=strict_capacity, interleave=inter,
+                    bands=bands)
                 return np.asarray(image) if transfer else image
 
     result = render_scene(scene, backend=backend, dtype=dtype,
