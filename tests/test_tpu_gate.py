@@ -307,3 +307,51 @@ def test_postprocess_device_matches_host_on_tpu(meshes):
                   - ao_h.astype(int)).max() <= 1
     assert np.abs(np.asarray(final_d).astype(int)
                   - final_h.astype(int)).max() <= 2   # z/ao LSB compound
+
+
+def test_measured_band_clip_on_tpu(meshes):
+    """The measured-band machinery in REAL Mosaic lowering: a padded
+    band (static 6 tile rows, only 4 real) must reproduce exactly the
+    corresponding rows of the full fused frame, with the dead padding
+    rows left at background — the traced ty_rows clip, band-local
+    compaction, and kernel origin all lower through the real kernels
+    here (CPU meshes only ever ran them in interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    view, proj = default_view()
+    w, h = 256, 128                       # 8 tile rows
+    p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
+    attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+    passes = [(attrs, p.shader, dict(p.uniforms), False)]
+
+    ft1, _, _ = raster_sparse.render_frame_fused(passes, w, h)
+    fb1 = raster_sparse.tiles_to_buffers(ft1, w, h)
+
+    # band: tile rows 2..5 (4 real rows) under a 6-row static shape
+    mode = raster_sparse._decide_mode(attrs, p.shader, dict(p.uniforms),
+                                      w, h)
+    key = (attrs["position"].shape[0], w // 128, h // 16, 16, 128)
+    caps = raster_sparse._resolve_caps_mode(
+        mode, key, attrs, dict(p.uniforms), p.shader, w, h, 16, 128,
+        (w // 128) * (h // 16))
+    plan = ((p.shader, mode, caps, False, 0),)
+    ty_lo = jnp.int32(2)
+    origin = jnp.stack([jnp.int32(0), jnp.int32(2 * 16)])
+    ft_b, _, _, _ = jax.jit(
+        lambda a, u: raster_sparse._fused_frame_body(
+            (a,), (u,), plan, w, h, 16, 128, False, ty_lo=ty_lo,
+            nty_band=6, origin=origin, ty_rows=jnp.int32(4)),
+        static_argnums=())(attrs, dict(p.uniforms))
+    ntx = w // 128
+    band = raster_sparse.FrameTiles(
+        color=ft_b.color, depth=ft_b.depth, winner=ft_b.winner)
+    fb_b = raster_sparse.tiles_to_buffers(band, w, 6 * 16)
+    # real rows: band-local tile rows 0..3 == global tile rows 2..5
+    np.testing.assert_array_equal(np.asarray(fb_b.color)[: 4 * 16],
+                                  np.asarray(fb1.color)[2 * 16: 6 * 16])
+    assert np.array_equal(np.asarray(fb_b.depth)[: 4 * 16],
+                          np.asarray(fb1.depth)[2 * 16: 6 * 16],
+                          equal_nan=True)
+    # dead padding rows stay background
+    assert not np.isfinite(np.asarray(fb_b.depth)[4 * 16:]).any()
