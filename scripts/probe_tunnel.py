@@ -34,16 +34,26 @@ t1 = time.time()
 x = jnp.ones((256, 256))
 v = float(jax.device_get((x @ x).sum()))
 t2 = time.time()
-# second fetch measures steady-state RTT (first includes compile)
-v2 = float(jax.device_get((x @ x + 1.0).sum()))
-t3 = time.time()
+# steady-state RTT = MEDIAN of several fetches: the first post-compile
+# fetch alone read ~0.45 s on 2026-08-20 while fetches 2..21 measured
+# a healthy 26 ms with 0.5 ms MAD — one sample conflates warmup
+# (cache writes / tunnel setup) with the steady state the benches see
+f = (x @ x + 1.0).sum()
+float(jax.device_get(f))
+rtts = []
+for _ in range(5):
+    ta = time.time()
+    float(jax.device_get(f))
+    rtts.append(time.time() - ta)
+rtts.sort()
+rtt = rtts[len(rtts) // 2]
 # same bar as bench._tunnel_gate (bad_rtt_s=0.2): a ~465 ms-RTT window
-# slipped under a looser bar on 2026-08-19 and a 0.565 s one on
-# 2026-08-20 — init completing does NOT make timing trustworthy
-if t3 - t2 >= 0.2:
-    print(f"DEGRADED: init ok but rtt={t3-t2:.3f}s >= 0.2s "
+# slipped under a looser bar on 2026-08-19 — init completing does NOT
+# make timing trustworthy
+if rtt >= 0.2:
+    print(f"DEGRADED: init ok but rtt={rtt:.3f}s >= 0.2s "
           f"(healthy is 0.004-0.03)", flush=True)
     sys.exit(2)
 print(f"HEALTHY: devices={d[0].platform} init={t1-t0:.1f}s "
-      f"first_matmul={t2-t1:.1f}s rtt={t3-t2:.3f}s", flush=True)
+      f"first_matmul={t2-t1:.1f}s rtt={rtt:.3f}s", flush=True)
 sys.exit(0)
