@@ -350,9 +350,30 @@ def measured_vs_interleave(n=8, width=2048, height=2048):
           f"{f1 / (n * rm['flops']) * 100:.1f}%")
 
 
+def measured_nondivisible(n=8, width=1280, height=800):
+    """Round-5: per-device compiled cost of the measured-band fused
+    path on a frame whose 50 tile rows do NOT divide by 8 — the
+    stress/mixed bench geometry, where even/interleaved layouts are
+    illegal and the only pre-round-5 option was the non-fused scan
+    fallback (O(F x band pixels) per device)."""
+    print(f"\n==== measured bands on the NON-divisible frame "
+          f"{width}x{height} at mesh({n}) ====", flush=True)
+    f1 = cost_for_mesh(1, width, height)["flops"]
+    rm = cost_for_mesh_measured(n, width, height, geom_shard=True)
+    ideal = f1 / n
+    print(f"mesh(1) fused: {f1:.4e} flops; mesh({n}) measured-bands "
+          f"per-device: {rm['flops']:.4e} ({rm['flops'] / ideal:.3f}x "
+          f"the 1/N ideal), caps={rm['caps']}")
+    print(f"measured bands: {rm['bands']}")
+    print(f"projected {n}-chip parallel efficiency (fused, measured "
+          f"bands): {f1 / (n * rm['flops']) * 100:.1f}% — the layout "
+          f"that makes the fused path legal here at all")
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "measured":
         measured_vs_interleave()
+        measured_nondivisible()
         return
     for interleave in (False, True):
         label = "interleaved" if interleave else "contiguous"

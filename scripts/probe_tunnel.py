@@ -37,13 +37,23 @@ t2 = time.time()
 # steady-state RTT = MEDIAN of several fetches: the first post-compile
 # fetch alone read ~0.45 s on 2026-08-20 while fetches 2..21 measured
 # a healthy 26 ms with 0.5 ms MAD — one sample conflates warmup
-# (cache writes / tunnel setup) with the steady state the benches see
-f = (x @ x + 1.0).sum()
-float(jax.device_get(f))
+# (cache writes / tunnel setup) with the steady state the benches see.
+# Each fetch must be a FRESH jit execution: device_get of the same
+# jax.Array twice hits its host-side cache and reads 0.000 s (observed
+# 2026-08-20 14:12 — a "healthy rtt=0.000s" while a matmul took 119 s).
+import functools                              # noqa: E402
+
+
+@functools.partial(jax.jit)
+def _probe_fn(a, j):
+    return (a @ a + j).sum()
+
+
+float(jax.device_get(_probe_fn(x, 0.0)))     # compile once
 rtts = []
-for _ in range(5):
+for j in range(5):
     ta = time.time()
-    float(jax.device_get(f))
+    float(jax.device_get(_probe_fn(x, float(j + 1))))
     rtts.append(time.time() - ta)
 rtts.sort()
 rtt = rtts[len(rtts) // 2]

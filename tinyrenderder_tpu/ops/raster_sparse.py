@@ -1288,7 +1288,7 @@ def render_frame_fused_image(passes, width: int, height: int,
                              tile_h: int = TILE_H, tile_w: int = TILE_W,
                              strict_capacity: bool = True,
                              interpret: bool | None = None,
-                             direct: bool = True):
+                             direct: bool = False):
     """Render a SINGLE color pass directly to an (H, W, 3) uint8 image.
 
     The production fast path for frames whose deliverable is the image

@@ -1071,7 +1071,7 @@ def render_frame_fused_image_sharded(mesh: Mesh, passes, width: int,
                                      strict_capacity: bool = True,
                                      interleave: bool = False,
                                      geom_shard: bool = True,
-                                     direct: bool = True,
+                                     direct: bool = False,
                                      bands: tuple | None = None):
     """Single-color-pass direct-to-image under the sharded fused
     pipeline (1-D row meshes): each device renders its band straight to
