@@ -62,12 +62,27 @@ def main():
 
     zeros = jnp.zeros_like(dev)
 
+    # Every arm must fetch a FRESH jax.Array: np.asarray of the same
+    # array twice reads its host-side cache, not the tunnel (observed
+    # 2026-08-20: the raw arm "measured" 171 GB/s while every
+    # fresh-array arm measured the true 10-21 MB/s).  x + (j - j)
+    # with a traced j forces a new buffer with identical bytes.
+    @jax.jit
+    def freshen(x, j):
+        return x + (j - j)
+
+    _ctr = [0]
+
+    def fresh(arr):
+        _ctr[0] += 1
+        return freshen(arr, jnp.uint8(_ctr[0] % 250))
+
     def fetch(arr):
         arr.copy_to_host_async()
         return np.asarray(arr)
 
     def t_raw():
-        return fetch(dev)
+        return fetch(fresh(dev))
 
     def t_delta_row():
         d = fetch(delta_row(dev))
@@ -78,7 +93,7 @@ def main():
         return np.cumsum(d, axis=1, dtype=np.uint8)
 
     def t_zeros():
-        return fetch(zeros)
+        return fetch(fresh(zeros))
 
     def make_chunk(n):
         @jax.jit
@@ -87,7 +102,7 @@ def main():
                          for i in range(n))
 
         def run():
-            parts = split(dev)
+            parts = split(fresh(dev))
             for p in parts:
                 p.copy_to_host_async()
             return np.concatenate([np.asarray(p) for p in parts], axis=0)
