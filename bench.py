@@ -1,9 +1,11 @@
 """Benchmark suite: the five BASELINE.md configs on the current backend.
 
-Prints exactly ONE JSON line on stdout (the headline metric — shaded-
-pixel throughput of the normal-mapped Phong pass at 2048^2 through the
-binned/Pallas pipeline); per-config details go to stderr and
-bench_report.json.
+Prints the headline metric JSON (shaded-pixel throughput of the
+normal-mapped Phong pass at 2048^2 through the binned/Pallas pipeline)
+on stdout: a PROVISIONAL line right after the first headline sample —
+so a driver timeout can never zero the round — and the final
+suite-median line at the end (consumers parse the LAST metric line);
+per-config details go to stderr and bench_report.json.
 
 vs_baseline is measured against the BASELINE.md target of 1 Gpixel/s at
 2048^2 on a v5e-8 (the reference itself publishes no numbers —
@@ -688,12 +690,15 @@ def main() -> int:
 
     def print_headline(value, provisional):
         # The headline metric line.  The PROVISIONAL line lands right
-        # after the first resample so a driver timeout can never again
-        # zero the round (r04: rc=124, parsed null); the final line —
-        # the suite median — replaces it when the run completes (the
-        # driver parses the LAST metric line on stdout).
+        # after the first headline sample so a driver timeout can never
+        # again zero the round (r04: rc=124, parsed null); the final
+        # line — the suite median — replaces it when the run completes
+        # (the driver parses the LAST metric line on stdout).  Under
+        # BENCH_ONLY the metric name carries a _partial suffix so a
+        # spot-check run can never masquerade as a full-suite number.
         print(json.dumps({
             "metric": f"phong_shaded_throughput_{big}x{big}_{backend}"
+                      + ("_partial" if only else "")
                       + ("_provisional" if provisional else ""),
             "value": round(value, 2),
             "unit": "Mpix/s",
@@ -702,12 +707,11 @@ def main() -> int:
 
     resamples = [run(f"phong_{big}", bench_single_pass, "phong", big, big,
                      warmup, frames)]
-    resamples.append(run(f"phong_{big}_resample1", bench_single_pass,
-                         "phong", big, big, warmup, frames))
-    early = sorted(r["mpix_s"] for r in resamples)
-    report["headline"] = {"provisional_mpix_s": early[0]}
-    flush_report()
-    print_headline(early[0], provisional=True)
+    live = [r["mpix_s"] for r in resamples if not r.get("skipped")]
+    if live:
+        report["headline"] = {"provisional_mpix_s": live[0]}
+        flush_report()
+        print_headline(live[0], provisional=True)
     mid_samples = {
         "gouraud": [run(f"gouraud_{mid}", bench_single_pass, "gouraud",
                         mid, mid, warmup, frames)],
@@ -720,6 +724,11 @@ def main() -> int:
     run("reference_default_1200x800" if on_tpu else "reference_default_cpu",
         bench_reference_pipeline, 1200 if on_tpu else 120,
         800 if on_tpu else 80, max(warmup - 1, 1), max(frames // 2, 1))
+    # resample1 sits MID-suite so the headline median samples the
+    # start, middle, and end windows (shared-infra throughput swings
+    # on a minutes timescale — docs/PERFORMANCE.md)
+    resamples.append(run(f"phong_{big}_resample1", bench_single_pass,
+                         "phong", big, big, warmup, frames))
     run("sponza_scale_246k_1280x800" if on_tpu else "sponza_scale_cpu",
         bench_stress, 1280 if on_tpu else 160, 800 if on_tpu else 100,
         max(warmup - 1, 1), max(frames // 2, 1), 3 if on_tpu else 2)
@@ -741,9 +750,11 @@ def main() -> int:
     # the best window is recorded alongside it in the report
     resamples.append(run(f"phong_{big}_resample2", bench_single_pass,
                          "phong", big, big, warmup, frames))
-    rates = sorted(r["mpix_s"] for r in resamples)
-    mpix = rates[len(rates) // 2]
-    report["headline"] = {"median_mpix_s": mpix, "best_mpix_s": rates[-1]}
+    rates = sorted(r["mpix_s"] for r in resamples if not r.get("skipped"))
+    mpix = rates[len(rates) // 2] if rates else 0.0
+    if rates:
+        report["headline"] = {"median_mpix_s": mpix,
+                              "best_mpix_s": rates[-1]}
     # sub-5 ms frames swing far more than the 2048 configs with the
     # same windows (their frame time is comparable to per-dispatch
     # tunnel jitter: observed 3.2-6.4 ms on identical code minutes
@@ -784,7 +795,7 @@ def main() -> int:
     # and the mesh(1) sharded config above measures sharding itself as
     # per-chip free.  Recorded as supporting evidence only — the
     # headline metric line stays the measured single-chip number.
-    if on_tpu:
+    if on_tpu and rates:
         # 0.813 = 1/1.23: the N=8 per-device compiled-cost ratio vs the
         # 1/N ideal for the SHIPPED default layout (interleaved row
         # bands + geometry-sharded vertex stage, geom_shard=True —
@@ -805,7 +816,7 @@ def main() -> int:
     # the derived speedup is conservative).  Fail-soft: absent
     # reference tree / compiler just skips the block.
     try:
-        if not on_tpu:
+        if not on_tpu or not rates:
             raise RuntimeError("reference context is a TPU-bench artifact")
         import re as _re
         import subprocess as _sp
@@ -857,8 +868,12 @@ def main() -> int:
 
     flush_report()
     log("wrote bench_report.json")
-    log(f"headline: median {mpix:.1f} Mpix/s, best window {rates[-1]:.1f}")
-    print_headline(mpix, provisional=False)
+    if rates:
+        log(f"headline: median {mpix:.1f} Mpix/s, best window "
+            f"{rates[-1]:.1f}")
+        print_headline(mpix, provisional=False)
+    else:
+        log("headline configs skipped by BENCH_ONLY — no metric line")
     return 0
 
 

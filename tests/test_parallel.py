@@ -1100,19 +1100,38 @@ def test_scene_backend_sharded_measured_route(meshes):
     sc = build()
     b = sc.render(backend="sharded-measured", frustum_cull=False,
                   collect_stats=False)
-    assert sc.__dict__.get("_band_cache") is not None, \
-        "measured route not taken"
-    bands = sc.__dict__["_band_cache"][1]
+    cache = sc.__dict__.get("_band_cache")
+    assert cache and cache.get("bands"), "measured route not taken"
+    bands = cache["bands"]
     assert sum(r for _, r in bands) == 10
     assert (np.asarray(a.color) == np.asarray(b.color)).all()
     assert np.array_equal(np.asarray(a.full_depth),
                           np.asarray(b.full_depth), equal_nan=True)
-    # camera motion invalidates the cached partition key
-    key0 = sc.__dict__["_band_cache"][0]
+    # camera motion invalidates the key; the re-measure resolves ASYNC
+    # (previous partition serves meanwhile — never a per-frame block)
+    key0 = cache["key"]
     sc.camera.set_eye(math3d.vec3(0.2, 0.5, 3))
+    c = sc.render(backend="sharded-measured", frustum_cull=False,
+                  collect_stats=False)
+    assert cache["key"] != key0
+    assert cache["pending"] is not None or cache["bands"]
+    # frames stay bitwise-correct regardless of which partition served
+    scene_mod2 = __import__("tinyrenderder_tpu.scene",
+                            fromlist=["scene"])
+    saved2 = scene_mod2.FORCE_TILES_LOOP
+    scene_mod2.FORCE_TILES_LOOP = True
+    try:
+        sc2 = build()
+        sc2.camera.set_eye(math3d.vec3(0.2, 0.5, 3))
+        ref2 = sc2.render(backend="tiled", frustum_cull=False,
+                          collect_stats=False)
+    finally:
+        scene_mod2.FORCE_TILES_LOOP = saved2
+    assert (np.asarray(c.color) == np.asarray(ref2.color)).all()
+    # the pending async measurement resolves on a later frame
     sc.render(backend="sharded-measured", frustum_cull=False,
               collect_stats=False)
-    assert sc.__dict__["_band_cache"][0] != key0
+    assert cache["pending"] is None
 
 
 def test_scene_backend_sharded_auto_measured_on_nondivisible(meshes):

@@ -218,6 +218,14 @@ def _render_and_write(args, scene) -> int:
         if args.shadows:
             log.warning("--shadows is not supported with --image-only "
                         "and is ignored")
+        # same guard as the full path's models_rendered > 0 check: a
+        # fully-culled scene must not clobber a previous phong.tga
+        # with a background-only frame
+        from tinyrenderder_tpu.scene import _cull_passes
+        from tinyrenderder_tpu.utils.stats import RenderStats
+        if not _cull_passes(scene, not args.no_cull, RenderStats()):
+            log.warning("every model culled — phong.tga not written")
+            return 0
         image = scene.render_image(backend=args.backend,
                                    frustum_cull=not args.no_cull)
         log.info("Render time: %.3f s (%s, image-only)",

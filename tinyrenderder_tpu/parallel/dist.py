@@ -774,6 +774,53 @@ def measure_tile_row_costs(passes, width: int, height: int,
     return total
 
 
+def _stable_band_cap(bands, nty: int, n: int) -> int:
+    """The STATIC band shape for a measured/unequal partition: the
+    default DP cap (even + ~12.5%) whenever the partition fits in it —
+    a constant per (frame, mesh), so repartitioning a scene (camera or
+    model motion re-measures) never changes traced shapes and re-traces
+    nothing; only a caller-forced larger cap pays a retrace."""
+    even = -(-nty // n)
+    cap = even + max(1, even // 8)
+    mx = max(r for _, r in bands)
+    return cap if mx <= cap else mx
+
+
+def even_unequal_bands(nty: int, n: int) -> tuple:
+    """Measurement-free near-even contiguous partition: the first
+    nty % n bands get one extra row.  The zero-sync default for frames
+    whose rows don't divide by the device count (the fused path's
+    legality fix); measured bands (balance_bands) refine it when the
+    caller can afford the measurement."""
+    base, extra = divmod(nty, n)
+    bands = []
+    at = 0
+    for b in range(n):
+        rows = base + (1 if b < extra else 0)
+        bands.append((at, rows))
+        at += rows
+    return tuple(bands)
+
+
+def measure_tile_row_costs_device(passes, width: int, height: int,
+                                  tile_h: int | None = None,
+                                  tile_w: int | None = None):
+    """Device-resident per-tile-row cost sum over the passes — the
+    async form of measure_tile_row_costs: start its D2H with
+    copy_to_host_async and resolve on a LATER frame (the scene driver's
+    band cache does), so steady-state loops never block on it."""
+    from tinyrenderder_tpu.ops.raster_tiled import TILE_H, TILE_W
+    th = tile_h or TILE_H
+    tw = tile_w or TILE_W
+    total = None
+    for attrs, shader, uniforms, *_ in passes:
+        attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
+        costs = _row_costs_jit(attrs, dict(uniforms), shader, width,
+                               height, th, tw)
+        total = costs if total is None else total + costs
+    return total
+
+
 def balance_bands(row_costs, n: int,
                   band_cap: int | None = None) -> tuple:
     """Optimal contiguous min-max partition of the tile rows into ``n``
@@ -919,7 +966,8 @@ def render_frame_fused_sharded(mesh: Mesh, passes, width: int, height: int,
                          f"tile-aligned columns")
     n_tiles_x = width // tile_w
     nty = height // tile_h
-    band_cap = max(r for _, r in bands) if bands is not None else None
+    band_cap = (_stable_band_cap(bands, nty, n_rows)
+                if bands is not None else None)
     band_tiles_y = band_cap if bands is not None else nty // n_rows
     n_tiles_band = (n_tiles_x // n_cols) * band_tiles_y
     n_tiles_full = n_tiles_x * nty
@@ -1112,7 +1160,8 @@ def render_frame_fused_image_sharded(mesh: Mesh, passes, width: int,
         raise ValueError(f"width {width} not tile-aligned")
     n_tiles_x = width // tile_w
     nty = height // tile_h
-    band_cap = max(r for _, r in bands) if bands is not None else None
+    band_cap = (_stable_band_cap(bands, nty, n)
+                if bands is not None else None)
     band_tiles_y = band_cap if bands is not None else nty // n
     n_tiles_band = n_tiles_x * band_tiles_y
     n_tiles_full = n_tiles_x * nty
@@ -1211,14 +1260,14 @@ def _deinterleave_rows(x, n, band_nty, tile_h):
 def _sharded_untile_fn(mesh: Mesh, width: int, height: int,
                        tile_h: int, tile_w: int, interpret: bool,
                        interleave: bool = False,
-                       bands: tuple | None = None):
+                       band_cap: int | None = None):
     from tinyrenderder_tpu.ops import raster_sparse
 
     two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
     n = mesh.devices.size
     n_cols = mesh.shape[AXIS_X] if two_d else 1
     band_ntx = (width // tile_w) // n_cols
-    band_nty = (max(r for _, r in bands) if bands is not None
+    band_nty = (band_cap if band_cap is not None
                 else (height // tile_h) // (mesh.shape[AXIS_Y]
                                             if two_d else n))
 
@@ -1240,11 +1289,13 @@ def _sharded_untile_fn(mesh: Mesh, width: int, height: int,
                            winner=P(*axes) if two_d else P(axes))
     mapped = jax.shard_map(shard_body, mesh=mesh, in_specs=(ft_spec,),
                            out_specs=fb_spec, check_vma=False)
-    if bands is not None:
-        row_src = jnp.asarray(_band_row_map(bands, band_nty, tile_h,
-                                            height))
+    if band_cap is not None:
+        # the row map arrives as a RUNTIME operand: the cache key stays
+        # (mesh, shapes, band_cap), so repartitioning a scene re-traces
+        # nothing here either (review round-5: keying the closure on the
+        # bands tuple compiled a fresh untile per partition)
 
-        def full_measured(ft):
+        def full_measured(ft, row_src):
             fb = mapped(ft)
             return FrameBuffers(color=fb.color[row_src],
                                 depth=fb.depth[row_src],
@@ -1302,8 +1353,15 @@ def tiles_to_buffers_sharded(mesh: Mesh, ft, width: int, height: int,
     if interleave and mesh.axis_names == (AXIS_Y, AXIS_X):
         raise ValueError("interleave is only supported on 1-D row meshes")
     interpret = jax.default_backend() != "tpu"
+    if bands is not None:
+        band_cap = _stable_band_cap(bands, height // tile_h,
+                                    mesh.devices.size)
+        fn = _sharded_untile_fn(mesh, width, height, tile_h, tile_w,
+                                interpret, interleave, band_cap)
+        return fn(ft, jnp.asarray(_band_row_map(bands, band_cap, tile_h,
+                                                height)))
     fn = _sharded_untile_fn(mesh, width, height, tile_h, tile_w, interpret,
-                            interleave, bands)
+                            interleave)
     return fn(ft)
 
 
@@ -1311,14 +1369,14 @@ def tiles_to_buffers_sharded(mesh: Mesh, ft, width: int, height: int,
 def _sharded_untile_one_fn(mesh: Mesh, width: int, height: int,
                            tile_h: int, tile_w: int, interpret: bool,
                            interleave: bool = False,
-                           bands: tuple | None = None):
+                           band_cap: int | None = None):
     from tinyrenderder_tpu.ops import raster_sparse
 
     two_d = mesh.axis_names == (AXIS_Y, AXIS_X)
     n = mesh.devices.size
     n_cols = mesh.shape[AXIS_X] if two_d else 1
     band_ntx = (width // tile_w) // n_cols
-    band_nty = (max(r for _, r in bands) if bands is not None
+    band_nty = (band_cap if band_cap is not None
                 else (height // tile_h) // (mesh.shape[AXIS_Y]
                                             if two_d else n))
 
@@ -1330,10 +1388,8 @@ def _sharded_untile_one_fn(mesh: Mesh, width: int, height: int,
     out_spec = P(AXIS_Y, AXIS_X) if two_d else P(AXIS)
     mapped = jax.shard_map(shard_body, mesh=mesh, in_specs=(in_spec,),
                            out_specs=out_spec, check_vma=False)
-    if bands is not None:
-        row_src = jnp.asarray(_band_row_map(bands, band_nty, tile_h,
-                                            height))
-        return jax.jit(lambda x: mapped(x)[row_src])
+    if band_cap is not None:
+        return jax.jit(lambda x, row_src: mapped(x)[row_src])
     if not interleave:
         return jax.jit(mapped)
     return jax.jit(lambda x: _deinterleave_rows(mapped(x), n, band_nty,
@@ -1353,8 +1409,15 @@ def untile_one_sharded(mesh: Mesh, tiles, width: int, height: int,
     if interleave and mesh.axis_names == (AXIS_Y, AXIS_X):
         raise ValueError("interleave is only supported on 1-D row meshes")
     interpret = jax.default_backend() != "tpu"
+    if bands is not None:
+        band_cap = _stable_band_cap(bands, height // tile_h,
+                                    mesh.devices.size)
+        fn = _sharded_untile_one_fn(mesh, width, height, tile_h, tile_w,
+                                    interpret, interleave, band_cap)
+        return fn(tiles, jnp.asarray(_band_row_map(bands, band_cap,
+                                                   tile_h, height)))
     fn = _sharded_untile_one_fn(mesh, width, height, tile_h, tile_w,
-                                interpret, interleave, bands)
+                                interpret, interleave)
     return fn(tiles)
 
 

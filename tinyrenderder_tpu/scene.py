@@ -355,10 +355,11 @@ def render_scene_image(scene: Scene, backend: str = "tiled",
             n_dev = mesh.devices.size
             if (scene.height % raster_tiled.TILE_H == 0
                     and scene.width % raster_tiled.TILE_W == 0):
-                # rows not divisible by the device count: measured
-                # unequal bands keep the fused image path (same
-                # auto-route as _render_sharded)
-                bands = (_measured_bands_cached(scene, passes, n_dev)
+                # rows not divisible by the device count: near-even
+                # unequal bands keep the fused image path with zero
+                # measurement syncs (same auto-route as _render_sharded)
+                bands = (dist.even_unequal_bands(
+                            scene.height // raster_tiled.TILE_H, n_dev)
                          if n_dev > 1 and scene.height
                          % (n_dev * raster_tiled.TILE_H) else None)
                 inter = (SHARDED_INTERLEAVE and n_dev > 1
@@ -482,16 +483,24 @@ def _render_sharded(scene, visible, dtype, stats, timings,
         # tile rows b, b+N, ...) so coverage hot spots — contiguous in y
         # on real scenes — split evenly across devices; on one device
         # this is the identity layout.
-        # measured bands when asked for (backend "sharded-measured") OR
-        # when the frame's tile rows don't divide by the device count —
-        # there the even/interleaved layouts are illegal and the only
-        # alternative used to be the slow non-fused fallback (the
-        # stress/mixed bench frames: 800 px = 50 tile rows over 8
-        # devices).  Unequal measured bands keep the fused path.
+        # unequal bands when asked for (backend "sharded-measured":
+        # MEASURED partition, async-refreshed) OR when the frame's tile
+        # rows don't divide by the device count — there the even/
+        # interleaved layouts are illegal and the only alternative used
+        # to be the slow non-fused fallback (the stress/mixed bench
+        # frames: 800 px = 50 tile rows over 8 devices).  The
+        # auto-route uses the measurement-FREE near-even partition
+        # (review round-5: the measured cache would block a camera-
+        # animated loop on a device fetch per frame).
         needs_bands = (not two_d_mesh and n_dev > 1
                        and scene.height % (n_dev * raster_tiled.TILE_H))
-        bands = (_measured_bands_cached(scene, passes, n_dev)
-                 if (measured or needs_bands) and n_dev > 1 else None)
+        if measured and n_dev > 1:
+            bands = _measured_bands_cached(scene, passes, n_dev)
+        elif needs_bands:
+            bands = dist.even_unequal_bands(
+                scene.height // raster_tiled.TILE_H, n_dev)
+        else:
+            bands = None
         inter = (SHARDED_INTERLEAVE and n_dev > 1 and not two_d_mesh
                  and bands is None)
         ft, out_depth_t, overflow_b = dist.render_frame_fused_sharded(
@@ -532,21 +541,47 @@ def _render_sharded(scene, visible, dtype, stats, timings,
 
 def _measured_bands_cached(scene, passes, n_dev):
     """Per-scene cache of the measured-load band partition (backend
-    "sharded-measured"): one (nty,)-int measurement sync + a host DP on
-    the first frame of a scene state; steady-state loops reuse it.  The
-    key covers everything the measurement reads — the view-projection
-    and each pass's kept-alive attrs identity."""
+    "sharded-measured") with the async-capacity idiom: the FIRST frame
+    of a scene blocks once for the measurement; when the scene state
+    changes afterwards (camera or model motion — the key holds each
+    pass's kept-alive attrs AND uniforms dict identities, which the
+    per-pass input cache rebuilds whenever any matrix or material
+    changes), the re-measurement's D2H is started async and resolved on
+    a LATER frame, with the previous partition serving in the meantime.
+    Balance refreshes a few frames late; correctness never depends on
+    the partition (any legal bands are bitwise-identical)."""
+    import numpy as _np
+
     from tinyrenderder_tpu.parallel import dist
-    vp = scene.camera.projection_matrix @ scene.camera.view_matrix
-    key = (vp.tobytes(), scene.width, scene.height, n_dev,
-           tuple(id(a["position"]) for a, *_ in passes))
-    hit = scene.__dict__.get("_band_cache")
-    if hit is not None and hit[0] == key:
-        return hit[1]
-    costs = dist.measure_tile_row_costs(passes, scene.width, scene.height)
-    bands = dist.balance_bands(costs, n_dev)
-    scene.__dict__["_band_cache"] = (key, bands)
-    return bands
+    refs = tuple(x for a, _s, u, *_ in passes
+                 for x in (a["position"], u))
+    key = (scene.width, scene.height, n_dev, tuple(id(x) for x in refs))
+    cache = scene.__dict__.setdefault("_band_cache", {})
+    hit = cache.get("key") == key and cache.get("refs") is not None
+    if hit and cache.get("pending") is None:
+        return cache["bands"]
+    if not hit and cache.get("bands") is None:
+        # first frame of this scene: one blocking (nty,)-int fetch
+        costs = dist.measure_tile_row_costs(passes, scene.width,
+                                            scene.height)
+        cache.update(key=key, refs=refs, pending=None,
+                     bands=dist.balance_bands(costs, n_dev))
+        return cache["bands"]
+    if not hit:
+        # scene state changed: start an async re-measure, keep serving
+        # the previous partition (never block per frame — CLAUDE.md)
+        dev = dist.measure_tile_row_costs_device(passes, scene.width,
+                                                 scene.height)
+        if hasattr(dev, "copy_to_host_async"):
+            dev.copy_to_host_async()
+        cache.update(key=key, refs=refs, pending=dev)
+        return cache["bands"]
+    pending = cache["pending"]
+    if getattr(pending, "is_ready", lambda: True)():
+        costs = _np.asarray(pending).astype(_np.int64)
+        cache.update(pending=None,
+                     bands=dist.balance_bands(costs, n_dev))
+    return cache["bands"]
 
 
 def _accumulate_exact_events(scene, passes, visible, stats):
