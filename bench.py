@@ -256,6 +256,7 @@ def bench_single_pass(shader_name, width, height, warmup, frames):
 
     from tinyrenderder_tpu.ops import raster_sparse
 
+    th = raster_sparse.pick_tile_h(width, height)
     if os.environ.get("BENCH_IMAGE_PATH", "1") != "0":
         # PRODUCTION route for image-only frames (round-4 lever, wired
         # round 5): the single-pass direct-to-image fused program — no
@@ -267,16 +268,17 @@ def bench_single_pass(shader_name, width, height, warmup, frames):
         def frame():
             img, _ = raster_sparse.render_frame_fused_image(
                 [(attrs, shader, uniforms, False)], width, height,
-                strict_capacity=False)
+                tile_h=th, strict_capacity=False)
             return img
     else:
         def frame():
             ft, _, _ = raster_sparse.render_frame_fused(
                 [(attrs, shader, uniforms, False)], width, height,
-                strict_capacity=False)
+                tile_h=th, strict_capacity=False)
             # the frame deliverable is the (H, W) image: untile is in
             # the measured loop (the one per-frame layout conversion)
-            return raster_sparse.tiles_to_buffers(ft, width, height).color
+            return raster_sparse.tiles_to_buffers(
+                ft, width, height, tile_h=th).color
 
     dt, compile_s, rtt, samples = _time_frames(frame, warmup, frames)
     return {"mpix_s": width * height / dt / 1e6,
@@ -398,13 +400,17 @@ def bench_sharded_mesh1(width, height, warmup, frames):
                                           normal_map_strength=0.5))
     attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
     uniforms = {k: _to_device_cached(v) for k, v in uniforms.items()}
+    from tinyrenderder_tpu.ops import raster_sparse
     mesh = dist.make_mesh(1)
     passes = [(attrs, shader, uniforms, False)]
+    th = raster_sparse.pick_tile_h(width, height)
 
     def frame():
         ft, _, _ = dist.render_frame_fused_sharded(
-            mesh, passes, width, height, strict_capacity=False)
-        return dist.tiles_to_buffers_sharded(mesh, ft, width, height).color
+            mesh, passes, width, height, tile_h=th,
+            strict_capacity=False)
+        return dist.tiles_to_buffers_sharded(mesh, ft, width, height,
+                                             tile_h=th).color
 
     dt, compile_s, rtt, samples = _time_frames(frame, warmup, frames)
     return {"mpix_s": width * height / dt / 1e6,

@@ -60,8 +60,24 @@ def main():
     width = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     height = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     frames = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    scene = sys.argv[4] if len(sys.argv) > 4 else "head"
 
-    attrs, shader, uniforms = build_pass(width, height)
+    if scene == "head":
+        attrs, shader, uniforms = build_pass(width, height)
+    else:
+        from bench import _lights
+        from tinyrenderder_tpu import math3d
+        from tinyrenderder_tpu.models import procedural
+        from tinyrenderder_tpu.shaders import PhongShader
+        key, fill, rim = _lights()
+        mesh = (procedural.head_wall(grid=3) if scene == "stress"
+                else procedural.mixed_interior(grid=3))
+        view = math3d.lookat((0, 0.3, 6.5), (0, 0, 0), (0, 1, 0))
+        proj = math3d.perspective(60.0, width / height, 0.1, 50.0)
+        shader = PhongShader(key, fill, rim, normal_map_strength=0.5)
+        uniforms = shader.build_uniforms(view, proj, mesh.materials[0],
+                                         np.float32)
+        attrs = mesh.device_face_attributes(np.float32)
     attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
     uniforms = {k: _to_device_cached(v) for k, v in uniforms.items()}
 

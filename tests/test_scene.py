@@ -400,3 +400,32 @@ def test_render_image_sharded_nondivisible_bands(monkeypatch):
     monkeypatch.setattr(scene_mod, "FORCE_TILES_LOOP", True)
     ref = sc.render(backend="tiled", collect_stats=False).color
     assert np.array_equal(img, np.asarray(ref))
+
+
+def test_pick_tile_h_routing_bitwise(monkeypatch):
+    """The resolution-dispatched tile height (32 on large frames) must
+    be bitwise-identical to the 16-row tiling on the scene driver's
+    tiled path — incl. the multi-pass excluded-depth flow — and on the
+    image route.  The threshold is lowered so the 32-row program runs
+    at test sizes."""
+    from tinyrenderder_tpu import scene as scene_mod
+    from tinyrenderder_tpu.ops import raster_sparse
+
+    monkeypatch.setattr(scene_mod, "FORCE_TILES_LOOP", True)
+    sc3 = small_scene(width=128, height=96)       # 3 passes, eye excluded
+    ref3 = sc3.render(backend="tiled", collect_stats=False)
+    sc1 = single_pass_scene(width=128, height=96)
+    ref_img = sc1.render_image(backend="tiled")
+
+    monkeypatch.setattr(raster_sparse, "TILE_H_LARGE_PIXELS", 1)
+    assert raster_sparse.pick_tile_h(128, 96) == 32
+    got3 = small_scene(width=128, height=96).render(
+        backend="tiled", collect_stats=False)
+    assert np.array_equal(ref3.color, got3.color)
+    assert np.array_equal(np.asarray(ref3.full_depth),
+                          np.asarray(got3.full_depth), equal_nan=True)
+    assert np.array_equal(np.asarray(ref3.depth),
+                          np.asarray(got3.depth), equal_nan=True)
+    got_img = single_pass_scene(width=128, height=96).render_image(
+        backend="tiled")
+    assert np.array_equal(ref_img, got_img)

@@ -355,3 +355,33 @@ def test_measured_band_clip_on_tpu(meshes):
                           equal_nan=True)
     # dead padding rows stay background
     assert not np.isfinite(np.asarray(fb_b.depth)[4 * 16:]).any()
+
+
+def test_tile_h32_matches_tile_h16_on_tpu(meshes):
+    """The 32-row tiling (the production default on >= 2 MPx frames,
+    pick_tile_h) must reproduce the 16-row frame bitwise in real Mosaic
+    lowering — fused general chain AND the direct-to-image path."""
+    import jax.numpy as jnp
+
+    view, proj = default_view()
+    w, h = 256, 128                       # 4 rows of 32 / 8 rows of 16
+    p = make_pass(meshes["head"], PhongShader(KEY, FILL, RIM), view, proj)
+    attrs = {k: jnp.asarray(v) for k, v in p.attrs.items()}
+    passes = [(attrs, p.shader, dict(p.uniforms), False)]
+
+    ft16, _, _ = raster_sparse.render_frame_fused(passes, w, h,
+                                                  tile_h=16)
+    fb16 = raster_sparse.tiles_to_buffers(ft16, w, h, tile_h=16)
+    ft32, _, _ = raster_sparse.render_frame_fused(passes, w, h,
+                                                  tile_h=32)
+    fb32 = raster_sparse.tiles_to_buffers(ft32, w, h, tile_h=32)
+    np.testing.assert_array_equal(np.asarray(fb16.color),
+                                  np.asarray(fb32.color))
+    assert np.array_equal(np.asarray(fb16.depth), np.asarray(fb32.depth),
+                          equal_nan=True)
+    np.testing.assert_array_equal(np.asarray(fb16.winner),
+                                  np.asarray(fb32.winner))
+    img32, _ = raster_sparse.render_frame_fused_image(passes, w, h,
+                                                      tile_h=32)
+    np.testing.assert_array_equal(np.asarray(fb16.color),
+                                  np.asarray(img32))

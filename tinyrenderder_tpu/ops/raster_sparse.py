@@ -82,6 +82,24 @@ def _unpack_rgb(packed):
                       (packed >> 16) & 0xFF], axis=-1).astype(jnp.uint8)
 
 
+#: frames at or above this pixel count default to 32-row tiles
+#: (pick_tile_h); measured on hardware 2026-08-20 (scripts/ab_tile_h.py,
+#: interleaved arms, bitwise-identical frames): 2048² phong 12.69 ms at
+#: th=32 vs 14.03 at th=16 (+10%); 1280x800 stress a wash (17.79 vs
+#: 17.84); 800² th=16 slightly ahead (3.57 vs 3.63) — the crossover
+#: sits between 1 and 4 MPx, so 2 MPx flips only the large-frame class.
+TILE_H_LARGE_PIXELS = 2_000_000
+
+
+def pick_tile_h(width: int, height: int) -> int:
+    """Resolution-dispatched tile height for the production drivers:
+    large frames amortize per-grid-step kernel overhead over taller
+    tiles faster than their phase-C pixel count grows.  The frame's
+    winner/depth/color maps do not depend on the tiling, so either
+    choice is bitwise-identical (tested)."""
+    return 32 if width * height >= TILE_H_LARGE_PIXELS else TILE_H
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_h",
                                              "tile_w"))
 def new_frame_tiles(width: int, height: int, tile_h: int = TILE_H,

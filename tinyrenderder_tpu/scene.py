@@ -347,6 +347,8 @@ def render_scene_image(scene: Scene, backend: str = "tiled",
                                    or FORCE_TILES_LOOP):
             image, _overflow = raster_sparse.render_frame_fused_image(
                 passes, scene.width, scene.height,
+                tile_h=raster_sparse.pick_tile_h(scene.width,
+                                                 scene.height),
                 strict_capacity=strict_capacity)
             return np.asarray(image) if transfer else image
         if backend == "sharded":
@@ -675,6 +677,9 @@ def _render_device_tiles(scene, visible, dtype, stats, timings,
     from tinyrenderder_tpu.ops import raster, raster_sparse
 
     width, height = scene.width, scene.height
+    # resolution-dispatched tile height (32 on >= 2 MPx frames: +10%
+    # measured at 2048², scripts/ab_tile_h.py; bitwise-identical)
+    th = raster_sparse.pick_tile_h(width, height)
 
     if not collect_stats and visible and all(
             p.mesh.nfaces > 0 for p in visible):
@@ -686,13 +691,14 @@ def _render_device_tiles(scene, visible, dtype, stats, timings,
             passes_l.append((attrs, p.shader, uniforms,
                              p.exclude_from_output_depth))
         ft, out_depth_t, overflow = raster_sparse.render_frame_fused(
-            passes_l, width, height, strict_capacity=strict_capacity)
+            passes_l, width, height, tile_h=th,
+            strict_capacity=strict_capacity)
         in_excluded = visible[-1].exclude_from_output_depth
         return _finish_device_tiles(scene, ft, out_depth_t, in_excluded,
                                     overflow, stats, timings,
-                                    collect_stats, transfer)
+                                    collect_stats, transfer, tile_h=th)
 
-    ft = raster_sparse.new_frame_tiles(width, height)
+    ft = raster_sparse.new_frame_tiles(width, height, tile_h=th)
     snapshot = None
     in_excluded = False
     winner_offset = 0
@@ -711,7 +717,7 @@ def _render_device_tiles(scene, visible, dtype, stats, timings,
         out = raster_sparse.render_pass_dispatch(
             ft, attrs, p.shader, uniforms, width, height,
             winner_offset=winner_offset, strict_capacity=strict_capacity,
-            collect_stats=collect_stats)
+            collect_stats=collect_stats, tile_h=th)
         ft, setup, ovf = out[:3]
         overflow = overflow | ovf
         if collect_stats:
@@ -734,12 +740,12 @@ def _render_device_tiles(scene, visible, dtype, stats, timings,
     out_depth_t = snapshot if in_excluded else ft.depth
     return _finish_device_tiles(scene, ft, out_depth_t, in_excluded,
                                 overflow, stats, timings, collect_stats,
-                                transfer)
+                                transfer, tile_h=th)
 
 
 def _finish_device_tiles(scene, ft, out_depth_t, in_excluded, overflow,
                          stats, timings, collect_stats,
-                         transfer) -> RenderResult:
+                         transfer, tile_h=None) -> RenderResult:
     import jax
 
     from tinyrenderder_tpu.ops import raster_sparse
@@ -747,12 +753,14 @@ def _finish_device_tiles(scene, ft, out_depth_t, in_excluded, overflow,
     import jax as _jax
 
     width, height = scene.width, scene.height
-    fb = raster_sparse.tiles_to_buffers(ft, width, height)
+    if tile_h is None:
+        tile_h = raster_sparse.TILE_H
+    fb = raster_sparse.tiles_to_buffers(ft, width, height, tile_h=tile_h)
     if in_excluded:
         ntx = -(-width // raster_sparse.TILE_W)
-        nty = -(-height // raster_sparse.TILE_H)
+        nty = -(-height // tile_h)
         out_depth_hw = raster_sparse._untile_one_jit(
-            out_depth_t, ntx, nty, raster_sparse.TILE_H,
+            out_depth_t, ntx, nty, tile_h,
             raster_sparse.TILE_W,
             _jax.default_backend() != "tpu")[:height, :width]
     else:
