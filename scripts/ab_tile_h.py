@@ -81,11 +81,13 @@ def main():
     attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
     uniforms = {k: _to_device_cached(v) for k, v in uniforms.items()}
 
+    tile_hs = (tuple(int(x) for x in sys.argv[5].split(","))
+               if len(sys.argv) > 5 else (8, 16, 32))
     ref = None
     # interleave variants so a drifting tunnel window can't bias one arm
-    results = {th: [] for th in (8, 16, 32)}
+    results = {th: [] for th in tile_hs}
     for rep in range(3):
-        for th in (8, 16, 32):
+        for th in tile_hs:
             if height % th:
                 continue
             dt, color, depth, caps = run_variant(
