@@ -802,19 +802,25 @@ def main() -> int:
     # per-chip free.  Recorded as supporting evidence only — the
     # headline metric line stays the measured single-chip number.
     if on_tpu and rates:
-        # 0.813 = 1/1.23: the N=8 per-device compiled-cost ratio vs the
-        # 1/N ideal for the SHIPPED default layout (interleaved row
-        # bands + geometry-sharded vertex stage, geom_shard=True —
-        # session-7 cost analysis; the replicated-geometry layout's
-        # ratio was 1/1.44 = 0.694, kept for reference)
+        # 0.717: the N=8 per-device compiled-cost ratio vs the 1/N
+        # ideal for the SHIPPED headline configuration — 32-row tiles
+        # (pick_tile_h at 2048²) + interleaved bands + geom-sharded
+        # vertex stage (AB_TILE_H=32 scripts/analyze_sharded_cost.py
+        # measured, round 5).  Taller tiles cost multi-chip banding
+        # granularity: at th=16 the factor is 0.813 with a ~13% slower
+        # single chip — both pairings land within 1% of each other
+        # (0.717 x 340.6 ≈ 0.813 x 297), so the projection is robust
+        # to the tile-height choice.
         report["projected_v5e8"] = {
-            "method": "measured single-chip median x 8 chips x 0.813 "
-                      "(1/1.23 = N=8 per-device compiled-cost ratio vs "
-                      "ideal for interleaved bands + geom-sharded vertex "
-                      "stage, scripts/analyze_sharded_cost.py)",
-            "mpix_s": round(mpix * 8 * 0.813, 1),
-            "vs_1gpix_s_target": round(mpix * 8 * 0.813 / 1000.0, 3),
-            "replicated_geometry_mpix_s": round(mpix * 8 * 0.694, 1),
+            "method": "measured single-chip median x 8 chips x 0.717 "
+                      "(N=8 per-device compiled-cost ratio vs ideal at "
+                      "the shipped th=32 tiling, interleaved bands + "
+                      "geom-sharded vertex stage; th=16 pairing 0.813 x "
+                      "its ~13%-slower single-chip lands within 1% — "
+                      "scripts/analyze_sharded_cost.py)",
+            "mpix_s": round(mpix * 8 * 0.717, 1),
+            "vs_1gpix_s_target": round(mpix * 8 * 0.717 / 1000.0, 3),
+            "th16_pairing_mpix_s": round(mpix * 0.873 * 8 * 0.813, 1),
         }
     # Live reference-CPU context: time the reference's own compiled hot
     # loop (our_gl.cpp:89-201) on the SAME headline triangle stream,

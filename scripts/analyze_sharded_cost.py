@@ -49,7 +49,10 @@ from tinyrenderder_tpu.ops.raster_tiled import (_build_bins,  # noqa: E402
                                                 _quantize_soft, _tile_spans)
 from tinyrenderder_tpu.parallel import dist  # noqa: E402
 
-TILE_H, TILE_W = 16, 128
+# AB_TILE_H=32 re-derives the per-device cost model at the 32-row
+# tiling pick_tile_h ships on >= 2 MPx frames (round 5)
+TILE_H = int(os.environ.get("AB_TILE_H", "16"))
+TILE_W = 128
 
 
 def bench_pass(width, height):
