@@ -1109,12 +1109,11 @@ def test_scene_backend_sharded_measured_route(meshes):
                           np.asarray(b.full_depth), equal_nan=True)
     # camera motion invalidates the key; the re-measure resolves ASYNC
     # (previous partition serves meanwhile — never a per-frame block)
-    key0 = cache["key"]
+    refs0 = cache["refs"]
     sc.camera.set_eye(math3d.vec3(0.2, 0.5, 3))
     c = sc.render(backend="sharded-measured", frustum_cull=False,
                   collect_stats=False)
-    assert cache["key"] != key0
-    assert cache["pending"] is not None or cache["bands"]
+    assert cache["refs"] is not refs0 or cache["pending"] is not None
     # frames stay bitwise-correct regardless of which partition served
     scene_mod2 = __import__("tinyrenderder_tpu.scene",
                             fromlist=["scene"])
@@ -1128,9 +1127,15 @@ def test_scene_backend_sharded_measured_route(meshes):
     finally:
         scene_mod2.FORCE_TILES_LOOP = saved2
     assert (np.asarray(c.color) == np.asarray(ref2.color)).all()
-    # the pending async measurement resolves on a later frame
-    sc.render(backend="sharded-measured", frustum_cull=False,
-              collect_stats=False)
+    # the pending async measurement resolves on a later frame (loop:
+    # the D2H land time is host-load dependent on the 1-vCPU box)
+    for _ in range(20):
+        sc.render(backend="sharded-measured", frustum_cull=False,
+                  collect_stats=False)
+        if cache["pending"] is None:
+            break
+        import time
+        time.sleep(0.1)
     assert cache["pending"] is None
 
 

@@ -417,6 +417,9 @@ def test_pick_tile_h_routing_bitwise(monkeypatch):
     sc1 = single_pass_scene(width=128, height=96)
     ref_img = sc1.render_image(backend="tiled")
 
+    ref3s = small_scene(width=128, height=96).render(
+        backend="tiled", collect_stats=True)     # per-pass dispatch loop
+
     monkeypatch.setattr(raster_sparse, "TILE_H_LARGE_PIXELS", 1)
     assert raster_sparse.pick_tile_h(128, 96) == 32
     got3 = small_scene(width=128, height=96).render(
@@ -426,6 +429,14 @@ def test_pick_tile_h_routing_bitwise(monkeypatch):
                           np.asarray(got3.full_depth), equal_nan=True)
     assert np.array_equal(np.asarray(ref3.depth),
                           np.asarray(got3.depth), equal_nan=True)
+    # the per-pass dispatch loop (collect_stats=True — the default
+    # scene.render route) must also run th=32 bitwise, with stats
+    got3s = small_scene(width=128, height=96).render(
+        backend="tiled", collect_stats=True)
+    assert np.array_equal(ref3s.color, got3s.color)
+    assert np.array_equal(np.asarray(ref3s.full_depth),
+                          np.asarray(got3s.full_depth), equal_nan=True)
+    assert ref3s.stats.fragments_drawn == got3s.stats.fragments_drawn
     got_img = single_pass_scene(width=128, height=96).render_image(
         backend="tiled")
     assert np.array_equal(ref_img, got_img)

@@ -760,29 +760,27 @@ def measure_tile_row_costs(passes, width: int, height: int,
                            tile_h: int | None = None,
                            tile_w: int | None = None) -> np.ndarray:
     """Measured per-tile-row binning cost (pair counts) summed over the
-    frame's passes — the balance_bands input.  One (nty,)-int fetch."""
-    from tinyrenderder_tpu.ops.raster_tiled import TILE_H, TILE_W
-    th = tile_h or TILE_H
-    tw = tile_w or TILE_W
-    nty = -(-height // th)
-    total = np.zeros(nty, np.int64)
-    for attrs, shader, uniforms, *_ in passes:
-        attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
-        costs = _row_costs_jit(attrs, dict(uniforms), shader, width,
-                               height, th, tw)
-        total += np.asarray(jax.device_get(costs)).astype(np.int64)
-    return total
+    frame's passes — the balance_bands input.  One (nty,)-int fetch
+    (the blocking form of measure_tile_row_costs_device)."""
+    dev = measure_tile_row_costs_device(passes, width, height,
+                                        tile_h, tile_w)
+    return np.asarray(jax.device_get(dev)).astype(np.int64)
 
 
 def _stable_band_cap(bands, nty: int, n: int) -> int:
-    """The STATIC band shape for a measured/unequal partition: the
-    default DP cap (even + ~12.5%) whenever the partition fits in it —
-    a constant per (frame, mesh), so repartitioning a scene (camera or
-    model motion re-measures) never changes traced shapes and re-traces
-    nothing; only a caller-forced larger cap pays a retrace."""
+    """The STATIC band shape for an unequal partition.  A partition at
+    the minimal possible max (ceil(nty/n) — even_unequal_bands always,
+    and any DP result that tight) keeps EXACTLY that shape: it is a
+    pure function of (nty, n), so stability is free and padding would
+    only buy ~1/even extra capacity-shaped compute per device.  Looser
+    measured partitions use the default DP cap (even + ~12.5%) so
+    repartitioning (camera/model motion re-measures) never changes
+    traced shapes; only a caller-forced larger cap pays a retrace."""
     even = -(-nty // n)
-    cap = even + max(1, even // 8)
     mx = max(r for _, r in bands)
+    if mx <= even:
+        return even
+    cap = even + max(1, even // 8)
     return cap if mx <= cap else mx
 
 
@@ -863,6 +861,15 @@ def balance_bands(row_costs, n: int,
         i = j
     bands.reverse()
     return tuple(bands)
+
+
+@functools.lru_cache(maxsize=64)
+def _band_row_map_dev(bands, band_cap: int, tile_h: int, height: int):
+    """Device-resident row map, cached per partition: the sharded
+    transfer helpers run per frame and the host O(H) build + H2D
+    upload must not repeat while the partition holds still (review
+    round-5)."""
+    return jnp.asarray(_band_row_map(bands, band_cap, tile_h, height))
 
 
 def _band_row_map(bands, band_cap: int, tile_h: int,
@@ -1214,8 +1221,7 @@ def render_frame_fused_image_sharded(mesh: Mesh, passes, width: int,
     if interleave:
         img = _deinterleave_rows(img, n, band_tiles_y, tile_h)
     elif bands is not None:
-        img = img[jnp.asarray(_band_row_map(bands, band_cap, tile_h,
-                                            height))]
+        img = img[_band_row_map_dev(bands, band_cap, tile_h, height)]
     return raster_sparse._unpack_rgb(img[:height, :width]), overflow
 
 
@@ -1358,8 +1364,7 @@ def tiles_to_buffers_sharded(mesh: Mesh, ft, width: int, height: int,
                                     mesh.devices.size)
         fn = _sharded_untile_fn(mesh, width, height, tile_h, tile_w,
                                 interpret, interleave, band_cap)
-        return fn(ft, jnp.asarray(_band_row_map(bands, band_cap, tile_h,
-                                                height)))
+        return fn(ft, _band_row_map_dev(bands, band_cap, tile_h, height))
     fn = _sharded_untile_fn(mesh, width, height, tile_h, tile_w, interpret,
                             interleave)
     return fn(ft)
@@ -1414,8 +1419,8 @@ def untile_one_sharded(mesh: Mesh, tiles, width: int, height: int,
                                     mesh.devices.size)
         fn = _sharded_untile_one_fn(mesh, width, height, tile_h, tile_w,
                                     interpret, interleave, band_cap)
-        return fn(tiles, jnp.asarray(_band_row_map(bands, band_cap,
-                                                   tile_h, height)))
+        return fn(tiles, _band_row_map_dev(bands, band_cap, tile_h,
+                                           height))
     fn = _sharded_untile_one_fn(mesh, width, height, tile_h, tile_w,
                                 interpret, interleave)
     return fn(tiles)

@@ -557,32 +557,38 @@ def _measured_bands_cached(scene, passes, n_dev):
     from tinyrenderder_tpu.parallel import dist
     refs = tuple(x for a, _s, u, *_ in passes
                  for x in (a["position"], u))
-    key = (scene.width, scene.height, n_dev, tuple(id(x) for x in refs))
+    shape = (scene.width, scene.height, n_dev)
     cache = scene.__dict__.setdefault("_band_cache", {})
-    hit = cache.get("key") == key and cache.get("refs") is not None
-    if hit and cache.get("pending") is None:
-        return cache["bands"]
-    if not hit and cache.get("bands") is None:
-        # first frame of this scene: one blocking (nty,)-int fetch
+    if cache.get("shape") != shape:
+        # first use OR a structural change (frame size / device count):
+        # stale bands would be ILLEGAL for the new shape, so this case
+        # blocks for one measurement — it is a re-setup, not a frame
         costs = dist.measure_tile_row_costs(passes, scene.width,
                                             scene.height)
-        cache.update(key=key, refs=refs, pending=None,
+        cache.update(shape=shape, refs=refs, pending=None,
                      bands=dist.balance_bands(costs, n_dev))
         return cache["bands"]
-    if not hit:
-        # scene state changed: start an async re-measure, keep serving
-        # the previous partition (never block per frame — CLAUDE.md)
+    pending = cache.get("pending")
+    if pending is not None and getattr(pending, "is_ready",
+                                       lambda: True)():
+        costs = _np.asarray(pending).astype(_np.int64)
+        cache.update(pending=None,
+                     bands=dist.balance_bands(costs, n_dev))
+        pending = None
+    if pending is None and not _ref_tuples_match(cache.get("refs"), refs):
+        # scene state moved (camera/model — new pass-input identities):
+        # start ONE async re-measure and keep serving the previous
+        # partition until its D2H lands (never block per frame, never
+        # relaunch over an in-flight measurement).  NOTE: under the
+        # stable capacity key a rebalance can under-provision a band's
+        # refined caps for one async-mode frame — the same one-frame-
+        # late overflow contract as every other capacity change (the
+        # frame flags overflow; animation re-renders it strict).
         dev = dist.measure_tile_row_costs_device(passes, scene.width,
                                                  scene.height)
         if hasattr(dev, "copy_to_host_async"):
             dev.copy_to_host_async()
-        cache.update(key=key, refs=refs, pending=dev)
-        return cache["bands"]
-    pending = cache["pending"]
-    if getattr(pending, "is_ready", lambda: True)():
-        costs = _np.asarray(pending).astype(_np.int64)
-        cache.update(pending=None,
-                     bands=dist.balance_bands(costs, n_dev))
+        cache.update(refs=refs, pending=dev)
     return cache["bands"]
 
 
